@@ -1,0 +1,63 @@
+"""Benchmark harness: runs every registered engine query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Materialization uses the ``noop`` sink — full plan execution without
+driver-side row transfer, so timings measure the engine, not IPC.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from overturelink_data_pipeline_spark import registry
+from overturelink_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_num: float | str = float(sf)
+    except ValueError:
+        sf_num = sf
+
+    registry.load_all()
+    spark = get_spark(app_name="overturelink-bench")
+
+    # warm the JVM + parquet footer caches once so per-query timings
+    # reflect steady-state execution
+    registry.QUERIES["q1_pricing_summary"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry.QUERIES):
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

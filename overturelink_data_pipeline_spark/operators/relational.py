@@ -1,0 +1,556 @@
+"""Relational core operators (SURVEY.md §2.1-§2.7, §7.1 step 2).
+
+Each query is a declarative DataFrame plan over the driver test tables
+(TESTDATA.md); Catalyst gets full freedom to push filters into the
+parquet scan, prune columns, and pick join strategies. Oracle SQL
+strings are DuckDB-dialect equivalents used by the correctness gate.
+
+Scale notes (the 100 TB stance, per query family):
+
+- group-by aggregates do map-side partial aggregation automatically
+  (HashAggregate partial → shuffle on group keys → final);
+- fact-to-dim joins mark the dim side ``broadcast()`` explicitly —
+  region/nation/supplier/customer/part are all dimension-sized
+  relative to lineitem/orders at any SF;
+- every LIMIT sits above a deterministic ORDER BY (Spark's
+  TakeOrderedAndProject computes per-partition top-k then merges —
+  no global sort materialization);
+- no collect() anywhere in a plan.
+
+Reference parity citations are inline per query (file:line into
+/root/reference/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from overturelink_data_pipeline_spark.registry import spark_query
+from overturelink_data_pipeline_spark.session import read_table
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary.
+# Exercises scan (S1), filter pushdown (F1-analog), group-by partial agg
+# (A1/A5-analog at scale).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(SUM(l_quantity), 2)                                         AS sum_qty,
+      ROUND(SUM(l_extendedprice), 2)                                    AS sum_base_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                 AS sum_disc_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)   AS sum_charge,
+      ROUND(AVG(l_quantity), 4)                                         AS avg_qty,
+      ROUND(AVG(l_extendedprice), 4)                                    AS avg_price,
+      ROUND(AVG(l_discount), 4)                                         AS avg_disc,
+      CAST(COUNT(*) AS BIGINT)                                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-style shipping priority: dim-filter + two fact joins + topk.
+# customer is the small side → broadcast; order-then-limit compiles to
+# TakeOrderedAndProject (distributed top-k, no full sort).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l.l_orderkey                                                     AS l_orderkey,
+      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)            AS revenue,
+      STRFTIME(o.o_orderdate, '%Y-%m-%d')                              AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-style local-supplier volume: 6-way join, dims broadcast.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT
+      n.n_name                                                         AS n_name,
+      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)            AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4/F5: the reference's declared-filter dialect (`subtype IN (...)` etc.,
+# reference source.py:456-457, data/queries.yml:60-61) — our filter engine
+# IS `F.expr` over the same strict SQL subset (SURVEY.md §7.0).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "filter_in_dialect",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'O'
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+)
+def filter_in_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The YAML filter string is passed verbatim to F.expr — same shapes the
+    # reference appends as `AND d.{filter}` (source.py:456-457).
+    declared_filter = "o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'O'"
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.expr(declared_filter))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: DISTINCT + sort (reference type-discovery, source.py:1329-1334).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "distinct_sort",
+    oracle="""
+    SELECT DISTINCT event_type FROM events ORDER BY event_type
+    """,
+)
+def distinct_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/A5: bounds + rollup aggregates (reference total_bounds source.py:1454,
+# cache-stats source.py:1642-1672).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "agg_bounds",
+    oracle="""
+    SELECT
+      ROUND(MIN(l_extendedprice), 2)            AS min_price,
+      ROUND(MAX(l_extendedprice), 2)            AS max_price,
+      ROUND(SUM(l_quantity), 2)                 AS sum_qty,
+      CAST(COUNT(*) AS BIGINT)                  AS n_rows,
+      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+      CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part
+    FROM lineitem
+    """,
+)
+def agg_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "lineitem").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: group-count (reference geom_type.value_counts(), source.py:569).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "group_count_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)  AS n,
+           ROUND(AVG(value), 4)      AS avg_value,
+           ROUND(SUM(value), 2)      AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def group_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1/U2: vertical union with injected layer tag (reference
+# cli.py:2352-2359, export.py:266-297).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "union_layer_tag",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_name AS entity_name, 'machinery' AS layer
+    FROM customer WHERE c_mktsegment = 'MACHINERY'
+    UNION ALL
+    SELECT c_custkey AS entity_key, c_name AS entity_name, 'household' AS layer
+    FROM customer WHERE c_mktsegment = 'HOUSEHOLD'
+    ORDER BY layer, entity_key
+    """,
+)
+def union_layer_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+
+    def layer(segment: str, tag: str) -> DataFrame:
+        return cust.filter(F.col("c_mktsegment") == segment).select(
+            F.col("c_custkey").alias("entity_key"),
+            F.col("c_name").alias("entity_name"),
+            F.lit(tag).alias("layer"),
+        )
+
+    return (
+        layer("MACHINERY", "machinery")
+        .unionByName(layer("HOUSEHOLD", "household"))
+        .orderBy("layer", "entity_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4 + JSON: safe numeric cast of a JSON-extracted field (reference
+# transform.py:757-770 try-cast semantics; X5 JSON-tolerant parsing).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "json_try_cast",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    ORDER BY event_id
+    """,
+)
+def json_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
+    return (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", k.alias("k_value"))
+        .filter(F.col("k_value") >= 50)
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1: 255-char-style string clip via substring (reference AGOL_STRING_MAX,
+# transform.py:26,327-331 — demonstrated at clip width 12).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "substring_clip",
+    oracle="""
+    SELECT c_custkey, SUBSTRING(c_name, 1, 12) AS name_clip
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "customer")
+        .select("c_custkey", F.substring("c_name", 1, 12).alias("name_clip"))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4: first-of-array flattening (reference websites[0]→website,
+# transform.py:548-555) — exercised on the embeddings array column.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "element_at_first",
+    oracle="""
+    SELECT vec_id,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+           CAST(len(embedding) AS BIGINT)         AS dim
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def element_at_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_dim"),
+            F.size("embedding").cast("bigint").alias("dim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T8: regexp_extract (reference type discovery source.py:1330, filter
+# parsing source.py:1784).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "regexp_extract_discovery",
+    oracle="""
+    SELECT DISTINCT regexp_extract(source, 'src([0-9]+)', 1) AS src_num
+    FROM documents
+    ORDER BY src_num
+    """,
+)
+def regexp_extract_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select(F.regexp_extract("source", "src([0-9]+)", 1).alias("src_num"))
+        .distinct()
+        .orderBy("src_num")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-bucketed aggregation over the events table (the batch analog of the
+# streaming windowed agg, SURVEY.md §2.8; date_trunc keeps it
+# oracle-expressible).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2)     AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from overturelink_data_pipeline_spark.functions.timeparts import hour_bucket_str
+
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy(hour_bucket_str(F.col("ts")).alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window function: per-user top event by value (beyond the reference —
+# SURVEY.md §2.5 notes it has none; native to both engines).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "window_top_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, ROUND(value, 2) AS value
+    FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def window_top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        read_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.round("value", 2).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CASE-WHEN bucketing + rollup (the geometry-family CASE of F12,
+# source.py:966-1003, in relational form).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "case_when_bucket",
+    oracle="""
+    SELECT CASE
+             WHEN o_totalprice < 50000 THEN 'small'
+             WHEN o_totalprice < 200000 THEN 'medium'
+             ELSE 'large'
+           END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def case_when_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins (SURVEY.md §2.3 notes J1 is semantically a spatial
+# semi-join; here is the relational form both engines share).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "semi_join_customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    ORDER BY c_custkey
+    """,
+)
+def semi_join_customers_with_urgent_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    urgent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@spark_query(
+    "anti_join_parts_never_ordered",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+    )
+    ORDER BY p_partkey
+    """,
+)
+def anti_join_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )

@@ -1,0 +1,83 @@
+"""SparkSession factory (SURVEY.md §7.1 step 1).
+
+Single place that encodes the engine's execution-model choices:
+
+- AQE on (runtime coalesce + skew-join handling) — at 100 TB the
+  static shuffle-partition guess is always wrong somewhere;
+- shuffle partitions sized to the local test harness via
+  ``SPARK_GRAFT_CPUS`` (a real cluster deployment overrides with
+  ``spark.sql.shuffle.partitions`` ≈ 2-3× total cores);
+- Arrow enabled — every Python-side op in this engine is an Arrow
+  pandas UDF, never a row-at-a-time Python UDF;
+- zstd parquet everywhere, matching the reference's cache/dump
+  compression choice (reference source.py:294,910,1443);
+- UTC session timezone so timestamp semantics are stable vs the
+  DuckDB oracle;
+- nested-schema pruning + nested pushdown explicitly on: the Overture
+  data model filters/projects struct fields (``bbox.xmin``,
+  ``names.primary``) and those must reach the parquet row-group stats
+  (reference relies on the same pushdown, source.py:496-507).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "overturelink-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle_partitions = shuffle_partitions or os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as epoch-nanos long and convert explicitly
+        # (tz-free) in the plan — see functions/timeparts.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    """Path of one driver-generated test table (TESTDATA.md)."""
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Columnar parquet scan; Catalyst prunes columns + pushes filters.
+
+    ``events`` is stored with nanosecond timestamps; Spark's parquet
+    reader has no TIMESTAMP(NANOS) type, so we read it as epoch-nanos
+    LongType (set defensively here in case the calling session was not
+    built by :func:`get_spark`). Queries convert with the tz-free
+    helpers in ``functions.timeparts`` so results are independent of
+    ``spark.sql.session.timeZone``.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(table_path(sf_dir, name))
