@@ -61,6 +61,7 @@ def load_all() -> None:
     # cheap for non-query uses.
     from overturelink_data_pipeline_spark.operators import (  # noqa: F401
         dedup,
+        geospatial,
         relational,
         similarity,
         text,

@@ -1,0 +1,310 @@
+"""Schema normalization — flat, publish-ready layers (SURVEY.md §7.1 step 4).
+
+Re-expresses the reference's Transformer (reference transform.py:
+dispatch 341-384; roads 431-469, buildings 472-515, places 518-573)
+as pure Catalyst column expressions appended to the scan plan — no
+materialization boundary, no per-row Python. The reference's pandas
+``.apply`` flatteners (X1-X5) become struct/array accessors; its
+string/number hygiene (T1-T6) becomes substring/try_cast/rename; the
+geometry hygiene (F9-F11, G1/G2/G6) uses the geo UDF layer, always
+*after* the cheap column predicates.
+
+Output contracts (reference domain/contracts.py:15-101) are enforced
+by :func:`validate_contract` as pre-write assertions.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from overturelink_data_pipeline_spark.geo.functions import (
+    st_area,
+    st_geometry_type,
+    st_is_empty,
+    st_length,
+    st_make_valid,
+    st_unwrap_single_multipolygon,
+)
+
+#: T1 — AGOL string clip width (reference transform.py:26).
+STRING_MAX = 255
+
+#: F10 — degeneracy thresholds (reference transform.py:29-30).
+MIN_POLYGON_AREA = 1e-12
+MIN_LINE_LENGTH = 1e-10
+
+#: T6 — preferred column order (reference transform.py:98-108):
+#: id/name first, thematic fields, metadata, geometry last.
+PREFERRED_ORDER = [
+    "id",
+    "name",
+    "road_class",
+    "road_type",
+    "building_class",
+    "building_type",
+    "height_m",
+    "floors",
+    "feature_type",
+    "name_primary",
+    "name_common",
+    "category_primary",
+    "category_alternate",
+    "address_full",
+    "address_locality",
+    "address_country",
+    "website",
+    "email",
+    "phone",
+    "confidence",
+    "processed_date",
+    "country_iso3",
+    "country_name",
+    "data_sector",
+    "geometry_family",
+    "source_type",
+    "geometry",
+]
+
+_NAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("primary", T.StringType()),
+        T.StructField("common", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+_CATEGORIES_SCHEMA = T.StructType(
+    [
+        T.StructField("primary", T.StringType()),
+        T.StructField("alternate", T.ArrayType(T.StringType())),
+    ]
+)
+_ADDRESSES_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("freeform", T.StringType()),
+            T.StructField("locality", T.StringType()),
+            T.StructField("region", T.StringType()),
+            T.StructField("postcode", T.StringType()),
+            T.StructField("country", T.StringType()),
+        ]
+    )
+)
+
+_STRUCT_SCHEMAS = {
+    "names": _NAMES_SCHEMA,
+    "categories": _CATEGORIES_SCHEMA,
+    "addresses": _ADDRESSES_SCHEMA,
+}
+
+
+def _is_string_col(df: DataFrame, name: str) -> bool:
+    return isinstance(df.schema[name].dataType, T.StringType)
+
+
+def coerce_json_columns(df: DataFrame) -> DataFrame:
+    """X5 — JSON-string tolerant parsing: if names/categories/addresses
+    arrive as STRING (cache round-trip drift, reference
+    transform.py:649-651,683-685,706-708), parse with from_json."""
+    for name, schema in _STRUCT_SCHEMAS.items():
+        if name in df.columns and _is_string_col(df, name):
+            df = df.withColumn(name, F.from_json(F.col(name), schema))
+    return df
+
+
+def clip_str(col: Column, width: int = STRING_MAX) -> Column:
+    """T1 — safe string with clip (reference transform.py:327-331)."""
+    return F.substring(col.cast("string"), 1, width)
+
+
+def sanitize_field_name(name: str) -> str:
+    """T2 — ≤30 chars, spaces/dashes→underscore, lowercase
+    (reference transform.py:297-324)."""
+    s = re.sub(r"[\s\-]+", "_", name.strip())
+    s = re.sub(r"[^0-9a-zA-Z_]", "", s)
+    return s.lower()[:30]
+
+
+def ordered_select(df: DataFrame) -> DataFrame:
+    """T6 — PREFERRED_ORDER columns first (those present), extras after
+    in original order, geometry last."""
+    present = [c for c in PREFERRED_ORDER if c in df.columns and c != "geometry"]
+    extras = [c for c in df.columns if c not in PREFERRED_ORDER]
+    tail = ["geometry"] if "geometry" in df.columns else []
+    return df.select(*(present + extras + tail))
+
+
+def add_metadata(
+    df: DataFrame,
+    country_iso3: str,
+    country_name: str,
+    data_sector: str | None = None,
+    processed_date: str | None = None,
+) -> DataFrame:
+    """M1 — constant-per-run enrichment columns (reference
+    transform.py:151-177)."""
+    processed = processed_date or datetime.now(timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S"
+    )
+    out = (
+        df.withColumn("processed_date", F.lit(processed))
+        .withColumn("country_iso3", F.lit(country_iso3))
+        .withColumn("country_name", F.lit(country_name))
+    )
+    if data_sector is not None:
+        out = out.withColumn("data_sector", F.lit(data_sector))
+    return out
+
+
+def drop_bad_geometry(df: DataFrame, family: str) -> DataFrame:
+    """F9-F11 — null/empty drop, degenerate drop, family filter.
+
+    Cheap null check first (Catalyst), then one UDF pass for
+    type/empty/measure — the UDF conjuncts only see non-null rows.
+    """
+    df = df.filter(F.col("geometry").isNotNull())
+    gtype = st_geometry_type(F.col("geometry"))
+    if family == "lines":
+        df = df.filter(gtype.isin("LineString", "MultiLineString"))
+        df = df.filter(st_length(F.col("geometry")) > MIN_LINE_LENGTH)
+    elif family == "polygons":
+        df = df.filter(gtype.isin("Polygon", "MultiPolygon"))
+        df = df.filter(st_area(F.col("geometry")) > MIN_POLYGON_AREA)
+    elif family == "points":
+        df = df.filter(gtype.isin("Point", "MultiPoint"))
+    df = df.filter(~st_is_empty(F.col("geometry")))
+    return df
+
+
+# -- per-layer normalizers ---------------------------------------------------
+
+def _name_cols(df: DataFrame) -> list[Column]:
+    """X1 — names{primary, common} → name_primary, name_common (first
+    language variant, reference transform.py:642-672)."""
+    if "names" not in df.columns:
+        return []
+    return [
+        clip_str(F.col("names.primary")).alias("name_primary"),
+        clip_str(F.try_element_at(F.map_values(F.col("names.common")), F.lit(1))).alias(
+            "name_common"
+        ),
+    ]
+
+
+def normalize_roads(df: DataFrame) -> DataFrame:
+    """Roads layer (reference transform.py:431-469): class→road_class,
+    subtype→road_type, lines only, strings clipped, ordered."""
+    df = coerce_json_columns(df)
+    # P1 may already have projected `names.primary as name` at the scan
+    # (reference source.py:31-39); accept either shape.
+    if "name" in df.columns:
+        name_col = clip_str(F.col("name")).alias("name")
+    elif "names" in df.columns:
+        name_col = clip_str(F.col("names.primary")).alias("name")
+    else:
+        name_col = F.lit(None).cast("string").alias("name")
+    out = df.select(
+        F.col("id"),
+        name_col,
+        clip_str(F.col("class")).alias("road_class"),
+        clip_str(F.col("subtype")).alias("road_type"),
+        F.col("geometry"),
+    )
+    out = drop_bad_geometry(out, "lines")
+    return ordered_select(out)
+
+
+def normalize_buildings(df: DataFrame) -> DataFrame:
+    """Buildings layer (reference transform.py:472-515): make-valid →
+    unwrap single-part multipolygons → polygons only, height/floors
+    via try_cast (T4, reference transform.py:757-770)."""
+    df = coerce_json_columns(df)
+    name_col = (
+        clip_str(F.col("names.primary")).alias("name")
+        if "names" in df.columns
+        else F.lit(None).cast("string").alias("name")
+    )
+    height = (
+        F.col("height").cast("string").try_cast("double")
+        if "height" in df.columns
+        else F.lit(None).cast("double")
+    )
+    floors_src = "num_floors" if "num_floors" in df.columns else "floor_count"
+    floors = (
+        F.col(floors_src).cast("string").try_cast("double").try_cast("int")
+        if floors_src in df.columns
+        else F.lit(None).cast("int")
+    )
+    out = df.select(
+        F.col("id"),
+        name_col,
+        clip_str(F.col("class")).alias("building_class"),
+        clip_str(F.col("subtype")).alias("building_type"),
+        height.alias("height_m"),
+        floors.alias("floors"),
+        F.col("geometry"),
+    )
+    out = out.filter(F.col("geometry").isNotNull())
+    out = out.withColumn(
+        "geometry",
+        st_unwrap_single_multipolygon(st_make_valid(F.col("geometry"))),
+    )
+    out = drop_bad_geometry(out, "polygons")
+    return ordered_select(out)
+
+
+def normalize_places(df: DataFrame, feature_type: str = "place") -> DataFrame:
+    """Places layer (reference transform.py:518-573): flattened names/
+    categories/addresses/contact arrays, points only."""
+    df = coerce_json_columns(df)
+    cols = [F.col("id")]
+    if "names" in df.columns:
+        cols.append(clip_str(F.col("names.primary")).alias("name"))
+    cols.append(F.lit(feature_type).alias("feature_type"))
+    cols.extend(_name_cols(df))
+    if "categories" in df.columns:
+        # X2 — categories{primary, alternate[]} (reference transform.py:675-696)
+        cols.append(clip_str(F.col("categories.primary")).alias("category_primary"))
+        cols.append(
+            clip_str(F.try_element_at(F.col("categories.alternate"), F.lit(1))).alias(
+                "category_alternate"
+            )
+        )
+    if "addresses" in df.columns:
+        # X3 — addresses[0]{freeform, locality, country} (transform.py:699-722)
+        first = F.try_element_at(F.col("addresses"), F.lit(1))
+        cols.append(clip_str(first["freeform"]).alias("address_full"))
+        cols.append(clip_str(first["locality"]).alias("address_locality"))
+        cols.append(clip_str(first["country"]).alias("address_country"))
+    # X4 — first-of-array contacts (transform.py:548-555,725-742)
+    for src, dst in (("websites", "website"), ("emails", "email"), ("phones", "phone")):
+        if src in df.columns:
+            cols.append(clip_str(F.try_element_at(F.col(src), F.lit(1))).alias(dst))
+    if "confidence" in df.columns:
+        cols.append(F.col("confidence").cast("double").alias("confidence"))
+    cols.append(F.col("geometry"))
+    out = df.select(*cols)
+    out = drop_bad_geometry(out, "points")
+    return ordered_select(out)
+
+
+NORMALIZERS = {
+    "roads": normalize_roads,
+    "buildings": normalize_buildings,
+    "places": normalize_places,
+}
+
+
+def validate_contract(df: DataFrame) -> None:
+    """Publish contract (reference domain/contracts.py:15-101): id +
+    geometry present; metadata columns present. Plan-time check — no
+    job is run."""
+    missing = {"id", "geometry"} - set(df.columns)
+    if missing:
+        raise ValueError(f"publish contract violation: missing {sorted(missing)}")
+    meta = {"processed_date", "country_iso3", "country_name"} - set(df.columns)
+    if meta:
+        raise ValueError(f"publish contract violation: missing metadata {sorted(meta)}")
