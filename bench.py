@@ -30,11 +30,24 @@ def main() -> None:
     registry.load_all()
     spark = get_spark(app_name="overturelink-bench")
 
-    # warm the JVM + parquet footer caches once so per-query timings
-    # reflect steady-state execution
+    # warm the JVM + parquet footer caches AND the Arrow Python workers
+    # once, so per-query timings reflect steady-state execution (the
+    # first pandas-UDF job otherwise pays ~6 s of worker spin-up)
     registry.QUERIES["q1_pricing_summary"](spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no type hints: module has `from __future__ import annotations`, and
+    # pyspark can't resolve stringified hints for locally-imported names
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def _identity(s):
+        return s
+
+    spark.range(1000).select(_identity(F.col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):

@@ -1,0 +1,166 @@
+"""Multimodal columns (BASELINE.json north star): image/audio/video as
+opaque ``binary`` payloads + typed metadata structs.
+
+The container has no image/audio libraries, so the *decode kernel* is
+a deterministic fake clearly marked as a stub (`_fake_decode`) while
+everything Spark-side is real and tested: schema, Arrow batch shape,
+``mapInPandas`` plumbing, partition behavior, feature-vector column
+production. Swapping `_fake_decode` for PIL/librosa is a one-function
+change; the distributed plan is unchanged.
+
+Scale notes: payload bytes stay columnar (parquet BINARY) end-to-end;
+decode runs ``mapInPandas`` so one task streams Arrow batches without
+materializing the whole partition; feature vectors come back as
+``array<float>`` ready for the similarity operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from overturelink_data_pipeline_spark.registry import spark_query
+from overturelink_data_pipeline_spark.session import read_table
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("content_type", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, list[float]]:
+    """STUB — stands in for PIL/ffmpeg/librosa decode (not available in
+    this container). Deterministic function of the payload bytes so
+    results are stable for the rows-only check. A real deployment
+    replaces ONLY this function."""
+    digest = hashlib.md5(payload).digest()
+    width = 64 + digest[0]
+    height = 64 + digest[1]
+    n_frames = 1 if kind == "image" else 1 + digest[2] % 32
+    feature = [
+        round((digest[i] - 128) / 128.0, 6) for i in range(3, 3 + FEATURE_DIM)
+    ]
+    return width, height, n_frames, feature
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """mapInPandas decode: streams Arrow batches through the (stub)
+    kernel; schema contract = DECODED_SCHEMA."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "width": [],
+                "height": [],
+                "n_frames": [],
+                "feature": [],
+            }
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                w, h, nf, feat = _fake_decode(bytes(payload), kind)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from `documents`: each doc's
+    text bytes become the opaque payload (what matters is the plumbing,
+    not the codec)."""
+    docs = read_table(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("content_type"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+@spark_query("mm_decode_features")
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline slice: binary payloads → mapInPandas decode
+    stub → typed metadata + feature vector (first dim surfaced for
+    hashability). Rows-only (the kernel is a stub by declaration)."""
+    media = media_fixture(spark, sf_dir)
+    decoded = decode_media(media)
+    return decoded.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_frames",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+    ).orderBy("media_id")
+
+
+@spark_query(
+    "mm_metadata_rollup",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    ORDER BY kind
+    """,
+)
+def mm_metadata_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata aggregation over the media table (payload sizes by
+    kind) — the catalog-stats query a media lake runs constantly."""
+    media = media_fixture(spark, sf_dir)
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("meta.n_bytes")).cast("bigint").alias("total_bytes"),
+            F.max(F.col("meta.n_bytes")).cast("bigint").alias("max_bytes"),
+        )
+        .orderBy("kind")
+    )

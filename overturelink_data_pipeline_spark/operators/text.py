@@ -1,1 +1,218 @@
-"""Placeholder — implemented later this round."""
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north star: language-ID, quality scoring, token counting, document
+fingerprinting — each over the ``documents`` table).
+
+All four scoring ops are pure Catalyst expressions (no UDFs): at
+100 TB these run inside whole-stage codegen on the scan, embarrassingly
+parallel, no shuffle at all until the final rollup. The winnowing
+fingerprint (which genuinely needs a sliding window over k-gram
+hashes) is the one Arrow pandas UDF, in ``functions/fingerprint.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from overturelink_data_pipeline_spark.registry import spark_query
+from overturelink_data_pipeline_spark.session import read_table
+
+#: Marker words per language for the n-gram/stopword-overlap heuristic.
+#: (The synthetic corpus draws from one shared vocabulary, so the
+#: predictions are a deterministic function of the text, not a real
+#: classifier — the operator shape is what matters at scale.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "fast", "slow"],
+    "es": ["el", "la", "de", "que", "value", "key"],
+    "de": ["der", "die", "und", "von", "table", "row"],
+    "fr": ["le", "la", "et", "de", "scan", "merge"],
+    "zh": ["stream", "batch", "window", "spark", "agg", "group"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(col), "\\s+")
+
+
+def _overlap(tok: Column, words: list[str]) -> Column:
+    return F.size(
+        F.array_intersect(F.array_distinct(tok), F.array(*[F.lit(w) for w in words]))
+    )
+
+
+@spark_query(
+    "text_token_count",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                                   AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)    AS approx_bpe_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + chars/4 BPE-ish estimate."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.size(tokens(F.col("text"))).alias("ws"),
+            F.ceil(F.length("text") / 4.0).cast("bigint").alias("bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").cast("bigint").alias("ws_tokens"),
+            F.sum("bpe").cast("bigint").alias("approx_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@spark_query(
+    "text_quality_score",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             length(text) AS n_chars_actual,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text)
+             END AS punct_ratio,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             w -> list_contains(['the','a','and','of','to','in'], w))) * 1.0
+               / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS stop_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(punct_ratio, 6)    AS punct_ratio,
+           ROUND(stop_ratio, 6)     AS stop_ratio,
+           CASE WHEN n_tokens >= 20 AND stop_ratio >= 0.05 THEN 'good'
+                WHEN n_tokens >= 10 THEN 'fair'
+                ELSE 'poor' END     AS quality
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, punctuation ratio, stopword ratio →
+    quality bucket. Pure codegen expressions over the scan."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    low_tok = tokens(F.lower(F.col("text")))
+    n_tokens = F.size(tok)
+    punct_ratio = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace("text", "[^.,;:!?]", "")) / F.length("text")
+    )
+    stop_ratio = F.size(
+        F.filter(low_tok, lambda w: w.isin(*STOPWORDS))
+    ) / F.greatest(n_tokens, F.lit(1))
+    quality = (
+        F.when((n_tokens >= 20) & (stop_ratio >= 0.05), "good")
+        .when(n_tokens >= 10, "fair")
+        .otherwise("poor")
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        quality.alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _lang_oracle_scores() -> str:
+    parts = []
+    for lang, words in LANG_MARKERS.items():
+        arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        parts.append(
+            f"len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\\s+')), {arr})) AS s_{lang}"
+        )
+    return ",\n             ".join(parts)
+
+
+@spark_query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_lang_oracle_scores()}
+      FROM documents
+    )
+    SELECT doc_id, lang AS label_lang,
+           CASE greatest(s_en, s_es, s_de, s_fr, s_zh)
+                WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_de THEN 'de'
+                WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted_lang,
+           CAST(greatest(s_en, s_es, s_de, s_fr, s_zh) AS BIGINT) AS score
+    FROM scores
+    ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word overlap per language, argmax
+    with a fixed tie-break order (en,es,de,fr,zh)."""
+    docs = read_table(spark, sf_dir, "documents")
+    low_tok = tokens(F.lower(F.col("text")))
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        *[
+            _overlap(low_tok, words).alias(f"s_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS])
+    pred = F.when(F.col("s_en") == best, "en")
+    for lang in ["es", "de", "fr"]:
+        pred = pred.when(F.col(f"s_{lang}") == best, lang)
+    pred = pred.otherwise("zh")
+    return scored.select(
+        "doc_id",
+        "label_lang",
+        pred.alias("predicted_lang"),
+        best.cast("bigint").alias("score"),
+    ).orderBy("doc_id")
+
+
+@spark_query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 2) AS shard
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (lowercase + whitespace collapse →
+    md5) + a 256-way shard key, the exact-dedup / routing primitive."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
+    fp = F.md5(norm)
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 2).alias("shard")
+    ).orderBy("doc_id")
+
+
+@spark_query("text_winnowing_fingerprint")
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprint (rolling k-gram hash + window
+    minimum, Schleimer/Wilkerson/Aiken MOSS scheme) — rows-only (the
+    sliding window is not reasonably SQL-expressible); semantics pinned
+    by tests/test_text.py against a pure-Python reference."""
+    from overturelink_data_pipeline_spark.functions.fingerprint import (
+        winnow_fingerprints,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(",", winnow_fingerprints(F.col("text"))).alias("fingerprints"),
+    ).orderBy("doc_id")

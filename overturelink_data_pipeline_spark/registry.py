@@ -62,6 +62,7 @@ def load_all() -> None:
     from overturelink_data_pipeline_spark.operators import (  # noqa: F401
         dedup,
         geospatial,
+        multimodal,
         relational,
         similarity,
         text,
