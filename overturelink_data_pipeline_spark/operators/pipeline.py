@@ -1,0 +1,211 @@
+"""End-to-end pipeline queries (SURVEY.md §5 item 3): compile a
+declarative query config → source fallback → normalize → sink, as
+registered rows-only checks over the seeded geo fixtures.
+
+These are the integration surface: every stage they touch (plan
+compiler, cache layer, GeoJSON sink, publish protocol) also has its
+own unit tests; the registry entries prove the stages compose into
+the reference's three CLI lifecycles (SURVEY.md §3.1-§3.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from overturelink_data_pipeline_spark.geo import fixtures as FX
+from overturelink_data_pipeline_spark.plans.config import builtin_queries
+from overturelink_data_pipeline_spark.plans.models import (
+    ClipStrategy,
+    Country,
+    RunOptions,
+)
+from overturelink_data_pipeline_spark.registry import spark_query
+from overturelink_data_pipeline_spark.sinks.geojson import write_geojsonseq
+from overturelink_data_pipeline_spark.sinks.publish import (
+    MockFeatureService,
+    publish_multi_layer,
+)
+from overturelink_data_pipeline_spark.sources.fallback import OvertureReader
+from overturelink_data_pipeline_spark.transform import (
+    add_metadata,
+    normalize_places,
+)
+
+_PROCESSED = "2026-01-01T00:00:00"
+_RELEASE = "2026-05-15.0"
+
+_fixture_dirs: dict[str, str] = {}
+
+
+def fixture_base_dir(spark: SparkSession) -> str:
+    """Write the Overture-shaped fixtures once per JVM in the hive
+    theme=/type= layout; reuse across queries (they are read-only)."""
+    key = spark.sparkContext.applicationId
+    if key not in _fixture_dirs:
+        base = tempfile.mkdtemp(prefix="overture_fixtures_")
+        FX.write_fixtures(spark, base)
+        _fixture_dirs[key] = base
+    return _fixture_dirs[key]
+
+
+def _fixture_country(i: int = 0) -> Country:
+    c = FX.COUNTRIES[i]
+    return Country(
+        name=c["name"],
+        iso2=c["iso2"],
+        iso3=c["iso3"],
+        region=c["region"],
+        bbox=tuple(c["bbox"]),
+    )
+
+
+def _reader(spark: SparkSession, **kwargs) -> OvertureReader:
+    return OvertureReader(
+        spark,
+        base_dir=fixture_base_dir(spark),
+        release=_RELEASE,
+        backoff_base_s=0.0,
+        **kwargs,
+    )
+
+
+@spark_query("pipeline_education_multilayer")
+def pipeline_education_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 lifecycle: education multilayer query (places filter +
+    buildings building_filter, J2) through the fallback reader with a
+    precise divisions clip, normalized, layer-tagged union (U1/U2)."""
+    q = builtin_queries()["education"]
+    layers = _reader(spark).read(q, _fixture_country(0))
+    places = normalize_places(layers["places"])
+    places = add_metadata(places, "AAA", "Aland", "education", processed_date=_PROCESSED)
+    out = places.select(
+        "id",
+        "name",
+        "category_primary",
+        F.lit("places").alias("layer"),
+    )
+    bld = layers["buildings"].select(
+        "id", F.col("name"), F.lit(None).cast("string").alias("category_primary"),
+        F.lit("buildings").alias("layer"),
+    )
+    return out.unionByName(bld).orderBy("layer", "id")
+
+
+@spark_query("pipeline_cache_roundtrip")
+def pipeline_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 lifecycle: --download-only cache population then a filtered
+    + limited read back through the cache tier. Proves the
+    complete-data-then-refilter semantics (SURVEY.md §7.3): the cache
+    row count exceeds the filtered count, which exceeds the limited
+    count."""
+    from overturelink_data_pipeline_spark.plans.models import Query
+
+    # single-layer variant of education (cache tier stores one
+    # theme×type table; multilayer queries recompose from it)
+    q = Query(
+        name="education_places",
+        theme="places",
+        type="place",
+        filter="categories.primary = 'education'",
+    )
+    country = _fixture_country(0)
+    with tempfile.TemporaryDirectory(prefix="country_cache_") as cache_root:
+        reader = _reader(spark, cache_root=cache_root)
+        meta = reader.cache_country(q, country)
+        filtered = reader.read(q, country)[q.name]
+        n_filtered = filtered.count()
+        limited = reader.read(q, country, RunOptions(limit=5))[q.name]
+        n_limited = limited.count()
+    rows = [
+        ("cached_complete", meta.feature_count),
+        ("filtered", n_filtered),
+        ("limited", n_limited),
+        ("complete_gt_filtered", int(meta.feature_count > n_filtered)),
+        ("limited_is_5", int(n_limited == 5)),
+    ]
+    return spark.createDataFrame(rows, "stage string, n long").orderBy("stage")
+
+
+@spark_query("pipeline_roads_geojsonseq")
+def pipeline_roads_geojsonseq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 lifecycle (§7.2 minimum slice): roads for one country, bbox
+    clip, normalized, exported as distributed GeoJSONSeq; the exported
+    lines are read back and parsed — proving the sink emits valid
+    GeoJSON features with the layer's flat properties."""
+    from overturelink_data_pipeline_spark.transform import normalize_roads
+
+    q = builtin_queries()["roads"]
+    layers = _reader(spark).read(
+        q, _fixture_country(1), RunOptions(clip=ClipStrategy.BBOX)
+    )
+    roads = normalize_roads(layers[q.name])
+    roads = add_metadata(roads, "BBB", "Borland", "transport", processed_date=_PROCESSED)
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="geojsonseq_"), "roads")
+    write_geojsonseq(roads, out_dir)
+    feature_schema = T.StructType(
+        [
+            T.StructField("type", T.StringType()),
+            T.StructField(
+                "geometry",
+                T.StructType([T.StructField("type", T.StringType())]),
+            ),
+            T.StructField(
+                "properties",
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("road_class", T.StringType()),
+                        T.StructField("country_iso3", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    lines = spark.read.text(out_dir)
+    parsed = lines.select(F.from_json("value", feature_schema).alias("f"))
+    return parsed.select(
+        F.col("f.properties.id").alias("id"),
+        F.col("f.type").alias("feature_type"),
+        F.col("f.geometry.type").alias("geom_type"),
+        F.col("f.properties.road_class").alias("road_class"),
+        F.col("f.properties.country_iso3").alias("country_iso3"),
+    ).orderBy("id")
+
+
+@spark_query("pipeline_power_split_publish")
+def pipeline_power_split_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 sink leg: power geometry_split (F12 fan-out) published
+    per-layer through the Sink protocol with seed-then-batch + adaptive
+    halving against a payload-limited mock service (S12 semantics)."""
+    q = builtin_queries()["power"]
+    layers = _reader(spark).read(
+        q, _fixture_country(0), RunOptions(clip=ClipStrategy.BBOX)
+    )
+    services: dict[str, MockFeatureService] = {}
+
+    def factory(name: str) -> MockFeatureService:
+        services[name] = MockFeatureService(max_payload=16)
+        return services[name]
+
+    # metadata contract needs id+geometry+metadata cols; power split
+    # layers carry the projected schema — add metadata, keep geometry
+    enriched = {
+        name: add_metadata(df, "AAA", "Aland", "power", processed_date=_PROCESSED)
+        for name, df in layers.items()
+    }
+    counts = publish_multi_layer(
+        enriched, factory, mode="initial", seed_count=8, batch_size=32, batch_floor=2
+    )
+    rows = [
+        (name, counts[name], services[name].count(), int(services[name].created))
+        for name in sorted(counts)
+    ]
+    return spark.createDataFrame(
+        rows, "layer string, uploaded long, service_rows long, created int"
+    ).orderBy("layer")

@@ -1,0 +1,100 @@
+"""Streaming queries over the events table (registry surface for
+streaming/events.py).
+
+``stream_hourly_rollup`` is oracle-paired: the watermarked streaming
+aggregate, drained to completion with Trigger.AvailableNow over the
+static events file, must equal the batch GROUP BY the DuckDB oracle
+runs — the incremental-equals-batch property that makes a streaming
+engine trustworthy. Sessionization registers both shapes: the batch
+window-function version (oracle-paired) and the stateful streaming
+version (rows-only; its closed-session output is pinned as a subset
+of the batch result in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from overturelink_data_pipeline_spark.registry import spark_query
+from overturelink_data_pipeline_spark.session import read_table
+from overturelink_data_pipeline_spark.streaming.events import (
+    read_event_stream,
+    run_to_completion,
+    sessionize_batch,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+
+@spark_query(
+    "stream_hourly_rollup",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_start_s,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY bucket_start_s, event_type
+    """,
+)
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermarked hourly rollup ≡ batch GROUP BY: the
+    streaming plan drains the static file via AvailableNow and the
+    result hash-matches DuckDB's batch aggregate."""
+    read_table(spark, sf_dir, "events")  # sets nanosAsLong defensively
+    stream = read_event_stream(spark, sf_dir)
+    result = run_to_completion(windowed_event_counts(stream, minutes=60), spark)
+    return result.orderBy("bucket_start_s", "event_type")
+
+
+@spark_query(
+    "sessions_30min_gap",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             value,
+             CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT))
+    ),
+    sessions AS (
+      SELECT user_id, sec, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(MIN(sec) AS BIGINT) AS session_start_s,
+           CAST(MAX(sec) AS BIGINT) AS session_end_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start_s
+    """,
+)
+def sessions_30min_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (lag + cumulative-sum session ids, 30-min
+    inactivity gap) — one shuffle on user_id, window functions stay in
+    codegen."""
+    events = read_table(spark, sf_dir, "events")
+    return sessionize_batch(events).orderBy("user_id", "session_start_s")
+
+
+@spark_query("stream_user_sessions")
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState):
+    emits CLOSED sessions only — per-user state is the open session.
+    Rows-only; subset-of-batch is pinned in tests/test_streaming.py."""
+    read_table(spark, sf_dir, "events")
+    stream = read_event_stream(spark, sf_dir)
+    result = run_to_completion(
+        sessionize_stream(stream), spark, output_mode="append"
+    )
+    return result.orderBy("user_id", "session_start_s")

@@ -1,0 +1,137 @@
+"""Overture source conventions: hive path layout, per-type projection
+lists, expected-column resolution, theme→type discovery.
+
+Reference: URL builder source.py:383-395; OVERTURE_COLUMNS
+source.py:30-71; expected columns source.py:397-410; theme map +
+dynamic type discovery source.py:1309-1342.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: P1 — projected columns per Overture type, with nested-field aliases
+#: (reference OVERTURE_COLUMNS, source.py:30-71). Unknown type falls
+#: back to ``[id, geometry]`` (source.py:439).
+PROJECTIONS: dict[str, list[str]] = {
+    "segment": [
+        "id",
+        "names.primary as name",
+        "class",
+        "subtype",
+        "version",
+        "geometry",
+    ],
+    "building": [
+        "id",
+        "names.primary as name",
+        "height",
+        "num_floors",
+        "class",
+        "subtype",
+        "version",
+        "geometry",
+    ],
+    "place": [
+        "id",
+        "names.primary as name",
+        "categories",
+        "categories.primary as category",
+        "confidence",
+        "version",
+        "geometry",
+    ],
+    "infrastructure": [
+        "id",
+        "names.primary as name",
+        "subtype",
+        "class",
+        "height",
+        "version",
+        "geometry",
+    ],
+}
+
+#: S15 — known theme → types map (reference source.py:1311-1319).
+THEME_TYPES: dict[str, list[str]] = {
+    "transportation": ["segment"],
+    "buildings": ["building"],
+    "places": ["place"],
+    "base": ["infrastructure"],
+    "divisions": ["division", "division_area", "division_boundary"],
+}
+
+#: Sector naming for the cache layout (S6, reference source.py:1546-1567).
+SECTOR_NAMES: dict[tuple[str, str], str] = {
+    ("transportation", "segment"): "roads",
+    ("buildings", "building"): "buildings",
+    ("places", "place"): "places",
+    ("base", "infrastructure"): "infrastructure",
+}
+
+
+def theme_path(base_dir: str, theme: str, type_: str) -> str:
+    """Hive-partitioned source path — partition pruning by construction
+    (reference source.py:383-395 embeds theme/type in the URL)."""
+    return f"{base_dir}/theme={theme}/type={type_}"
+
+
+def projection_output_name(spec: str) -> str:
+    """Output name of one PROJECTIONS entry — pure string parsing (the
+    two shapes the reference emits: ``a.b as y`` and plain ``a`` /
+    ``a.b``; expected-column parser, source.py:397-410). JVM-free so
+    plan-time metadata needs no SparkSession."""
+    low = spec.lower()
+    if " as " in low:
+        return spec[low.index(" as ") + 4 :].strip()
+    name = spec.strip()
+    return name.split(".")[-1] if "." in name else name
+
+
+def parse_projection(spec: str) -> tuple[Column, str]:
+    """One PROJECTIONS entry → (column, output name)."""
+    alias = projection_output_name(spec)
+    low = spec.lower()
+    expr = spec[: low.index(" as ")].strip() if " as " in low else spec.strip()
+    return F.col(expr).alias(alias), alias
+
+
+def expected_columns(type_: str) -> set[str]:
+    """P2 — output-name set for a type; always includes geometry."""
+    specs = PROJECTIONS.get(type_, ["id", "geometry"])
+    names = {projection_output_name(s) for s in specs}
+    names.add("geometry")
+    return names
+
+
+def project(df: DataFrame, type_: str) -> DataFrame:
+    """Apply the per-type projection, tolerating absent columns the way
+    the reference's transform layer does (schema-on-read with graceful
+    degradation, reference transform.py:449-458): a spec whose source
+    column is missing is skipped."""
+    cols = []
+    for spec in PROJECTIONS.get(type_, ["id", "geometry"]):
+        root = spec.split(" as ")[0].strip().split(".")[0]
+        if root in df.columns:
+            cols.append(parse_projection(spec)[0])
+    return df.select(*cols)
+
+
+def discover_types(spark: SparkSession, base_dir: str, theme: str) -> list[str]:
+    """S15 dynamic fallback — distinct ``type=`` partition values under
+    a theme, sorted (reference source.py:1329-1334 regex-extracts from a
+    file glob). A pure prefix LISTING via the Hadoop FileSystem API — no
+    parquet footer is opened, which is what makes this O(partitions)
+    instead of O(data) on an S3 bucket."""
+    if theme in THEME_TYPES:
+        return THEME_TYPES[theme]
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(theme_path(base_dir, theme, "*").rsplit("/", 1)[0])
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    names = [
+        st.getPath().getName()
+        for st in fs.listStatus(path)
+        if st.isDirectory()
+    ]
+    return sorted(n.split("=", 1)[1] for n in names if n.startswith("type="))

@@ -63,7 +63,9 @@ def load_all() -> None:
         dedup,
         geospatial,
         multimodal,
+        pipeline,
         relational,
         similarity,
+        streaming_ops,
         text,
     )

@@ -1,0 +1,181 @@
+"""Publish sink abstraction (reference publish.py:505-919, re-shaped
+per SURVEY.md S12: the AGOL REST surface is out of scope for a compute
+engine, so publishing is a pluggable ``FeatureService`` protocol with
+``initial`` / ``overwrite`` / ``append`` semantics and the reference's
+operational behaviors preserved:
+
+- **seed-then-batch** (initial publish): a small seed slice defines
+  the service schema, the remainder appends in batches (reference
+  publish.py:646-671, seed 2 000);
+- **truncate + append** (overwrite, reference publish.py:694-711);
+- **adaptive batch halving** on payload-too-large/timeout errors,
+  with a floor (reference publish.py:603-641: halve on HTTP
+  413/502/504, floor 50 000);
+- **contract validation** before any upload (publish.py:751).
+
+Scale stance: an upload sink is inherently a network funnel — rows
+stream through the driver via ``toLocalIterator`` with one partition
+in flight, never a full collect. The batch loop is sequential because
+real feature services serialize appends per layer (the reference polls
+async append jobs one at a time, publish.py:478-503).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Protocol
+
+from pyspark.sql import DataFrame
+
+from overturelink_data_pipeline_spark.transform import validate_contract
+
+#: Reference env-tunable thresholds (publish.py:33-38), scaled-down
+#: defaults injectable for tests.
+SEED_COUNT = 2_000
+BATCH_SIZE = 500_000
+BATCH_FLOOR = 50_000
+
+
+class PayloadTooLarge(Exception):
+    """Maps HTTP 413/504-style append failures (publish.py:603-641)."""
+
+
+class FeatureService(Protocol):
+    """Minimal surface the publisher drives."""
+
+    def create(self, name: str, schema_rows: list[dict]) -> None: ...
+
+    def append(self, rows: list[dict]) -> None: ...
+
+    def truncate(self) -> None: ...
+
+    def count(self) -> int: ...
+
+
+@dataclass
+class MockFeatureService:
+    """In-memory service for tests: rejects appends above
+    ``max_payload`` rows, like a real endpoint's 413."""
+
+    max_payload: int | None = None
+    rows: list[dict] = field(default_factory=list)
+    created: bool = False
+    calls: list[tuple[str, int]] = field(default_factory=list)
+
+    def create(self, name: str, schema_rows: list[dict]) -> None:
+        self.created = True
+        self.calls.append(("create", len(schema_rows)))
+        self.rows.extend(schema_rows)
+
+    def append(self, rows: list[dict]) -> None:
+        if self.max_payload is not None and len(rows) > self.max_payload:
+            raise PayloadTooLarge(f"{len(rows)} rows > {self.max_payload}")
+        self.calls.append(("append", len(rows)))
+        self.rows.extend(rows)
+
+    def truncate(self) -> None:
+        self.calls.append(("truncate", len(self.rows)))
+        self.rows.clear()
+
+    def count(self) -> int:
+        return len(self.rows)
+
+
+def _stream_batches(df: DataFrame, batch_size: int):
+    """Yield row-dict batches with bounded driver memory."""
+    buf: list[dict] = []
+    for row in df.toLocalIterator():
+        buf.append(row.asDict(recursive=True))
+        if len(buf) >= batch_size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def _append_adaptive(
+    service: FeatureService, batch: list[dict], floor: int
+) -> int:
+    """Append with halving-on-413 (reference publish.py:603-641).
+    Returns the batch size that finally succeeded."""
+    size = len(batch)
+    start = 0
+    while start < len(batch):
+        chunk = batch[start : start + size]
+        try:
+            service.append(chunk)
+            start += len(chunk)
+        except PayloadTooLarge:
+            if size <= floor:
+                raise
+            size = max(size // 2, floor)
+    return size
+
+
+def publish(
+    df: DataFrame,
+    service: FeatureService,
+    *,
+    mode: str = "initial",
+    name: str = "layer",
+    seed_count: int = SEED_COUNT,
+    batch_size: int = BATCH_SIZE,
+    batch_floor: int = BATCH_FLOOR,
+    validate: bool = True,
+) -> int:
+    """Publish ``df`` to ``service``; returns rows uploaded.
+
+    Modes (reference publish.py:891-905):
+    - ``initial``: seed slice creates the service, remainder appends;
+    - ``overwrite``: truncate then append;
+    - ``append``: append only.
+    """
+    if validate:
+        validate_contract(df)
+    total = 0
+
+    if mode == "initial":
+        # seed slice + remainder without re-reading: stream once and
+        # split on the fly (reference slices iloc[:seed]/[seed:],
+        # publish.py:657-659 — same split, no second scan)
+        seeded = False
+        for batch in _stream_batches(df, batch_size):
+            if not seeded:
+                seed, rest = batch[:seed_count], batch[seed_count:]
+                service.create(name, seed)
+                total += len(seed)
+                seeded = True
+                if rest:
+                    _append_adaptive(service, rest, batch_floor)
+                    total += len(rest)
+            else:
+                _append_adaptive(service, batch, batch_floor)
+                total += len(batch)
+        if not seeded:  # empty frame still creates the service
+            service.create(name, [])
+        return total
+
+    if mode == "overwrite":
+        service.truncate()
+    elif mode != "append":
+        raise ValueError(f"unknown publish mode {mode!r}")
+
+    for batch in _stream_batches(df, batch_size):
+        _append_adaptive(service, batch, batch_floor)
+        total += len(batch)
+    return total
+
+
+def publish_multi_layer(
+    layers: dict[str, DataFrame],
+    service_factory,
+    *,
+    mode: str = "initial",
+    **kwargs,
+) -> dict[str, int]:
+    """Per-sublayer publish_or_update (reference publish.py:891-905)."""
+    out = {}
+    for name, df in layers.items():
+        service = service_factory(name)
+        out[name] = publish(df, service, mode=mode, name=name, **kwargs)
+    return out

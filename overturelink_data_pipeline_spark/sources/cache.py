@@ -1,0 +1,192 @@
+"""Country-cache layer (reference source.py:155-248, 907-928,
+1348-1483, 1546-1695).
+
+Layout (S6): ``{root}/{release}/{ISO2}/{ISO2}_{sector}.parquet`` with
+a JSON sidecar ``*.meta.json`` holding {country, theme, type, release,
+feature_count, bbox, cached_at}.
+
+Semantics to preserve exactly (SURVEY.md §7.3 "cache-completeness"):
+the cache stores COMPLETE clipped country data — no attribute filter,
+no limit (reference source.py:1426-1434); both are re-applied on every
+read (source.py:1464-1481). Getting this wrong silently truncates
+results for any query whose filter differs from the cached one.
+
+Scale notes: the cache write is a plain distributed parquet write
+(zstd); the sidecar's count/bbox come from ONE aggregate job over the
+per-row bbox struct — never a driver-side collect of the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import asdict, dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from overturelink_data_pipeline_spark.plans.overture import (
+    SECTOR_NAMES,
+    expected_columns,
+)
+
+
+@dataclass
+class CacheMetadata:
+    """Sidecar model (reference CacheMetadata, source.py:155-248)."""
+
+    country: str
+    theme: str
+    type: str
+    release: str
+    feature_count: int
+    bbox: list[float] | None
+    cached_at: str
+
+    @classmethod
+    def from_json(cls, path: str) -> CacheMetadata:
+        with open(path) as f:
+            return cls(**json.load(f))
+
+
+def sector_name(theme: str, type_: str) -> str:
+    """(transportation, segment) → roads, etc. (reference
+    source.py:1546-1567); unknown pairs use the type name."""
+    return SECTOR_NAMES.get((theme, type_), type_)
+
+
+def cache_path(root: str, release: str, iso2: str, theme: str, type_: str) -> str:
+    """S6 layout — ``{root}/{release}/{ISO2}/{ISO2}_{sector}.parquet``."""
+    return os.path.join(root, release, iso2, f"{iso2}_{sector_name(theme, type_)}.parquet")
+
+
+def _meta_path(parquet_path: str) -> str:
+    return parquet_path + ".meta.json"
+
+
+def write_cache(
+    df: DataFrame,
+    parquet_path: str,
+    *,
+    country: str,
+    theme: str,
+    type_: str,
+    release: str,
+) -> CacheMetadata:
+    """S5 — zstd parquet + metadata sidecar. ``df`` must be the
+    UNFILTERED clipped country frame (complete-data semantics)."""
+    df.write.mode("overwrite").option("compression", "zstd").parquet(parquet_path)
+    # count + bbox in one aggregate over the written data (re-read so
+    # the numbers describe exactly what landed on disk)
+    spark = df.sparkSession
+    written = spark.read.parquet(parquet_path)
+    agg_cols = [F.count(F.lit(1)).alias("n")]
+    has_bbox = "bbox" in written.columns
+    if has_bbox:
+        agg_cols += [
+            F.min("bbox.xmin").alias("xmin"),
+            F.min("bbox.ymin").alias("ymin"),
+            F.max("bbox.xmax").alias("xmax"),
+            F.max("bbox.ymax").alias("ymax"),
+        ]
+    if not has_bbox and "geometry" in written.columns:
+        # projected frames drop the bbox struct — recompute the
+        # envelope from geometry (one UDF pass inside the same agg job)
+        from overturelink_data_pipeline_spark.geo.functions import st_bbox
+
+        written = written.withColumn("_env", st_bbox(F.col("geometry")))
+        agg_cols += [
+            F.min("_env.xmin").alias("xmin"),
+            F.min("_env.ymin").alias("ymin"),
+            F.max("_env.xmax").alias("xmax"),
+            F.max("_env.ymax").alias("ymax"),
+        ]
+        has_bbox = True
+    row = written.agg(*agg_cols).collect()[0]
+    meta = CacheMetadata(
+        country=country,
+        theme=theme,
+        type=type_,
+        release=release,
+        feature_count=int(row["n"]),
+        bbox=(
+            [float(row["xmin"]), float(row["ymin"]), float(row["xmax"]), float(row["ymax"])]
+            if has_bbox and row["n"] > 0
+            else None
+        ),
+        cached_at=datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
+    )
+    with open(_meta_path(parquet_path), "w") as f:
+        json.dump(asdict(meta), f)
+    return meta
+
+
+def read_cache(
+    spark: SparkSession,
+    parquet_path: str,
+    *,
+    type_: str,
+    filter_expr: str | None = None,
+    limit: int | None = None,
+) -> DataFrame | None:
+    """S4 — cache read with schema validation + filter/limit REAPPLIED
+    (reference source.py:1348-1392, 1464-1481).
+
+    Returns None on miss or schema drift (missing expected columns →
+    caller refreshes, reference source.py:828-852).
+    """
+    if not os.path.exists(parquet_path) or not os.path.exists(_meta_path(parquet_path)):
+        return None
+    df = spark.read.parquet(parquet_path)
+    missing = expected_columns(type_) - set(df.columns)
+    if missing:
+        return None  # schema drift → treat as miss, caller refreshes
+    if filter_expr:
+        df = df.filter(F.expr(filter_expr))
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+# -- S7: list / stats / clear ------------------------------------------------
+
+def list_cache(root: str) -> list[CacheMetadata]:
+    """Walk metadata sidecars (reference source.py:1569-1641)."""
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for name in sorted(files):
+            if name.endswith(".meta.json"):
+                out.append(CacheMetadata.from_json(os.path.join(dirpath, name)))
+    return out
+
+
+def cache_stats(root: str) -> dict:
+    """Rollup: files / features / distinct countries / releases / bytes
+    (reference source.py:1642-1672)."""
+    entries = list_cache(root)
+    total_bytes = 0
+    for dirpath, _dirs, files in os.walk(root):
+        total_bytes += sum(
+            os.path.getsize(os.path.join(dirpath, f))
+            for f in files
+            if not f.endswith(".meta.json")
+        )
+    return {
+        "files": len(entries),
+        "features": sum(e.feature_count for e in entries),
+        "countries": len({e.country for e in entries}),
+        "releases": len({e.release for e in entries}),
+        "size_mb": round(total_bytes / 1e6, 3),
+    }
+
+
+def clear_cache(root: str, release: str | None = None) -> int:
+    """Remove cache trees; returns removed entry count (reference
+    source.py:1674-1695)."""
+    n = len([e for e in list_cache(root) if release is None or e.release == release])
+    target = os.path.join(root, release) if release else root
+    if os.path.exists(target):
+        shutil.rmtree(target)
+    return n

