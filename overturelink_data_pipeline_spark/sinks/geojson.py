@@ -95,12 +95,15 @@ def write_geojson(
     layers: dict[str, DataFrame] | DataFrame,
     path: str,
     metadata: dict | None = None,
+    stream: bool = False,
 ) -> int:
     """Single-file FeatureCollection (S8). Multi-layer dicts flatten
     with an injected ``layer`` property. Returns the feature count.
 
-    Driver-bound by design — bounded memory via ``toLocalIterator``
-    (one partition at a time), never a full ``collect``.
+    Driver-bound by design (single file). Country-sized outputs (the
+    reference's envelope) default to ``collect()``; ``stream=True``
+    switches to ``toLocalIterator`` (one partition in flight) when the
+    frame exceeds driver memory.
     """
     if isinstance(layers, DataFrame):
         layers = {"": layers}
@@ -116,7 +119,8 @@ def write_geojson(
             lines = df.select(
                 feature_line(df, name if len(layers) > 1 else None).alias("v")
             )
-            for row in lines.toLocalIterator():
+            rows = lines.toLocalIterator() if stream else lines.collect()
+            for row in rows:
                 if not first:
                     f.write(",")
                 f.write(row["v"])

@@ -13,11 +13,13 @@ operational behaviors preserved:
   413/502/504, floor 50 000);
 - **contract validation** before any upload (publish.py:751).
 
-Scale stance: an upload sink is inherently a network funnel — rows
-stream through the driver via ``toLocalIterator`` with one partition
-in flight, never a full collect. The batch loop is sequential because
-real feature services serialize appends per layer (the reference polls
-async append jobs one at a time, publish.py:478-503).
+Scale stance: an upload sink is inherently a network funnel through
+the driver. Country-sized frames (the reference's envelope — it holds
+a full GeoDataFrame) default to one ``collect()``; ``stream=True``
+switches to ``toLocalIterator`` with one partition in flight for
+unbounded frames. The batch loop is sequential because real feature
+services serialize appends per layer (the reference polls async
+append jobs one at a time, publish.py:478-503).
 """
 
 from __future__ import annotations
@@ -81,16 +83,28 @@ class MockFeatureService:
         return len(self.rows)
 
 
-def _stream_batches(df: DataFrame, batch_size: int):
-    """Yield row-dict batches with bounded driver memory."""
-    buf: list[dict] = []
-    for row in df.toLocalIterator():
-        buf.append(row.asDict(recursive=True))
-        if len(buf) >= batch_size:
+def _stream_batches(df: DataFrame, batch_size: int, stream: bool = False):
+    """Yield row-dict batches.
+
+    ``stream=False`` (default): one ``collect()`` — right for
+    country-sized publish frames (the reference holds the full
+    GeoDataFrame in memory too), and ~10× faster than the iterator RPC
+    for small frames. ``stream=True``: ``toLocalIterator`` with one
+    partition in flight — bounded driver memory for unbounded frames.
+    """
+    if stream:
+        buf: list[dict] = []
+        for row in df.toLocalIterator():
+            buf.append(row.asDict(recursive=True))
+            if len(buf) >= batch_size:
+                yield buf
+                buf = []
+        if buf:
             yield buf
-            buf = []
-    if buf:
-        yield buf
+        return
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    for i in range(0, len(rows), batch_size):
+        yield rows[i : i + batch_size]
 
 
 def _append_adaptive(
@@ -122,6 +136,7 @@ def publish(
     batch_size: int = BATCH_SIZE,
     batch_floor: int = BATCH_FLOOR,
     validate: bool = True,
+    stream: bool = False,
 ) -> int:
     """Publish ``df`` to ``service``; returns rows uploaded.
 
@@ -139,7 +154,7 @@ def publish(
         # split on the fly (reference slices iloc[:seed]/[seed:],
         # publish.py:657-659 — same split, no second scan)
         seeded = False
-        for batch in _stream_batches(df, batch_size):
+        for batch in _stream_batches(df, batch_size, stream):
             if not seeded:
                 seed, rest = batch[:seed_count], batch[seed_count:]
                 service.create(name, seed)
@@ -160,7 +175,7 @@ def publish(
     elif mode != "append":
         raise ValueError(f"unknown publish mode {mode!r}")
 
-    for batch in _stream_batches(df, batch_size):
+    for batch in _stream_batches(df, batch_size, stream):
         _append_adaptive(service, batch, batch_floor)
         total += len(batch)
     return total

@@ -74,9 +74,16 @@ def write_cache(
     theme: str,
     type_: str,
     release: str,
+    partitions: int | None = 1,
 ) -> CacheMetadata:
     """S5 — zstd parquet + metadata sidecar. ``df`` must be the
-    UNFILTERED clipped country frame (complete-data semantics)."""
+    UNFILTERED clipped country frame (complete-data semantics).
+
+    ``partitions=1`` mirrors the reference's one-file-per-country
+    layout (country caches are bounded by construction); pass None to
+    keep the plan's partitioning for unusually large extracts."""
+    if partitions is not None:
+        df = df.coalesce(partitions)
     df.write.mode("overwrite").option("compression", "zstd").parquet(parquet_path)
     # count + bbox in one aggregate over the written data (re-read so
     # the numbers describe exactly what landed on disk)
