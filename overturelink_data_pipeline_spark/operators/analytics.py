@@ -1,0 +1,420 @@
+"""Advanced analytics operators (SURVEY.md §2.4/§2.5/§2.6 'absent'
+rows — grouping sets, set operations, percentiles, as-of/range joins,
+ranking windows).
+
+The reference has none of these (its only aggregations are counts and
+bounds); they are native Spark once a SQL surface exists, and a user
+migrating real analytical workloads onto this engine needs them. Each
+is oracle-paired against DuckDB — including ASOF JOIN, which DuckDB
+implements natively while we express it as the classic window-over-
+union composition.
+
+Scale notes per operator are on the functions; the common theme: every
+one of these is a single shuffle on its natural key, stays entirely in
+whole-stage codegen, and broadcasts dimension tables where one side is
+bounded (nation/region/part metadata).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from overturelink_data_pipeline_spark.functions.timeparts import epoch_seconds
+from overturelink_data_pipeline_spark.registry import spark_query
+from overturelink_data_pipeline_spark.session import read_table
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+@spark_query(
+    "agg_rollup_nation_region",
+    oracle="""
+    SELECT COALESCE(r.r_name, '__ALL__')  AS region,
+           COALESCE(n.n_name, '__ALL__')  AS nation,
+           CAST(COUNT(*) AS BIGINT)       AS n_cust,
+           ROUND(SUM(c.c_acctbal), 2)     AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY region, nation
+    """,
+)
+def agg_rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region→nation: hierarchical subtotals in one pass (Spark
+    computes all grouping sets in a single Expand+Aggregate — one
+    shuffle, not one job per level). Dimension joins broadcast."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("__ALL__")).alias("region"),
+            F.coalesce("n_name", F.lit("__ALL__")).alias("nation"),
+            "n_cust",
+            "total_bal",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@spark_query(
+    "agg_cube_status_flag",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '_')  AS flag,
+           COALESCE(l_linestatus, '_')  AS status,
+           CAST(COUNT(*) AS BIGINT)     AS n,
+           ROUND(SUM(l_quantity), 2)    AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY flag, status
+    """,
+)
+def agg_cube_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims — all 4 grouping sets from one
+    Expand, partial aggregation map-side (the Expand multiplies rows
+    4×, but the partial agg collapses them before the shuffle)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("_")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("_")).alias("status"),
+            "n",
+            "qty",
+        )
+        .orderBy("flag", "status")
+    )
+
+
+@spark_query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, '__ALL__') AS priority,
+           COALESCE(o_orderstatus, '__ALL__')   AS status,
+           CAST(COUNT(*) AS BIGINT)             AS n_orders,
+           ROUND(SUM(o_totalprice), 2)          AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    ORDER BY priority, status
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two independent single-dim rollups in
+    one pass) via the SQL surface — `F.expr` is not enough here, so
+    this runs through spark.sql on a temp view, exactly the SQL-exposed
+    engine path."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, '__ALL__') AS priority,
+               COALESCE(o_orderstatus, '__ALL__')   AS status,
+               CAST(COUNT(*) AS BIGINT)             AS n_orders,
+               ROUND(SUM(o_totalprice), 2)          AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        ORDER BY priority, status
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles / distinct counting
+# ---------------------------------------------------------------------------
+
+@spark_query(
+    "agg_percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                           AS DECIMAL(18,4)), 2) AS DOUBLE) AS p50,
+           CAST(ROUND(CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)
+                           AS DECIMAL(18,4)), 2) AS DOUBLE) AS p95,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + distinct count per group. The
+    approx variants (approx_count_distinct / percentile_approx) are the
+    100 TB path — registered separately rows-only since sketches don't
+    hash-match an exact oracle.
+
+    Rounding note: interpolation midpoints land exactly on .xx5
+    boundaries where double noise flips a direct 2-decimal round
+    between engines — both sides normalize through a 4-decimal DECIMAL
+    first (the cents data has ≤4 meaningful decimals after midpoint
+    interpolation)."""
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def p(q: float) -> F.Column:
+        return F.expr(
+            f"cast(round(cast(percentile(l_extendedprice, {q}) as decimal(18,4)), 2) as double)"
+        )
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            p(0.5).alias("p50"),
+            p(0.95).alias("p95"),
+            F.countDistinct("l_partkey").cast("bigint").alias("distinct_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@spark_query("agg_approx_sketches")
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HyperLogLog++ distinct, GK-quantile): the
+    scale path for cardinality/quantile at 100 TB — mergeable partial
+    sketches, no exact shuffle of distinct values. Rows-only; accuracy
+    vs the exact aggregates is pinned in tests/test_analytics.py."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@spark_query(
+    "set_intersect_except",
+    oracle="""
+    WITH urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         high   AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+    SELECT 'both' AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM high)
+    UNION ALL
+    SELECT 'urgent_only', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM high)
+    ORDER BY bucket
+    """,
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (absent from the reference, SURVEY.md §2.6):
+    customers with both urgent and high orders vs urgent-only. Spark
+    plans these as left-semi / left-anti aggregate joins."""
+    o = read_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey").distinct()
+    both = urgent.intersect(high).agg(
+        F.lit("both").alias("bucket"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    only = urgent.exceptAll(high).agg(
+        F.lit("urgent_only").alias("bucket"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return both.unionByName(only).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# As-of join / range join
+# ---------------------------------------------------------------------------
+
+@spark_query(
+    "join_asof_last_signup",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+      FROM events WHERE event_type = 'signup'
+    ),
+    purchases AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id                        AS purchase_id,
+           p.user_id,
+           ROUND(p.value, 2)                 AS value,
+           s.event_id                        AS signup_id,
+           CAST(p.sec - s.sec AS BIGINT)     AS lag_s
+    FROM purchases p
+    ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND p.sec >= s.sec
+    ORDER BY purchase_id
+    """,
+)
+def join_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase matched to the latest signup at or
+    before it, per user. DuckDB has native ASOF JOIN; Spark has none,
+    so the engine expresses it as the union-sort-window composition:
+    tag both streams, union, and carry the last signup forward with a
+    ``last(ignorenulls)`` over a per-user event-time window. ONE
+    shuffle on user_id — the same cost as a plain equi-join, and the
+    pattern scales to any (entity, time) key without a range-join
+    blow-up."""
+    ev = read_table(spark, sf_dir, "events")
+    sec = epoch_seconds(F.col("ts"))
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        sec.alias("sec"),
+        F.col("event_id").alias("signup_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        sec.alias("sec"),
+        F.lit(None).cast("long").alias("signup_id"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    merged = signups.unionByName(purchases)
+    # signup sorts before purchase at the same second (ASOF >= includes
+    # equality): order by (sec, is_purchase)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", F.col("purchase_id").isNotNull().cast("int"), "signup_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "asof_signup", F.last("signup_id", ignorenulls=True).over(w)
+    ).withColumn("asof_sec", F.last(F.when(F.col("signup_id").isNotNull(), F.col("sec")), ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("purchase_id").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.col("asof_signup").alias("signup_id"),
+            (F.col("sec") - F.col("asof_sec")).cast("bigint").alias("lag_s"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@spark_query(
+    "join_range_price_band",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('budget', 0.0, 950.0), ('mid', 950.0, 1400.0), ('premium', 1400.0, 100000.0))
+    SELECT b.band,
+           CAST(COUNT(*) AS BIGINT)     AS n_parts,
+           ROUND(AVG(p.p_retailprice), 2) AS avg_price
+    FROM part p JOIN bands b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    ORDER BY b.band
+    """,
+)
+def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a tiny band table — broadcast nested
+    loop by construction: the band side is driver-literal, so the scan
+    side streams once with no shuffle. At 100 TB the alternative
+    (interval bucketing to convert range→equi keys) only matters when
+    BOTH sides are large."""
+    p = read_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 950.0), ("mid", 950.0, 1400.0), ("premium", 1400.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking windows / correlated subquery
+# ---------------------------------------------------------------------------
+
+@spark_query(
+    "window_rank_suppliers_per_nation",
+    oracle="""
+    WITH ranked AS (
+      SELECT n.n_name AS nation, s.s_name AS supplier,
+             ROUND(s.s_acctbal, 2) AS bal,
+             DENSE_RANK() OVER (PARTITION BY n.n_name ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rnk,
+             NTILE(4) OVER (PARTITION BY n.n_name ORDER BY s.s_acctbal DESC, s.s_suppkey) AS quartile
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT nation, supplier, bal, CAST(rnk AS BIGINT) AS rnk, CAST(quartile AS BIGINT) AS quartile
+    FROM ranked WHERE rnk <= 3
+    ORDER BY nation, rnk, supplier
+    """,
+)
+def window_rank_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers per nation by balance: dense_rank + ntile over
+    one per-nation window; the rank filter prunes before the final
+    sort (classic top-k-per-group — no global sort of the fact side)."""
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.col("s_suppkey"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("s_name").alias("supplier"),
+            F.round("s_acctbal", 2).alias("bal"),
+            F.dense_rank().over(w).cast("bigint").alias("rnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("nation", "rnk", "supplier")
+    )
+
+
+@spark_query(
+    "subquery_cheapest_order",
+    oracle="""
+    SELECT o.o_custkey                       AS custkey,
+           CAST(MIN(o.o_orderkey) AS BIGINT) AS first_min_order,
+           ROUND(MIN(o.o_totalprice), 2)     AS min_price
+    FROM orders o
+    WHERE o.o_totalprice = (
+      SELECT MIN(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    GROUP BY o.o_custkey
+    ORDER BY custkey
+    LIMIT 100
+    """,
+)
+def subquery_cheapest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-min pattern (cheapest order per customer).
+    Spark decorrelates it as a window min — one shuffle on custkey, no
+    self-join (the naive correlated form rescans orders per row)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("min_price_w", F.min("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") == F.col("min_price_w"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.min("o_orderkey").cast("bigint").alias("first_min_order"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        )
+        .orderBy("custkey")
+        .limit(100)
+    )

@@ -60,6 +60,7 @@ def load_all() -> None:
     # package-import time and to keep `import overturelink_data_pipeline_spark`
     # cheap for non-query uses.
     from overturelink_data_pipeline_spark.operators import (  # noqa: F401
+        analytics,
         dedup,
         geospatial,
         multimodal,
