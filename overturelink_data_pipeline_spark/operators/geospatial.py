@@ -149,6 +149,31 @@ def geo_centroid_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+@spark_query("geo_grid_partition_stats")
+def geo_grid_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial-partitioning keys (geo/grid.py): per-cell feature counts
+    on a 1° grid with both row-major and Z-order ids. Pure arithmetic
+    over the stored bbox struct — no geometry decode; this is exactly
+    the expression a bucketed 100 TB feature table would partition
+    by."""
+    from overturelink_data_pipeline_spark.geo.grid import grid_cell, morton_cell
+
+    segs = FX.fixture_df(spark, "transportation_segment").filter(
+        F.col("geometry").isNotNull()
+    )
+    lon = (F.col("bbox.xmin") + F.col("bbox.xmax")) / 2
+    lat = (F.col("bbox.ymin") + F.col("bbox.ymax")) / 2
+    return (
+        segs.select(
+            grid_cell(lon, lat, 1.0).alias("cell"),
+            morton_cell(lon, lat, 1.0).alias("zcell"),
+        )
+        .groupBy("cell", "zcell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cell")
+    )
+
+
 @spark_query("geo_bbox_struct")
 def geo_bbox_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G10/A3 — recomputed envelope struct vs the stored fixture bbox

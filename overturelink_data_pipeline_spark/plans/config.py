@@ -93,3 +93,30 @@ power:
 
 def builtin_queries() -> dict[str, Query]:
     return parse_queries(BUILTIN_QUERIES_YAML)
+
+
+def render_metadata(template: dict, context: dict) -> dict:
+    """T10 — metadata template interpolation (reference
+    config_loader.py:280-408). ``{placeholder}`` fields format against
+    the context; a tags value shaped ``"{tags_base} + ['a', 'b']"``
+    merges the base list with the literal list via ast.literal_eval —
+    replacing the reference's ``eval`` (config_loader.py:380, noted in
+    SURVEY.md §7.4) with a parse that cannot execute code."""
+    import ast
+
+    out: dict = {}
+    for key, value in template.items():
+        if not isinstance(value, str):
+            out[key] = value
+            continue
+        if "+" in value and "[" in value and key == "tags":
+            base_part, _, list_part = value.partition("+")
+            base_key = base_part.strip().strip("{}").strip()
+            base = list(context.get(base_key, []))
+            extra = ast.literal_eval(list_part.strip())
+            if not isinstance(extra, list):
+                raise ValueError(f"tags suffix must be a list literal: {value!r}")
+            out[key] = base + extra
+        else:
+            out[key] = value.format(**context)
+    return out

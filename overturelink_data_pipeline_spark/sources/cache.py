@@ -151,7 +151,11 @@ def read_cache(
     if missing:
         return None  # schema drift → treat as miss, caller refreshes
     if filter_expr:
-        df = df.filter(F.expr(filter_expr))
+        # F5 semantics on the cache path: unknown column → empty,
+        # unparseable → passthrough (dialect.apply_sql_filter).
+        from overturelink_data_pipeline_spark.functions.dialect import apply_sql_filter
+
+        df = apply_sql_filter(df, filter_expr)
     if limit is not None:
         df = df.limit(limit)
     return df
