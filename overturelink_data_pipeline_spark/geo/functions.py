@@ -192,6 +192,55 @@ def st_intersects_with(clip_wkb: bytes):
     return _udf
 
 
+_FAMILY_TYPES = {
+    "points": ("Point", "MultiPoint"),
+    "lines": ("LineString", "MultiLineString"),
+    "polygons": ("Polygon", "MultiPolygon"),
+}
+_CLEAN_UDFS: dict = {}
+
+
+def st_clean_geometry(
+    family: str, *, make_valid: bool = False, unwrap: bool = False
+) -> Callable:
+    """Fused hygiene pass (G2+G5+G6+G4+G9, F9-F11): ONE WKB decode per
+    row instead of one per check. Returns cleaned WKB, or null when the
+    row must be dropped (wrong family, empty, degenerate area/length).
+    The caller filters ``isNotNull`` — same row set as the chained
+    make_valid → unwrap → type/measure/empty filters, at ~1/5 the
+    Arrow/decode cost (this chain dominated geo_*_normalize bench
+    time)."""
+    key = (family, make_valid, unwrap)
+    if key in _CLEAN_UDFS:
+        return _CLEAN_UDFS[key]
+    keep_types = _FAMILY_TYPES[family]
+    from overturelink_data_pipeline_spark.transform import (
+        MIN_LINE_LENGTH,
+        MIN_POLYGON_AREA,
+    )
+
+    def fn(b: bytes) -> bytes | None:
+        g = W.loads(b)
+        if make_valid:
+            g = G.make_valid(g)
+        if unwrap:
+            g = G.unwrap_single_multipolygon(g)
+        if g[0] not in keep_types or G.is_empty(g):
+            return None
+        if family == "polygons" and G.area(g) <= MIN_POLYGON_AREA:
+            return None
+        if family == "lines" and G.length(g) <= MIN_LINE_LENGTH:
+            return None
+        return W.dumps(g)
+
+    @pandas_udf(T.BinaryType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return _map_wkb(s, fn)
+
+    _CLEAN_UDFS[key] = _udf
+    return _udf
+
+
 def geometry_family(type_col: Column) -> Column:
     """F12 — family CASE over a geometry-type column; pure Catalyst
     (reference source.py:976-1001 families)."""

@@ -169,15 +169,15 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(round(cast(percentile(l_extendedprice, {q}) as decimal(18,4)), 2) as double)"
         )
 
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            p(0.5).alias("p50"),
-            p(0.95).alias("p95"),
-            F.countDistinct("l_partkey").cast("bigint").alias("distinct_parts"),
-        )
-        .orderBy("l_returnflag")
+    # Mixing percentile (sort-agg) with countDistinct in one agg makes
+    # Catalyst insert an Expand (2× the input through the shuffle). Two
+    # single-mode aggs + a 3-row join keep each scan/shuffle lean — at
+    # 100 TB the Expand would double the dominant shuffle.
+    pctl = li.groupBy("l_returnflag").agg(p(0.5).alias("p50"), p(0.95).alias("p95"))
+    dst = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("distinct_parts")
     )
+    return pctl.join(F.broadcast(dst), "l_returnflag").orderBy("l_returnflag")
 
 
 @spark_query("agg_approx_sketches")

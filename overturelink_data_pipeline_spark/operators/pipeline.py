@@ -178,6 +178,37 @@ def pipeline_roads_geojsonseq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+@spark_query("pipeline_places_combined")
+def pipeline_places_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — sector-combined layer (reference add_sector_layers,
+    cli.py:2306-2364): education multilayer → normalize both layers →
+    building polygons to UTM centroids tagged
+    feature_type='building_centroid' → unionByName with places.
+    Returns per-feature_type counts plus a point-geometry check: every
+    combined row must be a Point after centroid collapse."""
+    from overturelink_data_pipeline_spark.geo.functions import st_geometry_type
+    from overturelink_data_pipeline_spark.transform import (
+        add_sector_layers,
+        normalize_buildings,
+    )
+
+    q = builtin_queries()["education"]
+    layers = _reader(spark).read(
+        q, _fixture_country(0), RunOptions(clip=ClipStrategy.BBOX)
+    )
+    norm = {
+        "places": normalize_places(layers["places"]),
+        "buildings": normalize_buildings(layers["buildings"]),
+    }
+    combined = add_sector_layers(norm)["places_combined"]
+    return (
+        combined.withColumn("geom_type", st_geometry_type(F.col("geometry")))
+        .groupBy("feature_type", "geom_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("feature_type", "geom_type")
+    )
+
+
 @spark_query("pipeline_power_split_publish")
 def pipeline_power_split_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.1 sink leg: power geometry_split (F12 fan-out) published

@@ -27,8 +27,6 @@ from overturelink_data_pipeline_spark.geo.functions import (
     st_geometry_type,
     st_is_empty,
     st_length,
-    st_make_valid,
-    st_unwrap_single_multipolygon,
 )
 
 #: T1 — AGOL string clip width (reference transform.py:26).
@@ -206,6 +204,8 @@ def normalize_roads(df: DataFrame) -> DataFrame:
         name_col = clip_str(F.col("names.primary")).alias("name")
     else:
         name_col = F.lit(None).cast("string").alias("name")
+    from overturelink_data_pipeline_spark.geo.functions import st_clean_geometry
+
     out = df.select(
         F.col("id"),
         name_col,
@@ -213,7 +213,11 @@ def normalize_roads(df: DataFrame) -> DataFrame:
         clip_str(F.col("subtype")).alias("road_type"),
         F.col("geometry"),
     )
-    out = drop_bad_geometry(out, "lines")
+    # fused F9-F11 hygiene: one WKB decode instead of three UDF passes
+    out = out.filter(F.col("geometry").isNotNull()).withColumn(
+        "geometry", st_clean_geometry("lines")(F.col("geometry"))
+    )
+    out = out.filter(F.col("geometry").isNotNull())
     return ordered_select(out)
 
 
@@ -248,12 +252,15 @@ def normalize_buildings(df: DataFrame) -> DataFrame:
         floors.alias("floors"),
         F.col("geometry"),
     )
-    out = out.filter(F.col("geometry").isNotNull())
-    out = out.withColumn(
+    from overturelink_data_pipeline_spark.geo.functions import st_clean_geometry
+
+    # fused G2+G6+F9-F11: make_valid, unwrap, family/area/empty checks
+    # in ONE Arrow pass (was 5 UDF passes, each decoding WKB)
+    out = out.filter(F.col("geometry").isNotNull()).withColumn(
         "geometry",
-        st_unwrap_single_multipolygon(st_make_valid(F.col("geometry"))),
+        st_clean_geometry("polygons", make_valid=True, unwrap=True)(F.col("geometry")),
     )
-    out = drop_bad_geometry(out, "polygons")
+    out = out.filter(F.col("geometry").isNotNull())
     return ordered_select(out)
 
 
@@ -292,7 +299,12 @@ def normalize_places(df: DataFrame, feature_type: str = "place") -> DataFrame:
         cols.append(F.col("confidence").cast("double").alias("confidence"))
     cols.append(F.col("geometry"))
     out = df.select(*cols)
-    out = drop_bad_geometry(out, "points")
+    from overturelink_data_pipeline_spark.geo.functions import st_clean_geometry
+
+    out = out.filter(F.col("geometry").isNotNull()).withColumn(
+        "geometry", st_clean_geometry("points")(F.col("geometry"))
+    )
+    out = out.filter(F.col("geometry").isNotNull())
     return ordered_select(out)
 
 
@@ -301,6 +313,58 @@ NORMALIZERS = {
     "buildings": normalize_buildings,
     "places": normalize_places,
 }
+
+
+def add_sector_layers(layers: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """U1 — sector-combined layer (reference add_sector_layers,
+    cli.py:2306-2364): for a multilayer result, building polygons
+    collapse to UTM-accurate centroids (G7, cli.py:2242-2285), get
+    tagged ``feature_type='building_centroid'``, and union with the
+    places layer into ``places_combined``.
+
+    Pure plan composition — the centroid UDF is the only Python stage
+    and runs Arrow-batched; the union is `unionByName` with missing
+    columns allowed (reference pd.concat ignore_index semantics,
+    cli.py:2352-2359).
+    """
+    from overturelink_data_pipeline_spark.geo.functions import st_centroid_utm
+
+    if "places" not in layers or "buildings" not in layers:
+        return layers
+    places, buildings = layers["places"], layers["buildings"]
+    centroids = buildings.withColumn(
+        "geometry", st_centroid_utm(F.col("geometry"))
+    ).withColumn("feature_type", F.lit("building_centroid"))
+    combined = places.unionByName(centroids, allowMissingColumns=True)
+    out = dict(layers)
+    out["places_combined"] = combined
+    return out
+
+
+def sanitize_service_name(name: str) -> str:
+    """T7 — layer/service-name sanitize (reference publish.py:73-81):
+    lowercase, strip a leading ``main.``, non-[a-z0-9_] dropped,
+    clipped to 30 chars."""
+    import re as _re
+
+    n = name.lower()
+    if n.startswith("main."):
+        n = n[len("main."):]
+    n = n.replace(" ", "_").replace("-", "_")
+    n = _re.sub(r"[^a-z0-9_]", "", n)
+    return n[:30]
+
+
+def export_filename(iso3: str, query_name: str, fmt: str, raw: bool = False) -> str:
+    """T9 — export-name generator ``{iso3}_{query}[_raw].{ext}``
+    (reference export.py:468-510, utils.py:308-324)."""
+    ext = {"geojson": "geojson", "geojsonseq": "geojsonl", "gpkg": "gpkg",
+           "fgdb": "gdb", "geoparquet": "parquet", "shapefile": "shp",
+           "flatgeobuf": "fgb"}[fmt]
+    stem = f"{iso3.lower()}_{sanitize_service_name(query_name)}"
+    if raw:
+        stem += "_raw"
+    return f"{stem}.{ext}"
 
 
 def validate_contract(df: DataFrame) -> None:
