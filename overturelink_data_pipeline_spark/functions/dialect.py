@@ -66,3 +66,19 @@ def apply_sql_filter(df: DataFrame, filter_str: str | None) -> DataFrame:
     except Exception:
         log.warning("unparseable filter %r → passthrough", filter_str)
         return df
+
+
+def apply_dict_filter(df: DataFrame, filters: dict | None) -> DataFrame:
+    """F7 — dict equality-chain filter (reference source.py:1372-1376,
+    1466-1471): ``{col: value}`` becomes chained ``.filter(col == v)``.
+    Unknown root column → empty result with the same schema, matching
+    F5's empty-frame contract. Dotted keys reach struct fields."""
+    if not filters:
+        return df
+    for key, value in filters.items():
+        root = key.split(".")[0]
+        if root not in df.columns:
+            log.warning("dict filter references unknown column %r → empty", key)
+            return df.limit(0)
+        df = df.filter(F.col(key) == F.lit(value))
+    return df

@@ -15,9 +15,13 @@ registry checks hash identically across runs.
 from __future__ import annotations
 
 import json
+import math
 import random
 import struct
+from decimal import ROUND_HALF_UP, Decimal
+from pathlib import Path
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -25,6 +29,15 @@ from overturelink_data_pipeline_spark.geo import geom as G
 from overturelink_data_pipeline_spark.geo import wkb as W
 
 FIXTURE_SEED = 42
+
+#: Committed golden-fixture parquet (scripts/gen_geo_fixtures.py).
+#: Raw Overture-shaped columns + ``_g_*`` golden columns frozen at
+#: generation time by the SAME row-level Python the UDFs run
+#: (clean_geometry_bytes / centroid_utm_lonlat / geom.*), so the
+#: DuckDB oracle can SELECT goldens while Spark recomputes through
+#: the distributed UDF path — any behavioral drift in the geometry
+#: engine breaks the hash match.
+GOLDEN_DIR = Path(__file__).resolve().parents[2] / "fixtures"
 
 #: Three overlapping synthetic countries (FIXTURES.md A7 convention).
 COUNTRIES = [
@@ -421,6 +434,234 @@ _MAKERS = {
 def fixture_df(spark: SparkSession, name: str, **kwargs) -> DataFrame:
     rows, schema = _MAKERS[name](**kwargs)
     return spark.createDataFrame(rows, schema)
+
+
+# -- golden columns ----------------------------------------------------------
+
+def _round_hu(x: float | None, nd: int) -> float | None:
+    """Spark ``F.round`` semantics: HALF_UP over the double's shortest
+    decimal repr (BigDecimal.valueOf) — NOT Python's banker's round."""
+    if x is None:
+        return None
+    q = Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+    )
+    return float(q)
+
+
+def _f32(x: float) -> float:
+    """The double Spark sees after reading a FloatType parquet value."""
+    return float(np.float32(x))
+
+
+def _morton(cx: int, cy: int, bits: int = 16) -> int:
+    code = 0
+    for i in range(bits):
+        code += ((cx >> i) & 1) << (2 * i)
+        code += ((cy >> i) & 1) << (2 * i + 1)
+    return code
+
+
+def _grid_ids(lon: float, lat: float, res: float = 1.0) -> tuple[int, int]:
+    """Replicates geo/grid.py cell_coords/grid_cell/morton_cell on
+    driver-side doubles."""
+    nx, ny = int(360 / res), int(180 / res)
+    cx = min(math.floor((lon + 180.0) / res), nx - 1)
+    cy = min(math.floor((lat + 90.0) / res), ny - 1)
+    return cy * nx + cx, _morton(cx, cy)
+
+
+_GOLDEN_FIELDS = {
+    "transportation_segment": [
+        ("_g_keep", T.IntegerType()),
+        ("_g_len6", T.DoubleType()),
+        ("_g_env_xmin5", T.DoubleType()),
+        ("_g_env_ymax5", T.DoubleType()),
+        ("_g_bbox_ok", T.IntegerType()),
+        ("_g_cell", T.LongType()),
+        ("_g_zcell", T.LongType()),
+        ("_g_in_aa", T.IntegerType()),
+    ],
+    "buildings_building": [
+        ("_g_keep", T.IntegerType()),
+        ("_g_area9", T.DoubleType()),
+        ("_g_valid", T.IntegerType()),
+        ("_g_clon6", T.DoubleType()),
+        ("_g_clat6", T.DoubleType()),
+        ("_g_in_aa", T.IntegerType()),
+    ],
+    "places_place": [
+        ("_g_keep", T.IntegerType()),
+        ("_g_in_aa", T.IntegerType()),
+    ],
+    "places_place_json": [("_g_keep", T.IntegerType())],
+    "base_infrastructure": [("_g_family", T.StringType())],
+    "divisions_division_area": [],
+}
+
+
+_AA_POLYGONS: list | None = None
+
+
+def _aa_polygons() -> list:
+    """Decoded rings of the concave Aland country polygon — the build
+    side of the J1 clip golden."""
+    global _AA_POLYGONS
+    if _AA_POLYGONS is None:
+        _AA_POLYGONS = G._polygons(
+            W.loads(_country_polygon(COUNTRIES[0]["bbox"], concave=True))
+        )
+    return _AA_POLYGONS
+
+
+def _in_aa(bbox: dict, b: bytes) -> int:
+    """J1 divisions-clip decision vs the concave Aland polygon: the
+    buffered f32 bbox prefilter (F2) AND the precise intersect (F3) —
+    exactly clip_divisions' row predicate."""
+    x0, y0, x1, y1 = COUNTRIES[0]["bbox"]
+    buf = 0.1
+    pre = (
+        _f32(bbox["xmin"]) > x0 - buf
+        and _f32(bbox["xmax"]) < x1 + buf
+        and _f32(bbox["ymin"]) > y0 - buf
+        and _f32(bbox["ymax"]) < y1 + buf
+    )
+    return int(
+        pre and any(G.intersects_polygon(W.loads(b), r) for r in _aa_polygons())
+    )
+
+
+def _segment_goldens(row: tuple) -> tuple:
+    from overturelink_data_pipeline_spark.geo.functions import clean_geometry_bytes
+
+    bbox, b = row[5], row[6]
+    cleaned = clean_geometry_bytes(b, "lines")
+    keep = int(cleaned is not None)
+    len6 = _round_hu(G.length(W.loads(cleaned)), 6) if cleaned else None
+    env = G.bbox(W.loads(b))
+    # same promotion as the Spark expression: env doubles minus the
+    # float32 value the parquet scan yields
+    bbox_ok = int(
+        abs(env[0] - _f32(bbox["xmin"])) < 1e-4
+        and abs(env[3] - _f32(bbox["ymax"])) < 1e-4
+    )
+    lon = (_f32(bbox["xmin"]) + _f32(bbox["xmax"])) / 2.0
+    lat = (_f32(bbox["ymin"]) + _f32(bbox["ymax"])) / 2.0
+    cell, zcell = _grid_ids(lon, lat)
+    return (
+        keep,
+        len6,
+        _round_hu(env[0], 5),
+        _round_hu(env[3], 5),
+        bbox_ok,
+        cell,
+        zcell,
+        _in_aa(bbox, b),
+    )
+
+
+def _building_goldens(row: tuple) -> tuple:
+    from overturelink_data_pipeline_spark.geo.functions import (
+        centroid_utm_lonlat,
+        clean_geometry_bytes,
+    )
+
+    bbox, b = row[7], row[8]
+    in_aa = _in_aa(bbox, b)
+    cleaned = clean_geometry_bytes(b, "polygons", make_valid=True, unwrap=True)
+    if cleaned is None:
+        return (0, None, None, None, None, in_aa)
+    g = W.loads(cleaned)
+    c = centroid_utm_lonlat(cleaned)
+    return (
+        1,
+        _round_hu(G.area(g), 9),
+        int(G.is_valid(g)),
+        _round_hu(c[0], 6) if c else None,
+        _round_hu(c[1], 6) if c else None,
+        in_aa,
+    )
+
+
+def _place_goldens(row: tuple) -> tuple:
+    from overturelink_data_pipeline_spark.geo.functions import clean_geometry_bytes
+
+    keep = int(clean_geometry_bytes(row[-1], "points") is not None)
+    return (keep, _in_aa(row[-2], row[-1]))
+
+
+def _place_json_goldens(row: tuple) -> tuple:
+    from overturelink_data_pipeline_spark.geo.functions import clean_geometry_bytes
+
+    return (int(clean_geometry_bytes(row[-1], "points") is not None),)
+
+
+def _infra_goldens(row: tuple) -> tuple:
+    t = W.geometry_type(row[-1])
+    if t in ("Point", "MultiPoint"):
+        fam = "points"
+    elif t in ("LineString", "MultiLineString"):
+        fam = "lines"
+    elif t in ("Polygon", "MultiPolygon"):
+        fam = "polygons"
+    else:
+        fam = "other"
+    return (fam,)
+
+
+_GOLDEN_FNS = {
+    "transportation_segment": _segment_goldens,
+    "buildings_building": _building_goldens,
+    "places_place": _place_goldens,
+    "places_place_json": _place_json_goldens,
+    "base_infrastructure": _infra_goldens,
+    "divisions_division_area": lambda row: (),
+}
+
+
+def golden_rows(name: str) -> tuple[list, T.StructType]:
+    """Fixture rows + frozen ``_g_*`` golden columns (gen-time truth)."""
+    maker = name if name != "places_place_json" else "places_place"
+    kwargs = {"as_json_strings": True} if name == "places_place_json" else {}
+    rows, schema = _MAKERS[maker](**kwargs)
+    fn = _GOLDEN_FNS[name]
+    out_rows = [r + fn(r) for r in rows]
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [T.StructField(n, t) for n, t in _GOLDEN_FIELDS[name]]
+    )
+    return out_rows, out_schema
+
+
+def fixture_path(name: str) -> str:
+    return str(GOLDEN_DIR / name)
+
+
+def fixture_glob(name: str) -> str:
+    """DuckDB ``read_parquet`` pattern for a committed fixture table."""
+    return f"{fixture_path(name)}/*.parquet"
+
+
+def fixture_scan(spark: SparkSession, name: str) -> DataFrame:
+    """Scan the committed golden parquet — the geometry queries' input,
+    so the Spark side exercises the real parquet scan path (pushdown,
+    f32 bbox promotion) instead of an in-memory localRelation."""
+    return spark.read.parquet(fixture_path(name))
+
+
+def write_golden_fixtures(spark: SparkSession, base_dir: str | None = None) -> None:
+    """Materialize all fixtures + goldens (scripts/gen_geo_fixtures.py;
+    single file per table — 400-row tables, committed to git)."""
+    base = Path(base_dir) if base_dir else GOLDEN_DIR
+    for name in _GOLDEN_FNS:
+        rows, schema = golden_rows(name)
+        dest = base / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(dest))
+        for extra in dest.iterdir():
+            if extra.name.startswith(("_SUCCESS", ".")):
+                extra.unlink()
 
 
 def write_fixtures(spark: SparkSession, base_dir: str) -> None:

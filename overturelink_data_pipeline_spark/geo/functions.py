@@ -84,6 +84,37 @@ def st_centroid(s: pd.Series) -> pd.Series:
     return _map_wkb(s, fn)
 
 
+def centroid_utm_lonlat(b: bytes) -> tuple[float, float] | None:
+    """Row-level G7: centroid in estimated UTM, back to 4326 lon/lat.
+    Shared by the UDF and the fixture golden-column generator so the
+    goldens pin exactly this code path."""
+    g = W.loads(b)
+    rough = G.centroid(g)
+    if rough is None:
+        return None
+    zone, north = G.utm_zone(rough[0], rough[1])
+
+    def proj(geom: G.Geom) -> G.Geom:
+        name, body = geom
+        if body is None:
+            return geom
+        if name == "Point":
+            return (name, G.lonlat_to_utm(body[0], body[1], zone, north))
+        if name == "LineString":
+            return (name, [G.lonlat_to_utm(x, y, zone, north) for x, y in body])
+        if name == "Polygon":
+            return (
+                name,
+                [[G.lonlat_to_utm(x, y, zone, north) for x, y in r] for r in body],
+            )
+        return (name, [proj(c) for c in body])
+
+    c = G.centroid(proj(g))
+    if c is None:
+        return None
+    return G.utm_to_lonlat(c[0], c[1], zone, north)
+
+
 @pandas_udf(T.BinaryType())
 def st_centroid_utm(s: pd.Series) -> pd.Series:
     """G7 — centroid computed in the estimated UTM CRS, reprojected back
@@ -91,32 +122,8 @@ def st_centroid_utm(s: pd.Series) -> pd.Series:
     centroid → to_crs(4326))."""
 
     def fn(b: bytes) -> bytes | None:
-        g = W.loads(b)
-        rough = G.centroid(g)
-        if rough is None:
-            return None
-        zone, north = G.utm_zone(rough[0], rough[1])
-
-        def proj(geom: G.Geom) -> G.Geom:
-            name, body = geom
-            if body is None:
-                return geom
-            if name == "Point":
-                return (name, G.lonlat_to_utm(body[0], body[1], zone, north))
-            if name == "LineString":
-                return (name, [G.lonlat_to_utm(x, y, zone, north) for x, y in body])
-            if name == "Polygon":
-                return (
-                    name,
-                    [[G.lonlat_to_utm(x, y, zone, north) for x, y in r] for r in body],
-                )
-            return (name, [proj(c) for c in body])
-
-        c = G.centroid(proj(g))
-        if c is None:
-            return None
-        lon, lat = G.utm_to_lonlat(c[0], c[1], zone, north)
-        return W.point(lon, lat)
+        c = centroid_utm_lonlat(b)
+        return None if c is None else W.point(c[0], c[1])
 
     return _map_wkb(s, fn)
 
@@ -200,38 +207,47 @@ _FAMILY_TYPES = {
 _CLEAN_UDFS: dict = {}
 
 
-def st_clean_geometry(
-    family: str, *, make_valid: bool = False, unwrap: bool = False
-) -> Callable:
-    """Fused hygiene pass (G2+G5+G6+G4+G9, F9-F11): ONE WKB decode per
-    row instead of one per check. Returns cleaned WKB, or null when the
-    row must be dropped (wrong family, empty, degenerate area/length).
-    The caller filters ``isNotNull`` — same row set as the chained
-    make_valid → unwrap → type/measure/empty filters, at ~1/5 the
-    Arrow/decode cost (this chain dominated geo_*_normalize bench
-    time)."""
-    key = (family, make_valid, unwrap)
-    if key in _CLEAN_UDFS:
-        return _CLEAN_UDFS[key]
-    keep_types = _FAMILY_TYPES[family]
+def clean_geometry_bytes(
+    b: bytes, family: str, *, make_valid: bool = False, unwrap: bool = False
+) -> bytes | None:
+    """Row-level fused hygiene (G2+G5+G6+G4+G9, F9-F11): make-valid,
+    unwrap, family/empty/degenerate checks in ONE decode. Returns
+    cleaned 2D WKB or None when the row must be dropped. Shared by the
+    UDF and the fixture golden-column generator."""
     from overturelink_data_pipeline_spark.transform import (
         MIN_LINE_LENGTH,
         MIN_POLYGON_AREA,
     )
 
+    keep_types = _FAMILY_TYPES[family]
+    g = W.loads(b)
+    if make_valid:
+        g = G.make_valid(g)
+    if unwrap:
+        g = G.unwrap_single_multipolygon(g)
+    if g[0] not in keep_types or G.is_empty(g):
+        return None
+    if family == "polygons" and G.area(g) <= MIN_POLYGON_AREA:
+        return None
+    if family == "lines" and G.length(g) <= MIN_LINE_LENGTH:
+        return None
+    return W.dumps(g)
+
+
+def st_clean_geometry(
+    family: str, *, make_valid: bool = False, unwrap: bool = False
+) -> Callable:
+    """Fused hygiene pass over :func:`clean_geometry_bytes` — ONE WKB
+    decode per row instead of one per check. The caller filters
+    ``isNotNull`` — same row set as the chained make_valid → unwrap →
+    type/measure/empty filters, at ~1/5 the Arrow/decode cost (this
+    chain dominated geo_*_normalize bench time)."""
+    key = (family, make_valid, unwrap)
+    if key in _CLEAN_UDFS:
+        return _CLEAN_UDFS[key]
+
     def fn(b: bytes) -> bytes | None:
-        g = W.loads(b)
-        if make_valid:
-            g = G.make_valid(g)
-        if unwrap:
-            g = G.unwrap_single_multipolygon(g)
-        if g[0] not in keep_types or G.is_empty(g):
-            return None
-        if family == "polygons" and G.area(g) <= MIN_POLYGON_AREA:
-            return None
-        if family == "lines" and G.length(g) <= MIN_LINE_LENGTH:
-            return None
-        return W.dumps(g)
+        return clean_geometry_bytes(b, family, make_valid=make_valid, unwrap=unwrap)
 
     @pandas_udf(T.BinaryType())
     def _udf(s: pd.Series) -> pd.Series:

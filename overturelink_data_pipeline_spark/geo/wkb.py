@@ -102,7 +102,9 @@ def _parse(buf: bytes, off: int) -> tuple[Geom, int]:
 
 
 def loads(buf: bytes | bytearray | memoryview) -> Geom:
-    """WKB bytes → geometry tuple (Z/M coordinates dropped → 2D)."""
+    """G8 — WKB decode: bytes/bytearray → geometry tuple (Z/M
+    coordinates dropped → 2D, which also realizes G1 Force-2D;
+    reference source.py:734-751, transform.py:207-214)."""
     if isinstance(buf, (bytearray, memoryview)):
         buf = bytes(buf)
     geom, _ = _parse(buf, 0)

@@ -83,7 +83,7 @@ def _single_layer(
         df = df.filter(F.expr(filter_expr))
     df = project(df, type_)
     if options.limit is not None:
-        df = df.limit(options.limit)
+        df = df.limit(options.limit)  # F8 (reference source.py:459-460)
     return df
 
 

@@ -8,6 +8,8 @@ dynamic type discovery source.py:1309-1342.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -116,6 +118,45 @@ def project(df: DataFrame, type_: str) -> DataFrame:
         if root in df.columns:
             cols.append(parse_projection(spec)[0])
     return df.select(*cols)
+
+
+def resolve_latest_release(
+    base_dir: str | None = None,
+    stac_url: str | None = None,
+    timeout: float = 10.0,
+) -> str:
+    """S14 — latest-release resolution (reference settings.py:41-57
+    reads the ``latest`` field of the Overture STAC catalog over HTTP).
+
+    Network path is optional and gated: when ``stac_url`` is given the
+    catalog JSON is fetched and its ``latest`` field returned; any
+    failure (or no URL) falls back to listing release-like directory
+    names under ``base_dir`` and taking the lexicographic max —
+    Overture release ids (``2026-01-15.0``) sort chronologically as
+    strings, the same property the reference's ``releases.sort
+    (reverse=True)`` relies on (source.py:1694).
+    """
+    if stac_url:
+        try:
+            import json as _json
+            import urllib.request
+
+            with urllib.request.urlopen(stac_url, timeout=timeout) as resp:
+                doc = _json.loads(resp.read())
+            latest = doc.get("latest")
+            if latest:
+                return str(latest)
+        except Exception:
+            pass
+    if base_dir and os.path.isdir(base_dir):
+        releases = [
+            n
+            for n in os.listdir(base_dir)
+            if os.path.isdir(os.path.join(base_dir, n)) and n[:1].isdigit()
+        ]
+        if releases:
+            return max(releases)
+    raise LookupError("no release resolvable (no STAC response, no local releases)")
 
 
 def discover_types(spark: SparkSession, base_dir: str, theme: str) -> list[str]:

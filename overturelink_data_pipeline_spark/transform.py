@@ -11,6 +11,21 @@ geometry hygiene (F9-F11, G1/G2/G6) uses the geo UDF layer, always
 
 Output contracts (reference domain/contracts.py:15-101) are enforced
 by :func:`validate_contract` as pre-write assertions.
+
+Coverage notes for the remaining §2 rows this module absorbs:
+
+- J3 (horizontal column concat, reference transform.py:452,491,535)
+  is not a join in Spark — flattened columns are same-row
+  ``withColumn``/``select`` derivations on the original frame.
+- G3 (CRS normalize → EPSG:4326, reference transform.py:258-260) is a
+  convention, not an op: geometry is WKB in 4326 end-to-end; the one
+  real reprojection is the UTM round-trip inside ``st_centroid_utm``
+  (G7). A non-4326 input would be reprojected at ingest via the same
+  pyproj-free affine in geo/geom.py.
+- T3 (reserved-keyword/semantic rename maps) and T5 ('None'-string
+  scrub) are dead code / pandas artifacts in the reference
+  (transform.py:33-95 has no call sites) — deliberately not ported
+  (SURVEY.md §7.4).
 """
 
 from __future__ import annotations
