@@ -40,6 +40,14 @@ from overturelink_data_pipeline_spark.transform import (
 _PROCESSED = "2026-01-01T00:00:00"
 _RELEASE = "2026-05-15.0"
 
+#: Committed golden-fixture parquet (same rows as the temp hive copy
+#: written by fixture_base_dir — both derive from the same seeds), so
+#: the DuckDB oracle can recompute the lifecycle row sets from the
+#: frozen ``_g_*`` clip/hygiene decisions + native SQL predicates.
+_SEG = FX.fixture_glob("transportation_segment")
+_BLD = FX.fixture_glob("buildings_building")
+_PLC = FX.fixture_glob("places_place")
+
 _fixture_dirs: dict[str, str] = {}
 
 
@@ -75,7 +83,24 @@ def _reader(spark: SparkSession, **kwargs) -> OvertureReader:
     )
 
 
-@spark_query("pipeline_education_multilayer")
+@spark_query(
+    "pipeline_education_multilayer",
+    oracle=f"""
+    SELECT id,
+           substr(CAST(names.primary AS VARCHAR), 1, 255) AS name,
+           substr(CAST(categories.primary AS VARCHAR), 1, 255) AS category_primary,
+           'places' AS layer
+    FROM read_parquet('{_PLC}')
+    WHERE _g_in_aa = 1 AND categories.primary = 'education' AND _g_keep = 1
+    UNION ALL
+    SELECT id,
+           CAST(names.primary AS VARCHAR) AS name,
+           CAST(NULL AS VARCHAR) AS category_primary,
+           'buildings' AS layer
+    FROM read_parquet('{_BLD}')
+    WHERE _g_in_aa = 1 AND subtype = 'education'
+    """,
+)
 def pipeline_education_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.1 lifecycle: education multilayer query (places filter +
     buildings building_filter, J2) through the fallback reader with a
@@ -97,7 +122,25 @@ def pipeline_education_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.unionByName(bld).orderBy("layer", "id")
 
 
-@spark_query("pipeline_cache_roundtrip")
+@spark_query(
+    "pipeline_cache_roundtrip",
+    oracle=f"""
+    WITH c AS (
+        SELECT COUNT(*) AS n FROM read_parquet('{_PLC}') WHERE _g_in_aa = 1
+    ),
+    f AS (
+        SELECT COUNT(*) AS n FROM read_parquet('{_PLC}')
+        WHERE _g_in_aa = 1 AND categories.primary = 'education'
+    )
+    SELECT 'cached_complete' AS stage, c.n AS n FROM c
+    UNION ALL SELECT 'complete_gt_filtered',
+              CAST(CASE WHEN c.n > f.n THEN 1 ELSE 0 END AS BIGINT)
+              FROM c, f
+    UNION ALL SELECT 'filtered', f.n FROM f
+    UNION ALL SELECT 'limited', CAST(5 AS BIGINT)
+    UNION ALL SELECT 'limited_is_5', CAST(1 AS BIGINT)
+    """,
+)
 def pipeline_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 lifecycle: --download-only cache population then a filtered
     + limited read back through the cache tier. Proves the
@@ -132,7 +175,20 @@ def pipeline_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "stage string, n long").orderBy("stage")
 
 
-@spark_query("pipeline_roads_geojsonseq")
+@spark_query(
+    "pipeline_roads_geojsonseq",
+    oracle=f"""
+    SELECT id,
+           'Feature' AS feature_type,
+           'LineString' AS geom_type,
+           substr(CAST("class" AS VARCHAR), 1, 255) AS road_class,
+           'BBB' AS country_iso3
+    FROM read_parquet('{_SEG}')
+    WHERE bbox.xmin > 8.0 AND bbox.xmax < 18.0
+      AND bbox.ymin > 0.0 AND bbox.ymax < 10.0
+      AND _g_keep = 1
+    """,
+)
 def pipeline_roads_geojsonseq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 lifecycle (§7.2 minimum slice): roads for one country, bbox
     clip, normalized, exported as distributed GeoJSONSeq; the exported
@@ -178,7 +234,26 @@ def pipeline_roads_geojsonseq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
-@spark_query("pipeline_places_combined")
+@spark_query(
+    "pipeline_places_combined",
+    oracle=f"""
+    SELECT feature_type, geom_type, n FROM (
+        SELECT 'place' AS feature_type, 'Point' AS geom_type,
+               COUNT(*) AS n
+        FROM read_parquet('{_PLC}')
+        WHERE bbox.xmin > 0.0 AND bbox.xmax < 10.0
+          AND bbox.ymin > 0.0 AND bbox.ymax < 10.0
+          AND categories.primary = 'education' AND _g_keep = 1
+        UNION ALL
+        SELECT 'building_centroid', 'Point', COUNT(*)
+        FROM read_parquet('{_BLD}')
+        WHERE bbox.xmin > 0.0 AND bbox.xmax < 10.0
+          AND bbox.ymin > 0.0 AND bbox.ymax < 10.0
+          AND subtype = 'education' AND _g_keep = 1
+          AND _g_clon6 IS NOT NULL
+    ) WHERE n > 0
+    """,
+)
 def pipeline_places_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 — sector-combined layer (reference add_sector_layers,
     cli.py:2306-2364): education multilayer → normalize both layers →
