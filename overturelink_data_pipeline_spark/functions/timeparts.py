@@ -21,9 +21,18 @@ SEC_PER_DAY = 86_400
 SEC_PER_HOUR = 3_600
 
 
+def _idiv(col: Column, divisor: int) -> Column:
+    """Exact integer floor-division for LongType columns. A plain
+    ``/`` goes through DoubleType, whose ~128 ns representation error
+    above 2^53 can floor boundary values into the wrong bucket; routing
+    through decimal(38,0) keeps the quotient exact and stays inside
+    whole-stage codegen."""
+    return F.floor(col.cast("decimal(38,0)") / F.lit(divisor)).cast("long")
+
+
 def epoch_seconds(ns: Column) -> Column:
     """Truncating ns → s (matches DuckDB's ns→us→truncate semantics)."""
-    return F.floor(ns / NS_PER_SEC).cast("long")
+    return _idiv(ns, NS_PER_SEC)
 
 
 def utc_date(ns: Column) -> Column:
@@ -55,4 +64,4 @@ def hour_bucket_str(ns: Column) -> Column:
 def minute_bucket_ns(ns: Column, minutes: int) -> Column:
     """Tumbling-window start in epoch-nanos (streaming-style bucketing)."""
     width = minutes * 60 * NS_PER_SEC
-    return (F.floor(ns / width) * width).cast("long")
+    return (_idiv(ns, width) * width).cast("long")

@@ -23,6 +23,20 @@ from overturelink_data_pipeline_spark.geo.functions import (
 FAMILIES = ("points", "lines", "polygons", "other")
 
 
+class SplitLayers(dict):
+    """Layer dict (``{name}_{family}`` → DataFrame) carrying the shared
+    persisted parent so callers can release executor storage once the
+    family layers are consumed. Iterates exactly like a plain dict, so
+    sinks that flatten multi-layer results see only the four layers."""
+
+    def __init__(self, layers: dict[str, DataFrame], tagged: DataFrame) -> None:
+        super().__init__(layers)
+        self.tagged = tagged
+
+    def unpersist(self, blocking: bool = False) -> None:
+        self.tagged.unpersist(blocking)
+
+
 def with_geometry_family(df: DataFrame, source_type: str | None = None) -> DataFrame:
     """Tag each row with its geometry family (+ optional source_type,
     reference source.py:542,565)."""
@@ -42,13 +56,18 @@ def split_by_geometry(
 
     The tagged frame is persisted so the upstream plan (scan + clip +
     family UDF) executes once; the four family filters are cheap scans
-    of the cached partitions. Consumers that want a single pass with no
-    cache should use :func:`split_write` instead."""
+    of the cached partitions. The returned :class:`SplitLayers` exposes
+    ``.unpersist()`` so long-lived sessions can release the cached
+    partitions once the family layers are consumed. Consumers that want
+    a single pass with no cache should use :func:`split_write` instead."""
     tagged = with_geometry_family(df, source_type=source_type).persist()
-    return {
-        f"{name}_{fam}": tagged.filter(F.col("geometry_family") == fam)
-        for fam in FAMILIES
-    }
+    return SplitLayers(
+        {
+            f"{name}_{fam}": tagged.filter(F.col("geometry_family") == fam)
+            for fam in FAMILIES
+        },
+        tagged,
+    )
 
 
 def split_write(

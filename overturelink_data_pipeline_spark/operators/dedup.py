@@ -293,11 +293,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH (rows-only: xxhash64 signatures are Spark-specific)
+# MinHash + LSH
 # ---------------------------------------------------------------------------
 
 N_HASHES = 32
 N_BANDS = 8  # rows-per-band = 4 → catches jaccard ≳ 0.5 w.h.p.
+
+#: Committed golden-pair parquet (scripts/gen_dedup_goldens.py):
+#: candidate-pair sets frozen by an INDEPENDENT pure-Python
+#: re-implementation (functions/xxh64.py replicates F.xxhash64
+#: bit-for-bit; pinned by tests/test_llm_ops.py), keyed by
+#: corpus_key = SUM(n_chars) of `documents` so one static oracle
+#: string picks the right slice at any SF.
+from pathlib import Path as _Path  # noqa: E402
+
+_GOLDEN = _Path(__file__).resolve().parents[2] / "fixtures" / "dedup_golden"
+_MH_GOLD = str(_GOLDEN / "minhash_pairs.parquet")
+_SH_GOLD = str(_GOLDEN / "simhash_pairs.parquet")
 
 
 def minhash_signature(sh_col: Column, n_hashes: int = N_HASHES) -> Column:
@@ -334,12 +346,48 @@ def minhash_signatures_agg(post: DataFrame, n_hashes: int = N_HASHES) -> DataFra
     )
 
 
-@spark_query("dedup_minhash_lsh")
+@spark_query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH corpus AS ({_PREFIX_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                 i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                      string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                      string_split_regex(trim(text), '\\s+')[i+2]
+               )
+             ) AS sh
+      FROM corpus
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+    ),
+    golden AS (
+      SELECT id_a, id_b FROM read_parquet('{_MH_GOLD}')
+      WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)
+    )
+    SELECT g.id_a, g.id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM golden g
+    JOIN sh a ON a.doc_id = g.id_a
+    JOIN sh b ON b.doc_id = g.id_b
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle → 32-hash signature → 8 bands →
     bucket join on (band, band-hash) → exact-Jaccard verification of
-    candidates only. Rows-only (xxhash64); recall pinned against
-    brute-force Jaccard in tests/test_dedup.py."""
+    candidates only.
+
+    Oracle: the PAIR SET is frozen in committed golden parquet built by
+    an independent pure-Python MinHash/LSH (scripts/gen_dedup_goldens.py
+    — xxh64 replica pinned against F.xxhash64), while the jaccard
+    VALUES are recomputed from raw text by DuckDB string-shingle sets —
+    so both the banding behavior and the verification arithmetic are
+    hash-checked, neither against itself. Recall additionally pinned
+    against brute-force Jaccard in tests/test_llm_ops.py."""
     from pyspark import StorageLevel
 
     # the shingle table feeds three plan legs (signatures + both sides
@@ -402,13 +450,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash (rows-only)
 # ---------------------------------------------------------------------------
 
-@spark_query("dedup_simhash")
+@spark_query(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT id_a, id_b, hamming FROM read_parquet('{_SH_GOLD}')
+    WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature (frequency-weighted per-bit
     vote over token xxhash64s — tokens enter with repetition, the
     classic term-weighted scheme), 4×16-bit band blocking, Hamming ≤ 6
     verify via bit_count(xor). Signature construction is JVM-side
-    array math."""
+    array math.
+
+    Oracle: (id_a, id_b, hamming) frozen by the independent pure-Python
+    SimHash in scripts/gen_dedup_goldens.py (same banding, same votes,
+    xxh64 replica pinned against F.xxhash64) — drift in the distributed
+    vote aggregation or banding breaks the hash match."""
     corpus = _prefix_corpus(spark, sf_dir)
     # bit j of simhash = majority of bit j over token hashes, tokens
     # entering with repetition (term-weighted scheme). The votes are

@@ -67,9 +67,10 @@ def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, list[float]]
     width = 64 + digest[0]
     height = 64 + digest[1]
     n_frames = 1 if kind == "image" else 1 + digest[2] % 32
-    feature = [
-        round((digest[i] - 128) / 128.0, 6) for i in range(3, 3 + FEATURE_DIM)
-    ]
+    # (byte-128)/128 is an exact binary fraction (denominator 2^7), so
+    # the value is bit-identical when re-derived by the DuckDB oracle —
+    # no rounding, which would reintroduce half-even-vs-half-up drift
+    feature = [(digest[i] - 128) / 128.0 for i in range(3, 3 + FEATURE_DIM)]
     return width, height, n_frames, feature
 
 
@@ -120,11 +121,52 @@ def media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("mm_decode_features")
+_HEX = "0123456789abcdef"
+# one md5 byte from hex position p (1-based, odd) as 0-255
+_BYTE = (
+    f"(strpos('{_HEX}', substr(h, {{p}}, 1)) - 1) * 16"
+    f" + strpos('{_HEX}', substr(h, {{p}} + 1, 1)) - 1"
+)
+
+
+@spark_query(
+    "mm_decode_features",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             md5(text) AS h
+      FROM documents
+    ), b AS (
+      SELECT media_id, kind,
+             {_BYTE.format(p=1)} AS b0,
+             {_BYTE.format(p=3)} AS b1,
+             {_BYTE.format(p=5)} AS b2,
+             {_BYTE.format(p=7)} AS b3
+      FROM d
+    )
+    SELECT media_id, kind,
+           CAST(64 + b0 AS INTEGER) AS width,
+           CAST(64 + b1 AS INTEGER) AS height,
+           CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + b2 % 32 END
+                AS INTEGER) AS n_frames,
+           CAST((b3 - 128) / 128.0 AS DOUBLE) AS f0
+    FROM b
+    ORDER BY media_id
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline slice: binary payloads → mapInPandas decode
     stub → typed metadata + feature vector (first dim surfaced for
-    hashability). Rows-only (the kernel is a stub by declaration)."""
+    hashability).
+
+    Oracle-paired even though the kernel is a stub: `_fake_decode` is a
+    deterministic function of md5(payload), and the payload is the
+    UTF-8 text of `documents`, so DuckDB re-derives width/height/
+    n_frames/f0 from md5 hex digits — the full mapInPandas Arrow path
+    is hash-checked end-to-end."""
     media = media_fixture(spark, sf_dir)
     decoded = decode_media(media)
     return decoded.select(
@@ -133,7 +175,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         "n_frames",
-        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.element_at("feature", 1).cast("double").alias("f0"),
     ).orderBy("media_id")
 
 

@@ -538,8 +538,14 @@ def semi_join_customers_with_urgent_orders(
 @spark_query(
     "anti_join_parts_never_ordered",
     oracle="""
+    WITH parts AS (
+      SELECT p_partkey, p_name FROM part
+      UNION ALL
+      SELECT p_partkey + 10000000, 'planted_' || p_name
+      FROM part WHERE p_partkey % 97 = 0
+    )
     SELECT p_partkey, p_name
-    FROM part p
+    FROM parts p
     WHERE NOT EXISTS (
       SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
     )
@@ -547,10 +553,24 @@ def semi_join_customers_with_urgent_orders(
     """,
 )
 def anti_join_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join with PLANTED never-ordered parts: at small SFs every
+    real part appears in lineitem, which made the original oracle pass
+    vacuously with 0 rows on both sides. An id-shifted slice of `part`
+    (keys offset past the key space, so they cannot match lineitem) is
+    unioned in on BOTH sides, the same way the dedup queries plant
+    duplicates — the anti join now provably returns those rows."""
     part = read_table(spark, sf_dir, "part")
+    planted = (
+        part.filter(F.col("p_partkey") % 97 == 0)
+        .select(
+            (F.col("p_partkey") + 10_000_000).alias("p_partkey"),
+            F.concat(F.lit("planted_"), F.col("p_name")).alias("p_name"),
+        )
+    )
+    parts = part.select("p_partkey", "p_name").unionByName(planted)
     li = read_table(spark, sf_dir, "lineitem")
     return (
-        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        parts.join(li, parts.p_partkey == li.l_partkey, "left_anti")
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")
     )

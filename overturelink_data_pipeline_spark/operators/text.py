@@ -206,7 +206,7 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprint (rolling k-gram hash + window
     minimum, Schleimer/Wilkerson/Aiken MOSS scheme) — rows-only (the
     sliding window is not reasonably SQL-expressible); semantics pinned
-    by tests/test_text.py against a pure-Python reference."""
+    by tests/test_llm_ops.py against a pure-Python reference."""
     from overturelink_data_pipeline_spark.functions.fingerprint import (
         winnow_fingerprints,
     )

@@ -71,10 +71,16 @@ def feature_line(df: DataFrame, layer: str | None = None) -> Column:
     prop_cols = [c for c in df.columns if c != _GEOM_COL]
     props = F.to_json(F.struct(*[F.col(c) for c in prop_cols]))
     if layer is not None:
-        # inject the layer tag into properties (reference export.py:277-280)
-        props = F.concat(
-            F.lit('{"layer":"' + layer + '",'),
-            F.substring(props, 2, 2_000_000_000),
+        # inject the layer tag into properties (reference export.py:277-280);
+        # to_json omits null fields, so an all-null row yields '{}' and the
+        # naive splice would emit a trailing comma — branch on that case
+        props = F.when(
+            props == F.lit("{}"), F.lit('{"layer":"' + layer + '"}')
+        ).otherwise(
+            F.concat(
+                F.lit('{"layer":"' + layer + '",'),
+                F.substring(props, 2, 2_000_000_000),
+            )
         )
     geom_json = F.coalesce(st_as_geojson(F.col(_GEOM_COL)), F.lit("null"))
     return F.concat(

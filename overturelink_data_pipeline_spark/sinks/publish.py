@@ -152,11 +152,19 @@ def publish(
     if mode == "initial":
         # seed slice + remainder without re-reading: stream once and
         # split on the fly (reference slices iloc[:seed]/[seed:],
-        # publish.py:657-659 — same split, no second scan)
+        # publish.py:657-659 — same split, no second scan). The seed
+        # accumulates ACROSS batches until seed_count is reached, so a
+        # streamed first batch smaller than the seed still yields the
+        # same seed the reference's iloc slice would.
         seeded = False
+        seed: list[dict] = []
         for batch in _stream_batches(df, batch_size, stream):
             if not seeded:
-                seed, rest = batch[:seed_count], batch[seed_count:]
+                need = seed_count - len(seed)
+                seed.extend(batch[:need])
+                rest = batch[need:]
+                if len(seed) < seed_count and not rest:
+                    continue  # keep accumulating the seed
                 service.create(name, seed)
                 total += len(seed)
                 seeded = True
@@ -166,8 +174,11 @@ def publish(
             else:
                 _append_adaptive(service, batch, batch_floor)
                 total += len(batch)
-        if not seeded:  # empty frame still creates the service
-            service.create(name, [])
+        if not seeded:
+            # frame smaller than the seed (or empty): everything seen so
+            # far IS the seed — the service is still created
+            service.create(name, seed)
+            total += len(seed)
         return total
 
     if mode == "overwrite":

@@ -64,11 +64,14 @@ def ensure_dump(
             dst = theme_path(dump_base, theme, type_)
             df = spark.read.parquet(src)
             missing = expected_columns(type_) - set(df.columns) - {"geometry"}
-            # schema sanity before burning the copy bandwidth — geometry
-            # is checked separately since divisions types carry it under
-            # the same name
-            if missing and "geometry" not in df.columns:
+            # schema sanity before burning the copy bandwidth — the two
+            # checks are independent: a type can be missing expected
+            # attribute columns while still carrying geometry (and vice
+            # versa), and either defect must block the dump
+            if missing:
                 raise ValueError(f"{theme}/{type_}: missing columns {sorted(missing)}")
+            if "geometry" not in df.columns:
+                raise ValueError(f"{theme}/{type_}: missing geometry column")
             (
                 df.write.mode("overwrite")
                 .option("compression", "zstd")

@@ -78,8 +78,11 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(_event_schema(spark, sf_dir))
         .parquet(_stream_dir(sf_dir))
     )
+    # integer `div`, not float `/`: above 2^53 ns a double's ~128 ns
+    # representation error can floor boundary events into the wrong
+    # bucket vs an exact integer-division oracle
     return stream.withColumn(
-        "event_time", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 
@@ -153,7 +156,7 @@ def sessionize_batch(events: DataFrame) -> DataFrame:
     shuffle on user_id; window functions stay JVM-side."""
     from pyspark.sql import Window
 
-    sec = F.floor(F.col("ts") / NS_PER_SEC).cast("long")
+    sec = F.expr(f"ts div {NS_PER_SEC}")  # exact integer division (see read_event_stream)
     w = Window.partitionBy("user_id").orderBy("sec")
     gap = SESSION_GAP_MIN * 60
     marked = (

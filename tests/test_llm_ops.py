@@ -126,3 +126,52 @@ def test_dedup_exact_planted_counts(spark, sf_dir, q):
     # every planted copy (doc_id % 3 == 0) forms a group of exactly 2
     assert (out.n_copies == 2).all()
     assert (out.canonical_id % 3 == 0).all()
+
+
+def test_xxh64_replica_matches_spark(spark):
+    """Pin the pure-Python XXH64 (functions/xxh64.py, used to freeze
+    the dedup goldens) against F.xxhash64 on strings, longs, ints and
+    the chained (lit(int), long) form the MinHash signatures use."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from overturelink_data_pipeline_spark.functions.xxh64 import (
+        hash_long,
+        hash_long_vec,
+        spark_xxhash64,
+    )
+
+    rows = [
+        ("", 0, 0),
+        ("a b c", 1, -1),
+        ("the fast key order sort table scan merge part window", -7, 2**62),
+        ("x" * 100, 2**31 - 1, -(2**63)),
+        ("shingle one two", -(2**31), 9_007_199_254_740_993),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("s", T.StringType()),
+                T.StructField("i", T.IntegerType()),
+                T.StructField("l", T.LongType()),
+            ]
+        ),
+    )
+    got = df.select(
+        F.xxhash64("s").alias("hs"),
+        F.xxhash64("l").alias("hl"),
+        F.xxhash64("i").alias("hi"),
+        F.xxhash64(F.lit(5), F.col("l")).alias("chain"),
+    ).collect()
+    for (s, i, l), r in zip(rows, got):
+        assert spark_xxhash64(s) == r.hs
+        assert spark_xxhash64(l) == r.hl
+        assert spark_xxhash64(("int", i)) == r.hi
+        assert spark_xxhash64(("int", 5), l) == r.chain
+    vals = np.array(
+        [v & ((1 << 64) - 1) for _, _, v in rows], dtype=np.uint64
+    )
+    assert [int(x) for x in hash_long_vec(vals, 42)] == [
+        hash_long(l & ((1 << 64) - 1), 42) for _, _, l in rows
+    ]
