@@ -8,10 +8,12 @@ key — Spark's writer can't inject custom footer metadata without a
 JVM extension, and the sidecar keeps the engine dependency-free while
 remaining machine-readable.
 
-Also hosts the GDAL-driver sinks' stand-ins (S9/S10): GPKG/FileGDB
-need pyogrio/GDAL, absent in this container — they are import-gated
-stubs with the driver-side strategy documented (bounded, country-
-sized outputs, reference export.py:327-407).
+Also routes the single-file GDAL-format sinks (S9/S10): GPKG is a
+real GDAL-free writer (sinks/gpkg.py, stdlib sqlite3 per the public
+OGC spec); FileGDB collects driver-side and hands to pyogrio when the
+GDAL stack is installed (import-gated — OpenFileGDB has no public
+spec to reimplement). Both are bounded country-sized outputs by
+design (reference export.py:327-407).
 """
 
 from __future__ import annotations
@@ -75,27 +77,66 @@ def write_geoparquet(
     return meta
 
 
-def write_gpkg(df: DataFrame, path: str, layer: str = "layer") -> None:
-    """S9 — GeoPackage sink. Driver-side strategy: collect the bounded
-    (country-sized) output and hand to pyogrio/GDAL. Gated on the GDAL
-    stack being installed."""
-    try:
-        import pyogrio  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "GPKG export needs pyogrio/GDAL (not in this container); "
-            "use write_geoparquet or write_geojsonseq instead"
-        ) from exc
-    raise NotImplementedError("pyogrio present but writer not wired yet")
+def write_gpkg(
+    df: DataFrame, path: str, layer: str = "layer", mode: str = "w"
+) -> int:
+    """S9 — GeoPackage sink. Real, GDAL-free: the stdlib-sqlite3 writer
+    in sinks/gpkg.py (GPKG = SQLite + spec metadata tables + GP-header
+    WKB blobs, all public OGC spec). Kept here as a re-export so sink
+    routing has one module."""
+    from overturelink_data_pipeline_spark.sinks.gpkg import write_gpkg as _w
+
+    return _w(df, path, layer=layer, mode=mode)
 
 
-def write_filegdb(df: DataFrame, path: str, layer: str = "layer") -> None:
-    """S10 — FileGDB sink (OpenFileGDB driver, 64-char field-name
-    truncation). Same GDAL gating as write_gpkg."""
+def fgdb_field_names(cols: list[str], limit: int = 64) -> dict[str, str]:
+    """FileGDB 64-char field-name truncation with collision suffixes
+    (reference export.py:393-407 truncates; suffixing keeps names
+    unique when two long names share a 64-char prefix)."""
+    rename: dict[str, str] = {}
+    taken = {c for c in cols if len(c) <= limit}
+    for c in cols:
+        if c == "geometry" or len(c) <= limit:
+            continue
+        base = c[:limit]
+        cand, k = base, 1
+        while cand in taken:
+            suffix = f"_{k}"
+            cand = base[: limit - len(suffix)] + suffix
+            k += 1
+        taken.add(cand)
+        rename[c] = cand
+    return rename
+
+
+def write_filegdb(df: DataFrame, path: str, layer: str = "layer", mode: str = "w") -> int:
+    """S10 — FileGDB sink (OpenFileGDB driver): collect the bounded
+    country-sized output, truncate field names to the 64-char FGDB
+    limit (reference export.py:393-407), hand to
+    ``pyogrio.write_dataframe``. Import-gated: the OpenFileGDB writer
+    only exists in the GDAL stack — there is no public spec to
+    reimplement (unlike GPKG), so absent GDAL this raises."""
     try:
-        import pyogrio  # noqa: F401
+        import geopandas as gpd
+        import pyogrio
     except ImportError as exc:
         raise NotImplementedError(
-            "FileGDB export needs pyogrio/GDAL (not in this container)"
+            "FileGDB export needs pyogrio/geopandas/GDAL (not in this "
+            "container); use write_gpkg (pure-sqlite3) or the "
+            "distributed sinks instead"
         ) from exc
-    raise NotImplementedError("pyogrio present but writer not wired yet")
+    if "OpenFileGDB" not in pyogrio.list_drivers(write=True):
+        raise RuntimeError("GDAL present but OpenFileGDB write driver missing")
+
+    pdf = df.toPandas()
+    rename = fgdb_field_names([c for c in pdf.columns])
+    if rename:
+        pdf = pdf.rename(columns=rename)
+    geom = gpd.GeoSeries.from_wkb(pdf["geometry"])
+    gdf = gpd.GeoDataFrame(
+        pdf.drop(columns=["geometry"]), geometry=geom, crs="EPSG:4326"
+    )
+    pyogrio.write_dataframe(
+        gdf, path, driver="OpenFileGDB", layer=layer, append=(mode == "a")
+    )
+    return len(gdf)

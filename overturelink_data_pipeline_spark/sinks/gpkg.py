@@ -1,0 +1,276 @@
+"""S9 — GeoPackage sink, pure stdlib ``sqlite3`` (no GDAL needed).
+
+A GeoPackage is an SQLite database following the public OGC GPKG
+spec: ``gpkg_spatial_ref_sys`` + ``gpkg_contents`` +
+``gpkg_geometry_columns`` metadata tables, feature tables with an
+integer primary key, and geometry BLOBs = an 8+-byte "GP" header
+(magic, version, flags, srs_id, optional envelope) followed by
+standard WKB — which the engine already speaks (geo/wkb.py). That
+makes a real writer feasible offline, replacing the round-1
+NotImplementedError stub.
+
+Reference semantics mirrored (export.py:327-353, 409-437):
+multi-layer append (`mode='w'` first layer, `'a'` for the rest,
+layer table per name) and the key/value ``metadata`` table. Output is
+driver-bound by design like every single-file sink here — the
+documented envelope is country-sized exports (SURVEY.md §7.3);
+``stream=True`` bounds driver memory via ``toLocalIterator``. The
+scalable bulk path remains GeoParquet/GeoJSONSeq.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import struct
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from overturelink_data_pipeline_spark.geo import geom as G
+from overturelink_data_pipeline_spark.geo import wkb as W
+
+_GEOM_COL = "geometry"
+_SRS_ID = 4326
+#: PRAGMA application_id "GPKG", user_version 1.3.0 (spec values)
+_APPLICATION_ID = 0x47504B47
+_USER_VERSION = 10300
+
+_WGS84_WKT = (
+    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+    '298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'
+)
+
+
+def _sqlite_type(dt: T.DataType) -> str:
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)):
+        return "INTEGER"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "REAL"
+    if isinstance(dt, T.BinaryType):
+        return "BLOB"
+    return "TEXT"
+
+
+def _gp_blob(wkb_bytes: bytes) -> tuple[bytes, tuple[float, float, float, float]]:
+    """Wrap WKB in the GeoPackage binary header (magic 'GP', version 0,
+    flags = little-endian + XY envelope) and return (blob, bbox)."""
+    xmin, xmax, ymin, ymax = G.bbox(W.loads(wkb_bytes))
+    header = (
+        b"GP"
+        + bytes([0, 0b00000011])  # version 0; flags: LE byte order + XY envelope
+        + struct.pack("<i", _SRS_ID)
+        + struct.pack("<4d", xmin, xmax, ymin, ymax)
+    )
+    return header + bytes(wkb_bytes), (xmin, xmax, ymin, ymax)
+
+
+def _ensure_gpkg(con: sqlite3.Connection) -> None:
+    """Create the spec-required metadata tables + SRS rows once."""
+    con.execute(f"PRAGMA application_id = {_APPLICATION_ID}")
+    con.execute(f"PRAGMA user_version = {_USER_VERSION}")
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_spatial_ref_sys (
+             srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+             organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL,
+             definition TEXT NOT NULL, description TEXT)"""
+    )
+    con.executemany(
+        "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+        [
+            ("WGS 84", 4326, "EPSG", 4326, _WGS84_WKT, None),
+            ("Undefined cartesian SRS", -1, "NONE", -1, "undefined", None),
+            ("Undefined geographic SRS", 0, "NONE", 0, "undefined", None),
+        ],
+    )
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_contents (
+             table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL,
+             identifier TEXT UNIQUE, description TEXT DEFAULT '',
+             last_change DATETIME NOT NULL DEFAULT
+               (strftime('%Y-%m-%dT%H:%M:%fZ','now')),
+             min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE,
+             srs_id INTEGER,
+             CONSTRAINT fk_gc_r_srs_id FOREIGN KEY (srs_id)
+               REFERENCES gpkg_spatial_ref_sys(srs_id))"""
+    )
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_geometry_columns (
+             table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+             geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+             z TINYINT NOT NULL, m TINYINT NOT NULL,
+             CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))"""
+    )
+
+
+def _q(ident: str) -> str:
+    return '"' + ident.replace('"', '""') + '"'
+
+
+def write_gpkg(
+    df: DataFrame,
+    path: str,
+    layer: str = "layer",
+    mode: str = "w",
+    stream: bool = False,
+) -> int:
+    """Write one layer into a GeoPackage; returns the feature count.
+
+    ``mode='w'`` starts a fresh file, ``'a'`` appends a layer to an
+    existing one — the reference's multi-layer loop writes the first
+    layer with 'w' and the rest with 'a' (export.py:337-343)."""
+    if mode == "w" and os.path.exists(path):
+        os.remove(path)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+
+    fields = [f for f in df.schema.fields if f.name != _GEOM_COL]
+    has_geom = any(f.name == _GEOM_COL for f in df.schema.fields)
+    col_defs = ", ".join(
+        f"{_q(f.name)} {_sqlite_type(f.dataType)}" for f in fields
+    )
+    con = sqlite3.connect(path)
+    try:
+        _ensure_gpkg(con)
+        ddl = f"CREATE TABLE {_q(layer)} (fid INTEGER PRIMARY KEY AUTOINCREMENT"
+        if col_defs:
+            ddl += ", " + col_defs
+        if has_geom:
+            ddl += f", {_q(_GEOM_COL)} BLOB"
+        ddl += ")"
+        con.execute(ddl)
+
+        names = [f.name for f in fields] + ([_GEOM_COL] if has_geom else [])
+        placeholders = ", ".join("?" for _ in names)
+        insert = (
+            f"INSERT INTO {_q(layer)} ({', '.join(_q(n) for n in names)}) "
+            f"VALUES ({placeholders})"
+        )
+
+        n = 0
+        ext = [None, None, None, None]  # min_x, min_y, max_x, max_y
+        geom_types: set[str] = set()
+        simple = {
+            f.name: not isinstance(
+                f.dataType, (T.StructType, T.ArrayType, T.MapType)
+            )
+            for f in fields
+        }
+
+        def encode_row(row) -> tuple:
+            nonlocal n
+            vals = []
+            for f in fields:
+                v = row[f.name]
+                if v is not None and not simple[f.name]:
+                    v = str(v)  # nested types stringify (GPKG is flat)
+                vals.append(v)
+            if has_geom:
+                wkb_bytes = row[_GEOM_COL]
+                if wkb_bytes is None:
+                    vals.append(None)
+                else:
+                    blob, (xmin, xmax, ymin, ymax) = _gp_blob(bytes(wkb_bytes))
+                    geom_types.add(W.geometry_type(bytes(wkb_bytes)))
+                    ext[0] = xmin if ext[0] is None else min(ext[0], xmin)
+                    ext[1] = ymin if ext[1] is None else min(ext[1], ymin)
+                    ext[2] = xmax if ext[2] is None else max(ext[2], xmax)
+                    ext[3] = ymax if ext[3] is None else max(ext[3], ymax)
+                    vals.append(blob)
+            n += 1
+            return tuple(vals)
+
+        rows = df.toLocalIterator() if stream else df.collect()
+        con.executemany(insert, (encode_row(r) for r in rows))
+
+        type_name = (
+            geom_types.pop().upper() if len(geom_types) == 1 else "GEOMETRY"
+        )
+        now = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.000Z")
+        con.execute(
+            "INSERT OR REPLACE INTO gpkg_contents "
+            "(table_name, data_type, identifier, description, last_change, "
+            " min_x, min_y, max_x, max_y, srs_id) VALUES (?,?,?,?,?,?,?,?,?,?)",
+            (layer, "features", layer, "", now, ext[0], ext[1], ext[2], ext[3], _SRS_ID),
+        )
+        if has_geom:
+            con.execute(
+                "INSERT OR REPLACE INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",
+                (layer, _GEOM_COL, type_name, _SRS_ID),
+            )
+        con.commit()
+        return n
+    finally:
+        con.close()
+
+
+def write_gpkg_layers(
+    layers: dict[str, DataFrame], path: str, prefix: str | None = None
+) -> dict[str, int]:
+    """Multi-layer export — 'w' for the first layer, 'a' for the rest
+    (reference export.py:337-343); optional ``{prefix}_{layer}`` table
+    naming as the non-raw reference path does."""
+    counts = {}
+    for i, (name, df) in enumerate(layers.items()):
+        table = f"{prefix}_{name}" if prefix else name
+        counts[table] = write_gpkg(df, path, layer=table, mode="w" if i == 0 else "a")
+    return counts
+
+
+def add_gpkg_metadata(path: str, metadata: dict[str, str]) -> None:
+    """Key/value ``metadata`` table (reference export.py:409-437)."""
+    con = sqlite3.connect(path)
+    try:
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS metadata (key TEXT PRIMARY KEY, value TEXT)"
+        )
+        con.executemany(
+            "INSERT OR REPLACE INTO metadata (key, value) VALUES (?, ?)",
+            [(k, str(v)) for k, v in metadata.items()],
+        )
+        con.commit()
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------------------
+# Read-back (round-trip tests + downstream consumers without GDAL)
+# ---------------------------------------------------------------------------
+
+def list_gpkg_layers(path: str) -> list[str]:
+    con = sqlite3.connect(path)
+    try:
+        rows = con.execute(
+            "SELECT table_name FROM gpkg_contents WHERE data_type='features' "
+            "ORDER BY table_name"
+        ).fetchall()
+        return [r[0] for r in rows]
+    finally:
+        con.close()
+
+
+def read_gpkg_layer(path: str, layer: str) -> list[dict]:
+    """Rows as dicts with the raw WKB restored from the GP blob."""
+    con = sqlite3.connect(path)
+    con.row_factory = sqlite3.Row
+    try:
+        out = []
+        for row in con.execute(f"SELECT * FROM {_q(layer)} ORDER BY fid"):
+            d = dict(row)
+            blob = d.get(_GEOM_COL)
+            if blob is not None:
+                d[_GEOM_COL] = unwrap_gp_blob(bytes(blob))
+            out.append(d)
+        return out
+    finally:
+        con.close()
+
+
+def unwrap_gp_blob(blob: bytes) -> bytes:
+    """Strip the GP header (respecting its flags) → standard WKB."""
+    if blob[:2] != b"GP":
+        raise ValueError("not a GeoPackage geometry blob")
+    flags = blob[3]
+    envelope_ind = (flags >> 1) & 0b111
+    env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[envelope_ind]
+    return blob[8 + env_len :]

@@ -43,13 +43,13 @@ def stage_file(
     frames = {"layer": layers} if isinstance(layers, DataFrame) else layers
     if fmt == "gpkg":
         path = os.path.join(staging_dir, f"{name}.gpkg")
-        for layer_name, df in frames.items():
-            write_gpkg(df, path, layer=layer_name)
+        for i, (layer_name, df) in enumerate(frames.items()):
+            write_gpkg(df, path, layer=layer_name, mode="w" if i == 0 else "a")
         return path
     if fmt == "fgdb":
         gdb_dir = os.path.join(staging_dir, f"{name}.gdb")
-        for layer_name, df in frames.items():
-            write_filegdb(df, gdb_dir, layer=layer_name)
+        for i, (layer_name, df) in enumerate(frames.items()):
+            write_filegdb(df, gdb_dir, layer=layer_name, mode="w" if i == 0 else "a")
         zipped = shutil.make_archive(gdb_dir, "zip", staging_dir, f"{name}.gdb")
         return zipped
     raise ValueError(f"unknown staging format {fmt!r}")

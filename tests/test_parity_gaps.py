@@ -57,10 +57,21 @@ def test_stage_geojson_roundtrip(spark, tmp_path):
     assert not os.path.exists(path)
 
 
-def test_stage_gpkg_gated(spark):
+def test_stage_gpkg_roundtrip(spark, tmp_path):
+    from overturelink_data_pipeline_spark.geo import fixtures as FX
+    from overturelink_data_pipeline_spark.sinks.gpkg import (
+        list_gpkg_layers,
+        read_gpkg_layer,
+    )
+    from overturelink_data_pipeline_spark.transform import normalize_places
+
+    places = normalize_places(FX.fixture_df(spark, "places_place")).limit(5)
+    path = stage_file(places, "gpkg", staging_dir=str(tmp_path), name="pl")
+    assert path.endswith("pl.gpkg")
+    assert list_gpkg_layers(path) == ["layer"]
+    assert len(read_gpkg_layer(path, "layer")) == 5
+
     df = spark.createDataFrame([("a",)], "id string")
-    with pytest.raises(NotImplementedError):
-        stage_file(df, "gpkg")
     with pytest.raises(ValueError):
         stage_file(df, "csv")
 
