@@ -107,6 +107,17 @@ def expected_columns(type_: str) -> set[str]:
     return names
 
 
+def expected_source_columns(type_: str) -> set[str]:
+    """Source-side root columns a type's projection reads (``names.primary
+    as name`` reads root ``names``). This — not the output-name set — is
+    what a pre-projection mirror like the theme dump must validate
+    against, since the dump copies raw source schema."""
+    specs = PROJECTIONS.get(type_, ["id", "geometry"])
+    roots = {s.split(" as ")[0].strip().split(".")[0] for s in specs}
+    roots.add("geometry")
+    return roots
+
+
 def project(df: DataFrame, type_: str) -> DataFrame:
     """Apply the per-type projection, tolerating absent columns the way
     the reference's transform layer does (schema-on-read with graceful

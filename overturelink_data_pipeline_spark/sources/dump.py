@@ -26,7 +26,7 @@ from pyspark.sql import SparkSession
 
 from overturelink_data_pipeline_spark.plans.overture import (
     discover_types,
-    expected_columns,
+    expected_source_columns,
     theme_path,
 )
 
@@ -63,11 +63,13 @@ def ensure_dump(
             src = theme_path(src_base, theme, type_)
             dst = theme_path(dump_base, theme, type_)
             df = spark.read.parquet(src)
-            missing = expected_columns(type_) - set(df.columns) - {"geometry"}
-            # schema sanity before burning the copy bandwidth — the two
-            # checks are independent: a type can be missing expected
-            # attribute columns while still carrying geometry (and vice
-            # versa), and either defect must block the dump
+            # the dump mirrors RAW source schema, so validate the
+            # projection's source roots (``names``), not its output
+            # aliases (``name``); the two checks are independent: a type
+            # can be missing expected attribute columns while still
+            # carrying geometry (and vice versa), and either defect must
+            # block the dump
+            missing = expected_source_columns(type_) - set(df.columns) - {"geometry"}
             if missing:
                 raise ValueError(f"{theme}/{type_}: missing columns {sorted(missing)}")
             if "geometry" not in df.columns:
