@@ -162,9 +162,15 @@ def pipeline_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         reader = _reader(spark, cache_root=cache_root)
         meta = reader.cache_country(q, country)
         filtered = reader.read(q, country)[q.name]
-        n_filtered = filtered.count()
         limited = reader.read(q, country, RunOptions(limit=5))[q.name]
-        n_limited = limited.count()
+        # both counts in ONE job (union of aggregates) — separate
+        # .count() actions each pay the job-submission floor
+        counts = (
+            filtered.agg(F.count(F.lit(1)).alias("n"))
+            .unionAll(limited.agg(F.count(F.lit(1)).alias("n")))
+            .collect()
+        )
+        n_filtered, n_limited = int(counts[0]["n"]), int(counts[1]["n"])
     rows = [
         ("cached_complete", meta.feature_count),
         ("filtered", n_filtered),

@@ -45,7 +45,10 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     result hash-matches DuckDB's batch aggregate."""
     read_table(spark, sf_dir, "events")  # sets nanosAsLong defensively
     stream = read_event_stream(spark, sf_dir)
-    result = run_to_completion(windowed_event_counts(stream, minutes=60), spark)
+    # bounded replay → 8 state partitions (see run_to_completion)
+    result = run_to_completion(
+        windowed_event_counts(stream, minutes=60), spark, shuffle_partitions=8
+    )
     return result.orderBy("bucket_start_s", "event_type")
 
 
@@ -95,6 +98,6 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_table(spark, sf_dir, "events")
     stream = read_event_stream(spark, sf_dir)
     result = run_to_completion(
-        sessionize_stream(stream), spark, output_mode="append"
+        sessionize_stream(stream), spark, output_mode="append", shuffle_partitions=8
     )
     return result.orderBy("user_id", "session_start_s")

@@ -83,7 +83,11 @@ def write_cache(
     layout (country caches are bounded by construction); pass None to
     keep the plan's partitioning for unusually large extracts."""
     if partitions is not None:
-        df = df.coalesce(partitions)
+        # repartition, NOT coalesce: coalesce(1) would collapse the whole
+        # upstream clip pipeline (bbox filter + spatial-intersect UDF)
+        # into a single task; the round-robin shuffle keeps the expensive
+        # upstream parallel and only funnels the bounded country output
+        df = df.repartition(partitions)
     df.write.mode("overwrite").option("compression", "zstd").parquet(parquet_path)
     # count + bbox in one aggregate over the written data (re-read so
     # the numbers describe exactly what landed on disk)

@@ -110,23 +110,39 @@ def windowed_event_counts(stream: DataFrame, minutes: int = 60) -> DataFrame:
 
 
 def run_to_completion(
-    streaming_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+    streaming_df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a streaming plan over its (static) source with
     Trigger.AvailableNow into a memory sink; return the result as a
     batch DataFrame. This is the replay harness that makes streaming
-    results oracle-comparable."""
+    results oracle-comparable.
+
+    ``shuffle_partitions`` overrides the state-partition count for this
+    run only (each state partition carries its own state store +
+    maintenance thread; a bounded replay doesn't need 32 of them — a
+    production ``writeStream`` to a real sink would keep cluster-sized
+    state partitioning and never set this)."""
     name = "s" + uuid.uuid4().hex[:12]
     checkpoint = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), name)
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 
