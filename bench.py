@@ -49,11 +49,29 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # warm the parquet WRITE path (output committer, zstd encoder,
+    # Hadoop FileSystem init — ~10 s one-time, measured) which noop
+    # writes never touch; pipeline_cache_roundtrip and the sink queries
+    # would otherwise absorb it
+    import tempfile as _tf
+    import uuid as _uuid
+
+    _pq = os.path.join(_tf.mkdtemp(prefix="bench_warm_"), "w.parquet")
+    spark.range(100).write.mode("overwrite").parquet(_pq)
+    spark.read.parquet(_pq).write.format("noop").mode("overwrite").save()
+
+    # materialize the shared Overture-layout fixture dir once (session
+    # setup reused read-only by every pipeline_* query; alphabetical
+    # order otherwise bills all of it to pipeline_cache_roundtrip)
+    from overturelink_data_pipeline_spark.operators.pipeline import (
+        fixture_base_dir,
+    )
+
+    fixture_base_dir(spark)
+
     # warm the Structured-Streaming machinery (state-store provider,
     # micro-batch planner, checkpoint writer) — its one-time JVM init is
     # ~5 s and would otherwise be billed to the first stream_* query
-    import tempfile as _tf
-    import uuid as _uuid
 
     _ckpt = os.path.join(_tf.mkdtemp(prefix="bench_ckpt_"), "w")
     _wq = (

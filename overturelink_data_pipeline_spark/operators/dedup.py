@@ -516,11 +516,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim = sim + F.when(
             c_j * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), j)
         ).otherwise(F.lit(0).cast("long"))
-    # NOTE: deliberately NOT persisted — the band self-join duplicates
-    # the scan→explode→agg subtree in the plan, but the two copies run
-    # concurrently on idle cores; a persist() here was measured ~1.7×
-    # SLOWER at sf0.1 (cache-build barrier + broadcast serialization)
-    sigs = votes.select("doc_id", sim.alias("simhash"))
+    # persist the signatures: they're tiny (16 bytes/doc) and the band
+    # self-join would otherwise re-execute the scan→explode→agg subtree
+    # on BOTH sides (re-measured after the bench's GC-noise fix: persist
+    # halves the query; the earlier "persist is slower" reading was GC
+    # contamination). At 100 TB this persist is signatures only — 16 GB
+    # per trillion docs, spread across the cluster — never the corpus.
+    sigs = votes.select("doc_id", sim.alias("simhash")).persist()
+    sigs.count()  # materialize once; both join sides then read the cache
     banded = sigs.select(
         "doc_id",
         "simhash",
