@@ -68,16 +68,72 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _events_read_confs(spark: SparkSession) -> None:
+    """Pin the one parquet-reader conf ``events.ts`` needs:
+    TIMESTAMP(NANOS) has no Spark type → read as epoch-nanos LongType.
+
+    Deliberately does NOT touch ``inferTimestampNTZ``: that conf is
+    session-global, and forcing it off would turn every
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) column in the *other*
+    tables (``o_orderdate``, ``l_shipdate``, …) into tz-dependent
+    TimestampType — a one-day date shift under non-UTC driver sessions.
+    ``nanosAsLong`` is safe globally: no other test table uses nanos.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _normalize_ts(df):
+    """Tz-free epoch-nanos ``ts`` from whatever Spark type it read as.
+    The generator has shipped TIMESTAMP(NANOS) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) across rounds, and the session's
+    NTZ-inference conf is the driver's to choose, so all three arrivals
+    are handled:
+
+    - LongType — already epoch nanos (nanosAsLong scan);
+    - TimestampNTZType — ``timestampdiff(MICROSECOND, epoch, ts)``:
+      exact integer micros, no session-timezone term;
+    - TimestampType — ``unix_micros``: reads the internal epoch-micros
+      field directly, also tz-free.
+
+    All pure Catalyst expressions — codegen'd; pushdown on other
+    columns in the scan is unaffected.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df
+    if isinstance(ts_type, T.TimestampNTZType):
+        micros = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        )
+    else:  # TimestampType
+        micros = F.unix_micros(F.col("ts"))
+    return df.withColumn("ts", micros * F.lit(1000))
+
+
+def read_events(spark: SparkSession, sf_dir: str):
+    """Scan ``events`` with ``ts`` normalized to epoch-nanos LongType.
+
+    Every downstream operator (timeparts bucketing, sessionization,
+    watermark derivation) works on exact integer nanos, so the file's
+    physical timestamp unit is erased here, once, tz-free — see
+    :func:`_normalize_ts` for the three arrival types handled.
+    """
+    _events_read_confs(spark)
+    return _normalize_ts(spark.read.parquet(table_path(sf_dir, "events")))
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Columnar parquet scan; Catalyst prunes columns + pushes filters.
 
-    ``events`` is stored with nanosecond timestamps; Spark's parquet
-    reader has no TIMESTAMP(NANOS) type, so we read it as epoch-nanos
-    LongType (set defensively here in case the calling session was not
-    built by :func:`get_spark`). Queries convert with the tz-free
-    helpers in ``functions.timeparts`` so results are independent of
+    ``events`` goes through :func:`read_events`, which normalizes the
+    ``ts`` column to epoch-nanos LongType regardless of the file's
+    physical timestamp unit. Queries convert with the tz-free helpers
+    in ``functions.timeparts`` so results are independent of
     ``spark.sql.session.timeZone``.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return read_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))

@@ -45,7 +45,13 @@ SESSION_GAP_MIN = 30
 
 def _event_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     """File-source streams require a declared schema — take it from a
-    batch footer read (one cheap driver call)."""
+    batch footer read (one cheap driver call). The nanosAsLong conf is
+    pinned first so a TIMESTAMP(NANOS) file reads as LongType; micros
+    files arrive as TimestampNTZ or Timestamp per the session's own
+    inference conf — both handled downstream (session._normalize_ts)."""
+    from overturelink_data_pipeline_spark.session import _events_read_confs
+
+    _events_read_confs(spark)
     return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
@@ -70,18 +76,20 @@ def _stream_dir(sf_dir: str) -> str:
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with an event-time column.
 
-    ``ts`` arrives as epoch-nanos long (nanosAsLong scan);
-    ``timestamp_micros`` turns it into an absolute instant usable for
+    ``ts`` is normalized to epoch-nanos long (matching the batch
+    read_events contract, via session._normalize_ts — tz-free for all
+    three arrival types: nanos-as-long, TimestampNTZ, Timestamp) and
+    ``event_time`` is an absolute-instant TimestampType usable for
     watermarks, independent of the session timezone.
     """
-    stream = (
-        spark.readStream.schema(_event_schema(spark, sf_dir))
-        .parquet(_stream_dir(sf_dir))
-    )
+    from overturelink_data_pipeline_spark.session import _normalize_ts
+
+    schema = _event_schema(spark, sf_dir)
+    stream = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
     # integer `div`, not float `/`: above 2^53 ns a double's ~128 ns
     # representation error can floor boundary events into the wrong
     # bucket vs an exact integer-division oracle
-    return stream.withColumn(
+    return _normalize_ts(stream).withColumn(
         "event_time", F.timestamp_micros(F.expr("ts div 1000"))
     )
 

@@ -106,15 +106,15 @@ def main() -> None:
                    l_tax, l_returnflag, l_linestatus, l_shipdate
             FROM {src('lineitem')} CROSS JOIN {rng}""",
     )
-    # events must stay TIMESTAMP(NANOS) like the driver's data (the
-    # engine's ns-as-long read path depends on it); DuckDB's parquet
-    # writer downcasts to micros, so replicate with pyarrow instead.
+    # events must keep the driver's exact timestamp unit (the engine's
+    # read path normalizes ns-as-long vs micros based on the physical
+    # type); DuckDB's parquet writer would downcast nanos to micros, so
+    # replicate with pyarrow, which preserves the unit bit-for-bit.
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     evt = pq.read_table(f"{SRC}/events.parquet")
     assert pa.types.is_timestamp(evt.schema.field("ts").type)
-    assert evt.schema.field("ts").type.unit == "ns"
     reps = []
     for k in range(copies):
         reps.append(
