@@ -1,0 +1,279 @@
+"""Command-line surface for the three reference lifecycles
+(reference cli.py: Typer app with arcgis-upload / export /
+overture-dump commands, cli.py:967-2084).
+
+Spark-first re-expression with stdlib argparse (Typer is not in the
+container and a CLI needs no runtime dependency anyway):
+
+- ``export``   — §3.2: read → normalize → add_metadata → format sink
+  (``--raw`` short-circuits the transform stage like the reference's
+  ``COPY … FORMAT GDAL`` path, cli.py:1271-1278);
+- ``cache``    — §3.3 ``--download-only``: complete-country clip
+  persisted with sidecar metadata (source.py:1394-1483);
+- ``dump``     — §3.3 whole-theme mirror (``ensure_dump``,
+  source.py:1092-1233);
+- ``countries``— registry listing (reference list-countries helpers,
+  config/countries.py:69-80).
+
+Every command accepts ``--base-dir`` pointing at a hive
+``theme=/type=`` layout; without it the seeded Overture-shaped
+fixtures are written to a temp dir, so each lifecycle is runnable
+end-to-end offline (that is also how tests/test_cli.py drives it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from overturelink_data_pipeline_spark import countries as registry
+from overturelink_data_pipeline_spark.plans.config import builtin_queries
+from overturelink_data_pipeline_spark.plans.models import (
+    ClipStrategy,
+    Country,
+    RunOptions,
+)
+from overturelink_data_pipeline_spark.sources.dump import ensure_dump
+from overturelink_data_pipeline_spark.sources.fallback import OvertureReader
+
+DEFAULT_RELEASE = "2026-05-15.0"
+
+
+def _resolve_country(identifier: str) -> Country:
+    """Registry lookup, with the three synthetic fixture countries
+    (AA/BB/CC) resolvable too so offline fixture runs work."""
+    from overturelink_data_pipeline_spark.geo import fixtures as FX
+
+    for c in FX.COUNTRIES:
+        if identifier.upper() in (c["iso2"], c["iso3"]) or (
+            identifier.lower() == c["name"].lower()
+        ):
+            return Country(
+                name=c["name"], iso2=c["iso2"], iso3=c["iso3"],
+                region=c["region"], bbox=tuple(c["bbox"]),
+            )
+    return registry.require_country(identifier)
+
+
+def _spark(args: argparse.Namespace):
+    from overturelink_data_pipeline_spark.session import get_spark
+
+    return get_spark(app_name=f"ol-cli-{args.command}")
+
+
+def _base_dir(spark, args: argparse.Namespace) -> str:
+    if args.base_dir:
+        return args.base_dir
+    from overturelink_data_pipeline_spark.operators.pipeline import fixture_base_dir
+
+    return fixture_base_dir(spark)
+
+
+def _normalize_layers(layers, query, country, processed_date=None):
+    """The reference's transform stage (cli.py:1084-1115): per-theme
+    schema normalization, metadata enrichment, sector-combined layer
+    for multilayer queries."""
+    from overturelink_data_pipeline_spark.transform import (
+        add_metadata,
+        add_sector_layers,
+        normalize_buildings,
+        normalize_places,
+        normalize_roads,
+    )
+
+    norm_by_theme = {
+        "transportation": normalize_roads,
+        "buildings": normalize_buildings,
+        "places": normalize_places,
+    }
+    out = {}
+    for name, df in layers.items():
+        theme = "places" if name == "places" else (
+            "buildings" if name == "buildings" else query.theme
+        )
+        norm = norm_by_theme.get(theme)
+        if norm is not None and not query.geometry_split:
+            df = norm(df)
+        out[name] = add_metadata(
+            df, country.iso3, country.name, query.name,
+            processed_date=processed_date,
+        )
+    if query.sector_title:
+        out = add_sector_layers(out)
+    return out
+
+
+def cmd_export(args: argparse.Namespace) -> int:
+    from overturelink_data_pipeline_spark.sinks.geojson import (
+        write_geojson,
+        write_geojsonseq,
+    )
+    from overturelink_data_pipeline_spark.sinks.geoparquet import (
+        write_filegdb,
+        write_geoparquet,
+        write_gpkg,
+    )
+    from overturelink_data_pipeline_spark.transform import export_filename
+
+    spark = _spark(args)
+    query = builtin_queries()[args.query]
+    country = _resolve_country(args.country)
+    reader = OvertureReader(
+        spark,
+        base_dir=_base_dir(spark, args),
+        release=args.release,
+        dump_dir=args.dump_root,
+        cache_root=args.cache_root,
+        backoff_base_s=0.0,
+    )
+    options = RunOptions(clip=ClipStrategy(args.clip), limit=args.limit)
+    layers = reader.read(query, country, options)
+    if not args.raw:
+        layers = _normalize_layers(layers, query, country)
+
+    out = args.output or export_filename(
+        country.iso3, query.name, args.format, raw=args.raw
+    )
+    single = next(iter(layers.values())) if len(layers) == 1 else None
+    if args.format == "geojson":
+        n = write_geojson(layers if single is None else single, out)
+    elif args.format == "geojsonseq":
+        # distributed sink — multilayer flattens with a layer tag
+        if single is not None:
+            write_geojsonseq(single, out)
+        else:
+            import functools
+
+            from pyspark.sql import functions as F
+
+            tagged = functools.reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                (
+                    df.withColumn("layer", F.lit(name))
+                    for name, df in layers.items()
+                ),
+            )
+            write_geojsonseq(tagged, out)
+        n = None
+    elif args.format == "gpkg":
+        n = 0
+        for i, (name, df) in enumerate(layers.items()):
+            n += write_gpkg(df, out, layer=name, mode="w" if i == 0 else "a")
+    elif args.format == "fgdb":
+        n = 0
+        for i, (name, df) in enumerate(layers.items()):
+            n += write_filegdb(df, out, layer=name, mode="w" if i == 0 else "a")
+    elif args.format == "geoparquet":
+        meta = write_geoparquet(single if single is not None else layers[next(iter(layers))], out)
+        n = meta.get("rows")
+    else:  # pragma: no cover — argparse choices guard this
+        raise ValueError(args.format)
+    print(json.dumps({"written": out, "features": n, "layers": sorted(layers)}))
+    return 0
+
+
+def cmd_cache(args: argparse.Namespace) -> int:
+    spark = _spark(args)
+    query = builtin_queries()[args.query]
+    country = _resolve_country(args.country)
+    reader = OvertureReader(
+        spark,
+        base_dir=_base_dir(spark, args),
+        release=args.release,
+        cache_root=args.cache_root,
+        backoff_base_s=0.0,
+    )
+    meta = reader.cache_country(query, country)
+    from overturelink_data_pipeline_spark.sources.cache import cache_path
+
+    print(json.dumps({
+        "cached": cache_path(
+            args.cache_root, args.release, country.iso2, query.theme, query.type
+        ),
+        "rows": meta.feature_count, "country": meta.country,
+        "theme": meta.theme, "type": meta.type, "release": meta.release,
+    }))
+    return 0
+
+
+def cmd_dump(args: argparse.Namespace) -> int:
+    spark = _spark(args)
+    side = ensure_dump(
+        spark,
+        src_base=_base_dir(spark, args),
+        dump_base=args.dump_root,
+        theme=args.theme,
+        release=args.release,
+    )
+    print(json.dumps(side))
+    return 0
+
+
+def cmd_countries(args: argparse.Namespace) -> int:
+    if args.regions:
+        for r in registry.list_regions():
+            print(r)
+        return 0
+    for c in registry.list_countries(region=args.region):
+        print(f"{c.iso2}\t{c.iso3}\t{c.region}\t{c.name}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="overturelink_data_pipeline_spark",
+        description=__doc__.splitlines()[0],
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--base-dir", default=None,
+                        help="hive theme=/type= source root (default: seeded fixtures)")
+        sp.add_argument("--release", default=DEFAULT_RELEASE)
+
+    q_names = sorted(builtin_queries())
+
+    exp = sub.add_parser("export", help="§3.2 export lifecycle")
+    exp.add_argument("query", choices=q_names)
+    exp.add_argument("output", nargs="?", default=None)
+    exp.add_argument("--country", required=True)
+    exp.add_argument("--format", default="geojson",
+                     choices=["geojson", "geojsonseq", "gpkg", "fgdb", "geoparquet"])
+    exp.add_argument("--clip", default="divisions", choices=["divisions", "bbox"])
+    exp.add_argument("--limit", type=int, default=None)
+    exp.add_argument("--raw", action="store_true",
+                     help="skip normalize/metadata (reference --raw short-circuit)")
+    exp.add_argument("--dump-root", default=None)
+    exp.add_argument("--cache-root", default=None)
+    common(exp)
+    exp.set_defaults(fn=cmd_export)
+
+    cac = sub.add_parser("cache", help="§3.3 --download-only lifecycle")
+    cac.add_argument("query", choices=q_names)
+    cac.add_argument("--country", required=True)
+    cac.add_argument("--cache-root", required=True)
+    common(cac)
+    cac.set_defaults(fn=cmd_cache)
+
+    dmp = sub.add_parser("dump", help="§3.3 whole-theme mirror")
+    dmp.add_argument("theme")
+    dmp.add_argument("--dump-root", required=True)
+    common(dmp)
+    dmp.set_defaults(fn=cmd_dump)
+
+    cnt = sub.add_parser("countries", help="registry listing")
+    cnt.add_argument("--region", default=None)
+    cnt.add_argument("--regions", action="store_true",
+                     help="list distinct regions instead of countries")
+    cnt.set_defaults(fn=cmd_countries)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -26,11 +26,68 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: Public Overture Maps release bucket (reference source.py:352 default).
+DEFAULT_OVERTURE_BASE_URL = "s3://overturemaps-us-west-2/release"
+
+
+def region_from_url(base_url: str, default: str = "us-west-2") -> str:
+    """AWS region embedded in the bucket name (reference
+    source.py:312-319 derives DuckDB's ``s3_region`` the same way:
+    ``s3://overturemaps-us-west-2/release`` → ``us-west-2``)."""
+    host = base_url.removeprefix("s3://").removeprefix("s3a://").split("/")[0]
+    parts = host.split("-")
+    compass = {
+        "east", "west", "central", "north", "south", "northeast", "southeast",
+    }
+    if len(parts) >= 3 and parts[-2] in compass and parts[-1].isdigit():
+        return "-".join(parts[-3:])
+    if len(parts) >= 2 and parts[-1].isdigit():
+        return "-".join(parts[-2:])
+    return default
+
+
+def s3a_conf(base_url: str = DEFAULT_OVERTURE_BASE_URL) -> dict[str, str]:
+    """``fs.s3a.*`` conf for reading the public Overture bucket — the
+    Spark analog of the reference's DuckDB httpfs tuning
+    (source.py:351-369: s3_region from the base URL, 30-min transfer
+    timeout, 3 retries, keep-alive):
+
+    - anonymous credentials: the release bucket is public, and an
+      accidental instance-profile lookup adds minutes of IMDS timeout
+      on misconfigured clusters;
+    - ``fadvise=random``: parquet column reads seek between row-group
+      column chunks; sequential readahead would drag whole objects
+      through the NIC (at 100 TB this is the difference between
+      reading the 3 projected columns and reading the file);
+    - generous socket/establish timeouts + bounded retries for the
+      multi-GB column chunks the transportation theme serves.
+
+    Returned as a dict for ``get_spark(extra_conf=...)`` or a real
+    cluster's ``spark-defaults.conf`` — keys are static Hadoop-AWS
+    (hadoop-aws ≥3.3) settings, nothing deployment-specific baked in.
+    """
+    return {
+        "spark.hadoop.fs.s3a.aws.credentials.provider": (
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+        ),
+        "spark.hadoop.fs.s3a.endpoint.region": region_from_url(base_url),
+        "spark.hadoop.fs.s3a.connection.timeout": "200000",
+        "spark.hadoop.fs.s3a.connection.establish.timeout": "30000",
+        "spark.hadoop.fs.s3a.attempts.maximum": "3",
+        "spark.hadoop.fs.s3a.retry.limit": "3",
+        "spark.hadoop.fs.s3a.connection.maximum": "96",
+        "spark.hadoop.fs.s3a.experimental.input.fadvise": "random",
+        "spark.hadoop.fs.s3a.readahead.range": "1M",
+        "spark.hadoop.fs.s3a.vectored.read.min.seek.size": "128K",
+    }
+
+
 def get_spark(
     app_name: str = "overturelink-spark",
     cpus: int | str | None = None,
     shuffle_partitions: int | str | None = None,
     extra_conf: dict[str, str] | None = None,
+    s3: bool = False,
 ) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle_partitions = shuffle_partitions or os.environ.get(
@@ -56,6 +113,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
+    if s3 or os.environ.get("SPARK_GRAFT_S3") == "1":
+        for k, v in s3a_conf(
+            os.environ.get("OVERTURE_BASE_URL", DEFAULT_OVERTURE_BASE_URL)
+        ).items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
