@@ -164,6 +164,18 @@ def cmd_export(args: argparse.Namespace) -> int:
         n = 0
         for i, (name, df) in enumerate(layers.items()):
             n += write_filegdb(df, out, layer=name, mode="w" if i == 0 else "a")
+    elif args.format == "shapefile":
+        from overturelink_data_pipeline_spark.sinks.shapefile import write_shapefile
+
+        n = 0
+        if single is not None:
+            n = write_shapefile(single, out)
+        else:
+            # no multi-layer concept in the format: one file per layer,
+            # sharing the stem (GDAL's directory-of-shapefiles dataset)
+            stem = out[:-4] if out.lower().endswith(".shp") else out
+            for name, df in layers.items():
+                n += write_shapefile(df, f"{stem}_{name}.shp")
     elif args.format == "geoparquet":
         meta = write_geoparquet(single if single is not None else layers[next(iter(layers))], out)
         n = meta.get("rows")
@@ -239,7 +251,8 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("output", nargs="?", default=None)
     exp.add_argument("--country", required=True)
     exp.add_argument("--format", default="geojson",
-                     choices=["geojson", "geojsonseq", "gpkg", "fgdb", "geoparquet"])
+                     choices=["geojson", "geojsonseq", "gpkg", "fgdb",
+                              "geoparquet", "shapefile"])
     exp.add_argument("--clip", default="divisions", choices=["divisions", "bbox"])
     exp.add_argument("--limit", type=int, default=None)
     exp.add_argument("--raw", action="store_true",

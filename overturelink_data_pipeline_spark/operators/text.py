@@ -201,12 +201,55 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@spark_query("text_winnowing_fingerprint")
+@spark_query(
+    "text_winnowing_fingerprint",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, s, unnest(generate_series(1, length(s)-4)) AS i
+      FROM d WHERE length(s) >= 5
+    ),
+    g AS (
+      SELECT doc_id, i,
+        (((CAST(unicode(substr(s,CAST(i AS INT),1)) AS BIGINT)*257
+          + unicode(substr(s,CAST(i+1 AS INT),1)))*257
+          + unicode(substr(s,CAST(i+2 AS INT),1)))*257
+          + unicode(substr(s,CAST(i+3 AS INT),1)))*257
+          + unicode(substr(s,CAST(i+4 AS INT),1)) AS h
+      FROM p
+    ),
+    w AS (
+      SELECT doc_id, i,
+        min(h) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+        count(*) OVER (PARTITION BY doc_id) AS m
+      FROM g
+    ),
+    picked AS (
+      SELECT DISTINCT doc_id, mh FROM w
+      WHERE (m <= 4 AND i = 1) OR (m > 4 AND i <= m - 3)
+    ),
+    agg AS (
+      SELECT doc_id, array_to_string(list_sort(list(mh)), ',') AS fingerprints
+      FROM picked GROUP BY doc_id
+    )
+    SELECT d0.doc_id, COALESCE(a.fingerprints, '') AS fingerprints
+    FROM documents d0 LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
 def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprint (rolling k-gram hash + window
-    minimum, Schleimer/Wilkerson/Aiken MOSS scheme) — rows-only (the
-    sliding window is not reasonably SQL-expressible); semantics pinned
-    by tests/test_llm_ops.py against a pure-Python reference."""
+    minimum, Schleimer/Wilkerson/Aiken MOSS scheme); semantics pinned
+    both by tests/test_llm_ops.py lockstep vs a pure-Python reference
+    AND by a full DuckDB oracle: for k=5 the polynomial hash never
+    exceeds max_codepoint·257⁴ < 2⁶³, so the numpy mod-2⁶⁴ wraparound
+    is unreachable and the whole scheme (k-gram hash → sliding min →
+    distinct) is exactly expressible in BIGINT SQL with a window
+    frame of CURRENT ROW..3 FOLLOWING over valid start positions."""
     from overturelink_data_pipeline_spark.functions.fingerprint import (
         winnow_fingerprints,
     )

@@ -1,0 +1,349 @@
+"""S11 — ESRI Shapefile sink, pure stdlib (no GDAL needed).
+
+The reference's raw-export path emits Shapefile through GDAL
+(``COPY … TO path (FORMAT GDAL, DRIVER 'ESRI Shapefile')``,
+source.py:617-676). The format itself is the public 1998 ESRI
+whitepaper: a ``.shp`` of geometry records, a ``.shx`` offset index,
+a dBASE III ``.dbf`` attribute table, plus ``.prj``/``.cpg``
+sidecars — all fixed-layout binary, writable with ``struct`` alone,
+which the engine already uses for WKB (geo/wkb.py).
+
+Spec constraints honored rather than worked around:
+
+- ONE shape type per file (whitepaper p.4): mixed-family frames must
+  go through geo/split.py first, exactly the reference's
+  ``geometry_split`` flow; mixing raises with that guidance.
+- 10-char uppercase DBF field names, deduplicated with numeric
+  suffixes (the classic shapefile truncation — same idea as the
+  FileGDB 64-char truncation, reference export.py:389-397).
+- dBASE has no NULL: numeric nulls serialize as spaces, text as
+  blanks (what GDAL writes too).
+
+Driver-bound single-file sink like gpkg.py — the documented envelope
+is country-sized exports; the scalable bulk path remains
+GeoParquet/GeoJSONSeq.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from overturelink_data_pipeline_spark.geo import wkb as W
+
+_GEOM_COL = "geometry"
+
+#: Family → shapefile shape-type code (whitepaper table 1, XY variants).
+_SHAPE_TYPES = {
+    "Point": 1,
+    "LineString": 3,
+    "MultiLineString": 3,
+    "Polygon": 5,
+    "MultiPolygon": 5,
+    "MultiPoint": 8,
+}
+
+_WGS84_PRJ = (
+    'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",'
+    '6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],'
+    'UNIT["Degree",0.0174532925199433]]'
+)
+
+
+def shp_field_names(cols: list[str], limit: int = 10) -> dict[str, str]:
+    """Original → DBF-legal name (≤10 chars, uppercase, deduplicated
+    with numeric suffixes), mirroring fgdb_field_names' contract."""
+    out: dict[str, str] = {}
+    used: set[str] = set()
+    for c in cols:
+        base = c.upper()[:limit] or "F"
+        cand, k = base, 1
+        while cand in used:
+            suf = str(k)
+            cand = base[: limit - len(suf)] + suf
+            k += 1
+        used.add(cand)
+        out[c] = cand
+    return out
+
+
+def _dbf_field_spec(dt: T.DataType) -> tuple[str, int, int]:
+    """(type char, width, decimals) for one Spark column."""
+    if isinstance(dt, T.BooleanType):
+        return ("L", 1, 0)
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return ("N", 19, 0)
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return ("N", 24, 10)
+    return ("C", 254, 0)
+
+
+def _fmt_cell(v: Any, spec: tuple[str, int, int]) -> bytes:
+    t, w, d = spec
+    if t == "L":
+        s = "?" if v is None else ("T" if v else "F")
+        return s.encode()
+    if t == "N":
+        if v is None:
+            return b" " * w
+        s = f"{v:.{d}f}" if d else str(int(v))
+        if len(s) > w:
+            s = s[:w]
+        return s.rjust(w).encode()
+    # C: text, UTF-8, space-padded / truncated at byte boundary
+    s = b"" if v is None else str(v).encode("utf-8")[:w]
+    return s.ljust(w)
+
+
+# -- geometry encoders (all little-endian after the int32 type code) ----
+
+
+def _enc_point(geom: W.Geom) -> bytes:
+    x, y = geom[1]
+    return struct.pack("<i2d", 1, x, y)
+
+
+def _paths_of(geom: W.Geom) -> list[list[tuple[float, float]]]:
+    kind, data = geom
+    if kind == "LineString":
+        return [data]
+    return [child[1] for child in data]  # MultiLineString children
+
+
+def _rings_of(geom: W.Geom) -> list[list[tuple[float, float]]]:
+    kind, data = geom
+    if kind == "Polygon":
+        rings = data
+    else:  # MultiPolygon: flatten all rings of all polygons
+        rings = [r for child in data for r in child[1]]
+    return rings
+
+
+def _ring_cw(ring: list[tuple[float, float]], outer: bool) -> list[tuple[float, float]]:
+    """Shapefile ring order: outer rings clockwise, holes CCW
+    (whitepaper p.12). Signed shoelace area > 0 means CCW."""
+    area2 = sum(
+        (x1 * y2 - x2 * y1)
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1])
+    )
+    ccw = area2 > 0
+    if (outer and ccw) or (not outer and not ccw):
+        return ring[::-1]
+    return ring
+
+
+def _enc_multipart(shape_type: int, parts: list[list[tuple[float, float]]]) -> bytes:
+    pts = [p for part in parts for p in part]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    out = bytearray(
+        struct.pack(
+            "<i4d2i",
+            shape_type,
+            min(xs), min(ys), max(xs), max(ys),
+            len(parts), len(pts),
+        )
+    )
+    off = 0
+    for part in parts:
+        out += struct.pack("<i", off)
+        off += len(part)
+    for x, y in pts:
+        out += struct.pack("<2d", x, y)
+    return bytes(out)
+
+
+def _enc_multipoint(geom: W.Geom) -> bytes:
+    pts = [child[1] for child in geom[1]]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    out = bytearray(
+        struct.pack("<i4di", 8, min(xs), min(ys), max(xs), max(ys), len(pts))
+    )
+    for x, y in pts:
+        out += struct.pack("<2d", x, y)
+    return bytes(out)
+
+
+def _encode_shape(geom: W.Geom, shape_type: int) -> bytes:
+    kind = geom[0]
+    if shape_type == 1:
+        return _enc_point(geom)
+    if shape_type == 3:
+        return _enc_multipart(3, _paths_of(geom))
+    if shape_type == 5:
+        if kind == "Polygon":
+            rings = [
+                _ring_cw(r, outer=(i == 0)) for i, r in enumerate(geom[1])
+            ]
+        else:
+            rings = [
+                _ring_cw(r, outer=(i == 0))
+                for child in geom[1]
+                for i, r in enumerate(child[1])
+            ]
+        return _enc_multipart(5, rings)
+    if shape_type == 8:
+        return _enc_multipoint(geom)
+    raise ValueError(f"unsupported shape type {shape_type}")
+
+
+def _shp_header(shape_type: int, file_len_words: int, bbox) -> bytes:
+    xmin, ymin, xmax, ymax = bbox
+    return (
+        struct.pack(">i5i i", 9994, 0, 0, 0, 0, 0, file_len_words)
+        + struct.pack("<2i", 1000, shape_type)
+        + struct.pack("<8d", xmin, ymin, xmax, ymax, 0.0, 0.0, 0.0, 0.0)
+    )
+
+
+def write_shapefile(
+    df: DataFrame, path: str, stream: bool = False
+) -> int:
+    """Write ``df`` (with a WKB ``geometry`` column) as a shapefile;
+    ``path`` is the ``.shp`` path, siblings get the same stem. Returns
+    the feature count. Null geometries write as Null Shape records
+    (type 0), matching GDAL."""
+    stem, ext = os.path.splitext(path)
+    if ext.lower() != ".shp":
+        stem = path
+    os.makedirs(os.path.dirname(os.path.abspath(stem + ".shp")), exist_ok=True)
+
+    fields = [f for f in df.schema.fields if f.name != _GEOM_COL]
+    names = shp_field_names([f.name for f in fields])
+    specs = {f.name: _dbf_field_spec(f.dataType) for f in fields}
+    simple = {
+        f.name: not isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
+        for f in fields
+    }
+
+    shp_records: list[bytes] = []
+    dbf_records: list[bytes] = []
+    shape_type: int | None = None
+    ext_box = [None, None, None, None]
+
+    rows = df.toLocalIterator() if stream else df.collect()
+    for row in rows:
+        wkb_bytes = row[_GEOM_COL]
+        if wkb_bytes is None:
+            shp_records.append(struct.pack("<i", 0))  # Null Shape
+        else:
+            geom = W.loads(bytes(wkb_bytes))
+            st = _SHAPE_TYPES.get(geom[0])
+            if st is None:
+                raise ValueError(
+                    f"geometry type {geom[0]} not representable in a shapefile"
+                )
+            if shape_type is None:
+                shape_type = st
+            elif st != shape_type:
+                raise ValueError(
+                    "shapefiles hold ONE shape type; split mixed frames "
+                    "with geo.split.split_by_geometry first (the "
+                    "reference's geometry_split flow)"
+                )
+            shp_records.append(_encode_shape(geom, st))
+            from overturelink_data_pipeline_spark.geo import geom as G
+
+            xmin, xmax, ymin, ymax = G.bbox(geom)
+            ext_box[0] = xmin if ext_box[0] is None else min(ext_box[0], xmin)
+            ext_box[1] = ymin if ext_box[1] is None else min(ext_box[1], ymin)
+            ext_box[2] = xmax if ext_box[2] is None else max(ext_box[2], xmax)
+            ext_box[3] = ymax if ext_box[3] is None else max(ext_box[3], ymax)
+        cells = []
+        for f in fields:
+            v = row[f.name]
+            if v is not None and not simple[f.name]:
+                v = str(v)
+            cells.append(_fmt_cell(v, specs[f.name]))
+        dbf_records.append(b" " + b"".join(cells))
+
+    n = len(shp_records)
+    bbox = tuple(v if v is not None else 0.0 for v in ext_box)
+    st_final = shape_type or 0
+
+    # .shp + .shx (lengths/offsets in 16-bit words, big-endian)
+    shp_body = bytearray()
+    shx_body = bytearray()
+    offset_words = 50  # header = 100 bytes
+    for i, content in enumerate(shp_records, start=1):
+        clen_words = len(content) // 2
+        shp_body += struct.pack(">2i", i, clen_words) + content
+        shx_body += struct.pack(">2i", offset_words, clen_words)
+        offset_words += 4 + clen_words
+    with open(stem + ".shp", "wb") as f:
+        f.write(_shp_header(st_final, 50 + len(shp_body) // 2, bbox))
+        f.write(shp_body)
+    with open(stem + ".shx", "wb") as f:
+        f.write(_shp_header(st_final, 50 + len(shx_body) // 2, bbox))
+        f.write(shx_body)
+
+    # .dbf (dBASE III)
+    rec_size = 1 + sum(specs[f.name][1] for f in fields)
+    hdr_size = 32 + 32 * len(fields) + 1
+    dbf = bytearray()
+    dbf += struct.pack(
+        "<4B i 2H 20x", 3, 26, 8, 13, n, hdr_size, rec_size
+    )
+    for f in fields:
+        t, w, d = specs[f.name]
+        dbf += names[f.name].encode().ljust(11, b"\x00")
+        dbf += t.encode()
+        dbf += b"\x00" * 4
+        dbf += bytes([w, d])
+        dbf += b"\x00" * 14
+    dbf += b"\x0d"
+    for rec in dbf_records:
+        dbf += rec
+    dbf += b"\x1a"
+    with open(stem + ".dbf", "wb") as f:
+        f.write(dbf)
+
+    with open(stem + ".prj", "w") as f:
+        f.write(_WGS84_PRJ)
+    with open(stem + ".cpg", "w") as f:
+        f.write("UTF-8")
+    return n
+
+
+def read_shapefile(path: str) -> list[dict]:
+    """Minimal read-back for round-trip tests: geometry bboxes +
+    attribute strings (not a full parser — enough to verify counts,
+    shape types, and field values survive)."""
+    stem, _ = os.path.splitext(path)
+    out: list[dict] = []
+    with open(stem + ".shp", "rb") as f:
+        data = f.read()
+    (shape_type,) = struct.unpack_from("<i", data, 32)
+    off = 100
+    shapes = []
+    while off < len(data):
+        _, clen = struct.unpack_from(">2i", data, off)
+        st = struct.unpack_from("<i", data, off + 8)[0]
+        shapes.append((st, data[off + 8 : off + 8 + clen * 2]))
+        off += 8 + clen * 2
+    with open(stem + ".dbf", "rb") as f:
+        dbf = f.read()
+    n, hdr_size, rec_size = struct.unpack_from("<i2H", dbf, 4)
+    nfields = (hdr_size - 33) // 32
+    fields = []
+    for i in range(nfields):
+        base = 32 + 32 * i
+        name = dbf[base : base + 11].split(b"\x00")[0].decode()
+        ftype = chr(dbf[base + 11])
+        w = dbf[base + 16]
+        fields.append((name, ftype, w))
+    for i in range(n):
+        rec = dbf[hdr_size + i * rec_size : hdr_size + (i + 1) * rec_size]
+        vals, p = {}, 1
+        for name, ftype, w in fields:
+            raw = rec[p : p + w]
+            vals[name] = raw.decode("utf-8", "replace").strip()
+            p += w
+        st, body = shapes[i] if i < len(shapes) else (0, b"")
+        out.append({"shape_type": st, "attrs": vals})
+    return out

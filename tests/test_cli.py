@@ -106,3 +106,22 @@ def test_cli_dump_lifecycle(tmp_path, capsys):
     side = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert side["complete"] and side["release"] == "2026-05-15.0"
     assert os.path.isdir(os.path.join(root, "theme=places"))
+
+
+def test_cli_export_shapefile(tmp_path, capsys):
+    out = str(tmp_path / "aaa_roads.shp")
+    assert main([
+        "export", "roads", out, "--country", "AA", "--format", "shapefile",
+        "--limit", "25",
+    ]) == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["features"] > 0
+    for ext in (".shp", ".shx", ".dbf", ".prj", ".cpg"):
+        assert os.path.exists(out[:-4] + ext), ext
+    from overturelink_data_pipeline_spark.sinks.shapefile import read_shapefile
+
+    rows = read_shapefile(out)
+    assert len(rows) == result["features"]
+    # roads are LineStrings → PolyLine (3); attrs carry the ISO3 tag
+    assert all(r["shape_type"] in (0, 3) for r in rows)
+    assert rows[0]["attrs"].get("COUNTRY_IS") == "AAA"

@@ -431,3 +431,69 @@ def test_publish_contract_validation(spark):
     df = FX.fixture_df(spark, "places_place").select("id", "geometry")
     with pytest.raises(ValueError, match="contract"):
         publish(df, MockFeatureService(), mode="append")
+
+
+def test_shapefile_roundtrip(spark, tmp_path):
+    """Pure-stdlib shapefile write → read-back: counts, shape types,
+    DBF attribute truncation, ring-orientation and mixed-type guard."""
+    from pyspark.sql import Row
+
+    from overturelink_data_pipeline_spark.geo import wkb as W
+    from overturelink_data_pipeline_spark.sinks.shapefile import (
+        read_shapefile,
+        shp_field_names,
+        write_shapefile,
+    )
+
+    # polygons incl. a CCW shell (writer must flip to CW) and a hole
+    shell_ccw = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    hole_cw = [(1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 1.0), (1.0, 1.0)]
+    polys = [
+        ("Polygon", [shell_ccw, hole_cw]),
+        ("MultiPolygon", [("Polygon", [shell_ccw])]),
+    ]
+    rows = [
+        Row(id=i, name=f"poly_{i}", height=float(i) + 0.25,
+            geometry=W.dumps(g))
+        for i, g in enumerate(polys)
+    ] + [Row(id=99, name="nullgeom", height=None, geometry=None)]
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "polys.shp")
+    assert write_shapefile(df, path) == 3
+
+    back = read_shapefile(path)
+    assert len(back) == 3
+    assert [r["shape_type"] for r in back] == [5, 5, 0]  # Polygon, Polygon, Null
+    assert back[0]["attrs"]["NAME"] == "poly_0"
+    assert float(back[0]["attrs"]["HEIGHT"]) == 0.25
+    assert back[2]["attrs"]["HEIGHT"] == ""  # dBASE null = blanks
+
+    # shp ring orientation: outer must be CW in the file
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    st, = struct.unpack_from("<i", data, 108)  # first record content
+    assert st == 5
+    nparts, npts = struct.unpack_from("<2i", data, 108 + 36)
+    assert nparts == 2  # shell + hole preserved as parts
+    pts_off = 108 + 44 + 4 * nparts  # int32 part-start indexes
+    ring = [struct.unpack_from("<2d", data, pts_off + 16 * i) for i in range(5)]
+    area2 = sum(x1 * y2 - x2 * y1 for (x1, y1), (x2, y2) in zip(ring, ring[1:]))
+    assert area2 < 0  # clockwise shell
+
+    # 10-char field truncation + dedup
+    names = shp_field_names(["country_iso3", "country_iso2", "x"])
+    assert names["country_iso3"] == "COUNTRY_IS"
+    assert names["country_iso2"] == "COUNTRY_I1"
+    assert names["x"] == "X"
+
+    # one-shape-type-per-file guard names the split operator
+    mixed = spark.createDataFrame([
+        Row(id=1, geometry=W.dumps(("Point", (1.0, 2.0)))),
+        Row(id=2, geometry=W.dumps(("LineString", [(0.0, 0.0), (1.0, 1.0)]))),
+    ])
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="split_by_geometry"):
+        write_shapefile(mixed, str(tmp_path / "mixed.shp"))
