@@ -31,7 +31,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from overturelink_data_pipeline_spark.registry import spark_query
-from overturelink_data_pipeline_spark.session import read_table
+from overturelink_data_pipeline_spark.session import (
+    ensure_parallelism,
+    read_table,
+)
 
 # ---------------------------------------------------------------------------
 # Exact dedup (hash-groupBy)
@@ -60,7 +63,7 @@ _DUP_UNION = """
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group on content hash, keep min-id canonical row.
     One shuffle; the HAVING>1 output is the duplicate report."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
@@ -96,7 +99,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized exact dedup: case/whitespace-mangled copies collapse
     onto their originals under lower+collapse normalization."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select("doc_id", "text")
     mangled = (
         docs.filter(F.col("doc_id") % 5 == 0)
         .withColumn("doc_id", F.col("doc_id") + 1000000)
@@ -154,7 +157,7 @@ _PREFIX_CORPUS_SQL = """
 def _prefix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus + 80%-prefix copies of every 7th doc (high shingle overlap
     with the original, low overlap with everything else)."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select("doc_id", "lang", "text")
     pref = (
         docs.filter(F.col("doc_id") % 7 == 0)
         .withColumn("doc_id", F.col("doc_id") + 1000000)
@@ -607,7 +610,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = read_table(spark, sf_dir, "embeddings").select(
+    emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

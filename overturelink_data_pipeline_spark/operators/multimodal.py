@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from overturelink_data_pipeline_spark.registry import spark_query
-from overturelink_data_pipeline_spark.session import read_table
+from overturelink_data_pipeline_spark.session import (
+    ensure_parallelism,
+    read_table,
+)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -103,7 +106,7 @@ def media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table derived from `documents`: each doc's
     text bytes become the opaque payload (what matters is the plumbing,
     not the codec)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")

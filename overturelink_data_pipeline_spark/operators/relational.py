@@ -569,8 +569,17 @@ def anti_join_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     parts = part.select("p_partkey", "p_name").unionByName(planted)
     li = read_table(spark, sf_dir, "lineitem")
+    # reduce the probe side to DISTINCT keys before the anti join: the
+    # partial (map-side) aggregation collapses the fact table to its
+    # key domain per partition, so the shuffle carries |keys| rows, not
+    # |lineitem| rows — at 100 TB that is the difference between
+    # shuffling terabytes and shuffling the part-key domain. AQE then
+    # converts the anti join to broadcast at runtime when the distinct
+    # set is small (local SFs), and keeps the shuffled join when it
+    # isn't — no hand-placed broadcast that would break at scale.
+    ordered_keys = li.select("l_partkey").distinct()
     return (
-        parts.join(li, parts.p_partkey == li.l_partkey, "left_anti")
+        parts.join(ordered_keys, parts.p_partkey == ordered_keys.l_partkey, "left_anti")
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")
     )

@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 
 from overturelink_data_pipeline_spark.operators.dedup import cosine
 from overturelink_data_pipeline_spark.registry import spark_query
-from overturelink_data_pipeline_spark.session import read_table
+from overturelink_data_pipeline_spark.session import (
+    ensure_parallelism,
+    read_table,
+)
 
 TOP_K = 20
 QUERY_VEC_ID = 0  # fixed, deterministic query point
@@ -54,7 +57,7 @@ def _query_vec(df: DataFrame) -> DataFrame:
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs one query vector — the exact
     baseline every ANN variant is recall-checked against."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
     q = _query_vec(emb)
     scored = (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -81,7 +84,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector hygiene rollup: per-label count + mean L2 norm."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
     l2 = F.sqrt(
         F.aggregate(
             F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -105,7 +108,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg per (label, dim) → collect to array), probe the 3 nearest
     cells, exact-score only vectors in probed cells. Rows-only;
     recall vs the brute-force baseline is pinned in tests."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
+    emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -169,7 +172,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing: 16-bit signatures, bucket-size
     histogram (the data layout a bucketed ANN join would shuffle on).
     Rows-only; signature determinism + bucket-join recall in tests."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
+    emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     dim = 64  # embeddings table dimension (TESTDATA.md)

@@ -15,7 +15,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from overturelink_data_pipeline_spark.registry import spark_query
-from overturelink_data_pipeline_spark.session import read_table
+from overturelink_data_pipeline_spark.session import (
+    ensure_parallelism,
+    read_table,
+)
 
 #: Marker words per language for the n-gram/stopword-overlap heuristic.
 #: (The synthetic corpus draws from one shared vocabulary, so the
@@ -57,7 +60,7 @@ def _overlap(tok: Column, words: list[str]) -> Column:
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + chars/4 BPE-ish estimate."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     return (
         docs.select(
             "lang",
@@ -103,7 +106,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token count, punctuation ratio, stopword ratio →
     quality bucket. Pure codegen expressions over the scan."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     tok = tokens(F.col("text"))
     low_tok = tokens(F.lower(F.col("text")))
     n_tokens = F.size(tok)
@@ -157,7 +160,7 @@ def _lang_oracle_scores() -> str:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-word overlap per language, argmax
     with a fixed tie-break order (en,es,de,fr,zh)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     low_tok = tokens(F.lower(F.col("text")))
     scored = docs.select(
         "doc_id",
@@ -193,7 +196,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-content fingerprint (lowercase + whitespace collapse →
     md5) + a 256-way shard key, the exact-dedup / routing primitive."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
     fp = F.md5(norm)
     return docs.select(
@@ -254,7 +257,7 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_fingerprints,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.concat_ws(",", winnow_fingerprints(F.col("text"))).alias("fingerprints"),

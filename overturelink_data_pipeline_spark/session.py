@@ -187,6 +187,29 @@ def read_events(spark: SparkSession, sf_dir: str):
     return _normalize_ts(spark.read.parquet(table_path(sf_dir, "events")))
 
 
+def ensure_parallelism(df, min_fraction: float = 0.5):
+    """Round-robin repartition a scan whose partition count is far
+    below the cluster's parallelism — and ONLY then.
+
+    Parquet scans split at row-group boundaries; a file written with
+    giant row groups (pyarrow's default is 1 Mi rows — the test
+    tables' ``documents``/``events`` are single-group) yields a
+    1-task scan, and every narrow op downstream (explode, regex,
+    hashing) inherits that single task regardless of cores. CPU-heavy
+    operators route their scan through here: if the scan already has
+    ≥ half the default parallelism — any sanely-written lake at any
+    scale, where AQE owns sizing — this is a NO-OP and adds no
+    shuffle. The repartition pays one small-table shuffle only in the
+    pathological layout, where it buys cores× speedup on the compute
+    that follows.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, int(target * min_fraction)):
+        return df.repartition(target)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Columnar parquet scan; Catalyst prunes columns + pushes filters.
 

@@ -45,10 +45,13 @@ def main() -> None:
     def src(t: str) -> str:
         return f"read_parquet('{SRC}/{t}.parquet')"
 
-    def gen(t: str, select_sql: str) -> None:
+    def gen(t: str, select_sql: str, row_group: int = 65536) -> None:
         dst = f"{out}/{t}.parquet"
         con.sql(
-            f"COPY ({select_sql}) TO '{dst}' (FORMAT PARQUET, COMPRESSION ZSTD)"
+            # explicit row groups: Spark parallelizes a scan at row-group
+            # boundaries, so one giant group = a 1-task scan no matter
+            # how many cores — size for ~32-way splits on the big tables
+f"COPY ({select_sql}) TO '{dst}' (FORMAT PARQUET, COMPRESSION ZSTD, ROW_GROUP_SIZE {row_group})"
         )
         n = con.sql(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
         print(f"{t}: {n} rows -> {dst}", flush=True)
@@ -130,7 +133,8 @@ def main() -> None:
             )
         )
     pq.write_table(
-        pa.concat_tables(reps), f"{out}/events.parquet", compression="zstd"
+        pa.concat_tables(reps), f"{out}/events.parquet", compression="zstd",
+        row_group_size=65536,  # splittable scan (see COPY note above)
     )
     print(f"events: {sum(t.num_rows for t in reps)} rows (pyarrow, ns)", flush=True)
     gen(
@@ -144,6 +148,7 @@ def main() -> None:
                         ELSE regexp_replace(text, '(\\S+)', '\\1_' || k, 'g')
                    END) AS BIGINT) AS n_chars
             FROM {src('documents')} CROSS JOIN {rng}""",
+        row_group=4096,  # few rows, expensive rows: keep the scan splittable
     )
     gen(
         "embeddings",
@@ -154,6 +159,7 @@ def main() -> None:
                    END AS embedding,
                    label
             FROM {src('embeddings')} CROSS JOIN {rng}""",
+        row_group=2048,
     )
 
 
