@@ -185,6 +185,55 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_publish(args: argparse.Namespace) -> int:
+    """§3.1 arcgis-upload analog: read → normalize → publish each layer
+    through the Sink protocol (seed-then-batch / truncate-append /
+    adaptive halving — reference publish.py:646-711). Without a live
+    AGOL endpoint the service factory is the in-memory mock; a real
+    deployment injects its own factory via the library API
+    (sinks.publish.publish_multi_layer)."""
+    from overturelink_data_pipeline_spark.sinks.publish import (
+        MockFeatureService,
+        publish_multi_layer,
+    )
+    from overturelink_data_pipeline_spark.transform import sanitize_service_name
+
+    spark = _spark(args)
+    query = builtin_queries()[args.query]
+    country = _resolve_country(args.country)
+    reader = OvertureReader(
+        spark,
+        base_dir=_base_dir(spark, args),
+        release=args.release,
+        dump_dir=args.dump_root,
+        cache_root=args.cache_root,
+        backoff_base_s=0.0,
+    )
+    options = RunOptions(clip=ClipStrategy(args.clip), limit=args.limit)
+    layers = _normalize_layers(
+        reader.read(query, country, options), query, country
+    )
+    services: dict[str, MockFeatureService] = {}
+
+    def factory(name: str) -> MockFeatureService:
+        services[name] = MockFeatureService()
+        return services[name]
+
+    counts = publish_multi_layer(
+        layers, factory, mode=args.mode, seed_count=args.seed_count,
+        batch_size=args.batch_size,
+    )
+    print(json.dumps({
+        "service": sanitize_service_name(f"{country.iso3}_{query.name}"),
+        "mode": args.mode,
+        "layers": {
+            name: {"uploaded": counts[name], "rows": services[name].count()}
+            for name in sorted(counts)
+        },
+    }))
+    return 0
+
+
 def cmd_cache(args: argparse.Namespace) -> int:
     spark = _spark(args)
     query = builtin_queries()[args.query]
@@ -261,6 +310,20 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--cache-root", default=None)
     common(exp)
     exp.set_defaults(fn=cmd_export)
+
+    pub = sub.add_parser("publish", help="§3.1 arcgis-upload lifecycle (mock service)")
+    pub.add_argument("query", choices=q_names)
+    pub.add_argument("--country", required=True)
+    pub.add_argument("--mode", default="initial",
+                     choices=["initial", "overwrite", "append"])
+    pub.add_argument("--seed-count", type=int, default=100)
+    pub.add_argument("--batch-size", type=int, default=2000)
+    pub.add_argument("--clip", default="divisions", choices=["divisions", "bbox"])
+    pub.add_argument("--limit", type=int, default=None)
+    pub.add_argument("--dump-root", default=None)
+    pub.add_argument("--cache-root", default=None)
+    common(pub)
+    pub.set_defaults(fn=cmd_publish)
 
     cac = sub.add_parser("cache", help="§3.3 --download-only lifecycle")
     cac.add_argument("query", choices=q_names)

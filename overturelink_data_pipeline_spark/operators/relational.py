@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from overturelink_data_pipeline_spark.registry import spark_query
-from overturelink_data_pipeline_spark.session import read_table
+from overturelink_data_pipeline_spark.session import (
+    ensure_parallelism,
+    read_table,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -332,8 +335,10 @@ def union_layer_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
+    # JSON parsing is the CPU hot spot here — spread a split-starved
+    # scan (see session.ensure_parallelism) before the per-row parse
     return (
-        read_table(spark, sf_dir, "events")
+        ensure_parallelism(read_table(spark, sf_dir, "events"))
         .select("event_id", k.alias("k_value"))
         .filter(F.col("k_value") >= 50)
         .orderBy("event_id")

@@ -125,3 +125,16 @@ def test_cli_export_shapefile(tmp_path, capsys):
     # roads are LineStrings → PolyLine (3); attrs carry the ISO3 tag
     assert all(r["shape_type"] in (0, 3) for r in rows)
     assert rows[0]["attrs"].get("COUNTRY_IS") == "AAA"
+
+
+def test_cli_publish_lifecycle(capsys):
+    assert main([
+        "publish", "education", "--country", "AA", "--seed-count", "10",
+        "--batch-size", "50",
+    ]) == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["mode"] == "initial"
+    assert set(result["layers"]) >= {"places", "buildings"}
+    for layer in result["layers"].values():
+        assert layer["rows"] == layer["uploaded"] >= 0
+    assert any(v["rows"] > 0 for v in result["layers"].values())
