@@ -209,3 +209,85 @@ def mm_metadata_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+FRAME_STEP = 4
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_score", T.DoubleType()),
+    ]
+)
+
+
+def _fake_frame(payload: bytes, idx: int) -> float:
+    """STUB frame scorer — stands in for decode-frame + model score
+    (no ffmpeg in this container). Deterministic in (payload, idx);
+    (x-128)/128 is an exact binary fraction, so the DuckDB oracle
+    re-derives it bit-identically from md5 hex digits."""
+    b3 = hashlib.md5(payload).digest()[3]
+    return ((b3 + idx) % 256 - 128) / 128.0
+
+
+def sample_frames(df: DataFrame, step: int = FRAME_STEP) -> DataFrame:
+    """mapInPandas frame sampler with FAN-OUT: each video row yields
+    one output row per sampled frame (0, step, 2·step, … < n_frames) —
+    the batch shape a real ffmpeg sampler has (decode once, emit k
+    frames), which a row-to-row pandas_udf cannot express."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, scores = [], [], []
+            for media_id, payload, kind in zip(
+                pdf["media_id"], pdf["payload"], pdf["kind"]
+            ):
+                if kind != "video":
+                    continue
+                raw = bytes(payload)
+                _, _, n_frames, _ = _fake_decode(raw, kind)
+                for i in range(0, n_frames, step):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    scores.append(_fake_frame(raw, i))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_score": scores}
+            )
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+@spark_query(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id AS media_id, md5(text) AS h
+      FROM documents WHERE doc_id % 3 = 2
+    ), b AS (
+      SELECT media_id,
+             {_BYTE.format(p=5)} AS b2,
+             {_BYTE.format(p=7)} AS b3
+      FROM d
+    ), frames AS (
+      SELECT media_id, b3,
+             unnest(generate_series(0, CAST(1 + b2 % 32 AS INTEGER) - 1,
+                                    {FRAME_STEP})) AS frame_idx
+      FROM b
+    )
+    SELECT media_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(((b3 + frame_idx) % 256 - 128) / 128.0 AS DOUBLE) AS frame_score
+    FROM frames
+    ORDER BY media_id, frame_idx
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every FRAME_STEP-th frame of each video
+    payload, scored by the (stub) per-frame kernel. The Arrow fan-out
+    path (one input row → n_frames/step output rows inside
+    mapInPandas) is the load-bearing plumbing; the oracle re-derives
+    the sampled index set and scores from md5 hex digits, so the
+    whole decode→sample→score pipeline is hash-checked."""
+    media = media_fixture(spark, sf_dir)
+    return sample_frames(media).orderBy("media_id", "frame_idx")

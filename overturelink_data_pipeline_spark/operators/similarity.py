@@ -183,3 +183,47 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 1)
         .orderBy("sig")
     )
+
+
+RANGE_TAU = 0.25  # cosine threshold; non-vacuous at every test SF (12 rows @sf0.001, 14 @sf0.01)
+
+
+@spark_query(
+    "ann_range_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 5) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+      AND ROUND(list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 5) >= {RANGE_TAU}
+    ORDER BY cos_sim DESC, e.vec_id
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search: every vector with cosine ≥ τ of the query
+    point — the retrieval primitive for near-duplicate pulls and
+    contamination sweeps, where top-k is the wrong contract because the
+    match count is unknown a priori.
+
+    Same one-scan shape as ann_cosine_topk (broadcast 1-row query
+    vector, no data shuffle) but with a scan-level filter instead of
+    TakeOrderedAndProject: at 100 TB the selective τ predicate means
+    the only full pass is the embarrassingly parallel score+filter;
+    the final sort sees only the matches."""
+    emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    q = _query_vec(emb)
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 5).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RANGE_TAU)
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    )

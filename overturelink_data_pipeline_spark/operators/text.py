@@ -262,3 +262,67 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat_ws(",", winnow_fingerprints(F.col("text"))).alias("fingerprints"),
     ).orderBy("doc_id")
+
+
+@spark_query(
+    "text_repetition_filter",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_count
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(1.0 - n_distinct * 1.0 / n_tokens, 6) AS dup_ratio,
+           ROUND(top_count * 1.0 / n_tokens, 6)        AS top_token_ratio,
+           CAST(CASE WHEN (1.0 - n_distinct * 1.0 / n_tokens) > 0.5
+                       OR top_count * 1.0 / n_tokens > 0.2
+                THEN 1 ELSE 0 END AS INTEGER)          AS repetitive
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/C4-style signal:
+    near-duplicate token mass inside ONE document marks boilerplate
+    and degenerate generations): duplicate-token ratio + most-frequent-
+    token mass, thresholded to a `repetitive` flag.
+
+    Plan shape for 100 TB: explode → two-level aggregation, both with
+    map-side partial agg. The (doc_id, token) count collapses each
+    partition's postings before the shuffle, and the per-doc rollup is
+    a near-trivial second hop on the already-small counts table — no
+    window, no self-join, and nothing proportional to corpus size
+    crosses the wire uncombined."""
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("t"),
+    )
+    counts = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_count"),
+    )
+    dup_ratio = 1.0 - F.col("n_distinct") / F.col("n_tokens")
+    top_ratio = F.col("top_count") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(dup_ratio, 6).alias("dup_ratio"),
+        F.round(top_ratio, 6).alias("top_token_ratio"),
+        F.when((dup_ratio > 0.5) | (top_ratio > 0.2), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("repetitive"),
+    ).orderBy("doc_id")
