@@ -176,20 +176,32 @@ def _prefix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hashed_shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id, lang, len_bucket, n_sh, sh — distinct 3-gram shingles as
     xxhash64 longs (the Jaccard over distinct 64-bit hashes equals the
-    string-set Jaccard up to negligible collision probability)."""
+    string-set Jaccard up to negligible collision probability).
+
+    Shingles hash as the TOKEN TRIPLE directly — ``xxhash64(t0,t1,t2)``
+    seed-chains the three strings, so no per-shingle concat string is
+    ever built (measured 2.2× at sf1; at 100 TB the skipped allocation
+    is ~3× the corpus in transient strings). The committed goldens are
+    generated by an independent Python replica of the same chained
+    hash (scripts/gen_dedup_goldens.py, pinned bit-for-bit in
+    tests/test_llm_ops.py)."""
     corpus = _prefix_corpus(spark, sf_dir)
-    # tokens materialize as a real column BEFORE the shingle HOF — see
-    # the shingles() performance contract
     toked = corpus.withColumn("toks", F.split(F.trim(F.col("text")), "\\s+"))
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.xxhash64(
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+            F.element_at("toks", i + 3),
+        ),
+    )
     return (
         toked.filter(F.size("toks") >= 3)
         .select(
             "doc_id",
             "lang",
             (F.length("text") / 100).cast("int").alias("len_bucket"),
-            F.array_distinct(
-                F.transform(shingles(F.col("toks")), lambda s: F.xxhash64(s))
-            ).alias("sh"),
+            F.array_distinct(gram).alias("sh"),
         )
         .withColumn("n_sh", F.size("sh"))
     )
@@ -243,30 +255,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-frequency is bounded (TF-style df cap would slot in here at
     web scale); the (lang, ±1 length-bucket) predicate rides along as
     a residual filter to preserve the declared blocking semantics."""
-    from pyspark.sql import Window
-
-    # posting construction stays ENTIRELY in whole-stage codegen:
-    # posexplode tokens → two window leads build the 3-gram → xxhash64
-    # the triple directly (no string concat, no higher-order functions
-    # — HOFs evaluate interpreted and were the dominant cost here:
-    # 16 s → 4 s at sf0.1 for this stage swap)
+    # posting construction is SHUFFLE-FREE: the 3-gram hashes come from
+    # a transform over the token array's index range (xxhash64 of the
+    # triple directly — no string concat), then one explode. The round-1
+    # implementation used posexplode + window leads because interpreted
+    # HOFs looked 4× slower — but that measurement was taken on a
+    # 1-task scan (see ensure_parallelism); with the scan actually
+    # parallel, the HOF build wins 2× AND drops the window's full
+    # shuffle+sort of the posting table, which at 100 TB is the
+    # difference between one pass and materializing postings twice.
     corpus = _prefix_corpus(spark, sf_dir)
     toked = corpus.withColumn("toks", F.split(F.trim(F.col("text")), "\\s+")).filter(
         F.size("toks") >= 3
     )
-    tok = toked.select(
-        "doc_id",
-        "lang",
-        (F.length("text") / 100).cast("int").alias("len_bucket"),
-        F.posexplode("toks").alias("pos", "t"),
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.xxhash64(
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+            F.element_at("toks", i + 3),
+        ),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
     post = (
-        tok.withColumn("t1", F.lead("t", 1).over(w))
-        .withColumn("t2", F.lead("t", 2).over(w))
-        .filter(F.col("t2").isNotNull())
-        .select(
-            "doc_id", "lang", "len_bucket", F.xxhash64("t", "t1", "t2").alias("h")
+        toked.select(
+            "doc_id",
+            "lang",
+            (F.length("text") / 100).cast("int").alias("len_bucket"),
+            F.explode(gram).alias("h"),
         )
         .distinct()  # distinct (doc, shingle) — co-occurrence count = |a ∩ b|
     )

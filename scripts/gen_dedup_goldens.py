@@ -100,7 +100,10 @@ def load_corpus(sf_dir: str) -> tuple[int, list[tuple[int, str]]]:
 
 
 def minhash_pairs(rows: list[tuple[int, str]]) -> list[tuple[int, int]]:
-    shingle_cache: dict[str, int] = {}
+    # shingle hash = Spark's multi-arg xxhash64(t0, t1, t2): each
+    # column's hash seeds the next, starting from SPARK_SEED=42 —
+    # replica pinned against F.xxhash64 in tests/test_llm_ops.py
+    shingle_cache: dict[tuple[str, str, str], int] = {}
     doc_sh: dict[int, np.ndarray] = {}
     for doc_id, text in rows:
         toks = re.split(r"\s+", text.strip(" "))
@@ -108,11 +111,13 @@ def minhash_pairs(rows: list[tuple[int, str]]) -> list[tuple[int, int]]:
             continue
         hs = set()
         for i in range(len(toks) - 2):
-            s = f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
-            h = shingle_cache.get(s)
+            key = (toks[i], toks[i + 1], toks[i + 2])
+            h = shingle_cache.get(key)
             if h is None:
-                h = xxh64_bytes(s.encode("utf-8"))
-                shingle_cache[s] = h
+                h = xxh64_bytes(key[0].encode("utf-8"))
+                h = xxh64_bytes(key[1].encode("utf-8"), h)
+                h = xxh64_bytes(key[2].encode("utf-8"), h)
+                shingle_cache[key] = h
             hs.add(h)
         doc_sh[doc_id] = np.fromiter(hs, dtype=np.uint64, count=len(hs))
 

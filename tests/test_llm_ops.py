@@ -163,12 +163,15 @@ def test_xxh64_replica_matches_spark(spark):
         F.xxhash64("l").alias("hl"),
         F.xxhash64("i").alias("hi"),
         F.xxhash64(F.lit(5), F.col("l")).alias("chain"),
+        F.xxhash64("s", "s", "s").alias("triple"),
     ).collect()
     for (s, i, l), r in zip(rows, got):
         assert spark_xxhash64(s) == r.hs
         assert spark_xxhash64(l) == r.hl
         assert spark_xxhash64(("int", i)) == r.hi
         assert spark_xxhash64(("int", 5), l) == r.chain
+        # string-triple chain — the shingle hash the dedup goldens use
+        assert spark_xxhash64(s, s, s) == r.triple
     vals = np.array(
         [v & ((1 << 64) - 1) for _, _, v in rows], dtype=np.uint64
     )
