@@ -122,30 +122,6 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token-shingle helpers (shared by jaccard / minhash)
 # ---------------------------------------------------------------------------
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles as an array<string> — pure Catalyst
-    (split + transform over an index sequence).
-
-    PERFORMANCE CONTRACT: pass a MATERIALIZED token-array column (e.g.
-    ``df.withColumn("toks", F.split(...))`` then ``shingles(F.col(
-    "toks"))``), not a split expression. Higher-order functions
-    evaluate interpreted with NO common-subexpression elimination, so
-    an inline split re-tokenizes the text for every ``element_at``
-    call — measured 6× slower on the sf0.1 corpus."""
-    toks = col
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
-
-
 _PREFIX_CORPUS_SQL = """
     SELECT doc_id, lang, text FROM documents
     UNION ALL
@@ -329,26 +305,6 @@ from pathlib import Path as _Path  # noqa: E402
 _GOLDEN = _Path(__file__).resolve().parents[2] / "fixtures" / "dedup_golden"
 _MH_GOLD = str(_GOLDEN / "minhash_pairs.parquet")
 _SH_GOLD = str(_GOLDEN / "simhash_pairs.parquet")
-
-
-def minhash_signature(sh_col: Column, n_hashes: int = N_HASHES) -> Column:
-    """Array of n minhashes over an array column, hash family = xxhash64
-    seeded by the function index (avoids a*h+b modular math, which
-    overflows LongType under ANSI).
-
-    NOTE: higher-order array functions evaluate INTERPRETED (no
-    codegen) — fine for ad-hoc use on modest arrays, but the hot path
-    in :func:`dedup_minhash_lsh` computes the same signature via
-    explode + groupBy aggregation, which stays in whole-stage codegen
-    (measured ~3× faster at sf0.1)."""
-    # NB: closures must be built by a factory — pyspark binds a 2-param
-    # lambda as (element, index), so `lambda s, i=i:` would silently
-    # receive the array index as `i` and collapse the hash family.
-    def seeded(i: int):
-        return lambda s: F.xxhash64(F.lit(i), s)
-
-    sigs = [F.array_min(F.transform(sh_col, seeded(i))) for i in range(n_hashes)]
-    return F.array(*sigs)
 
 
 def minhash_signatures_agg(post: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
