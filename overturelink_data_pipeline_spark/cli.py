@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from overturelink_data_pipeline_spark import countries as registry
@@ -177,8 +178,16 @@ def cmd_export(args: argparse.Namespace) -> int:
             for name, df in layers.items():
                 n += write_shapefile(df, f"{stem}_{name}.shp")
     elif args.format == "geoparquet":
-        meta = write_geoparquet(single if single is not None else layers[next(iter(layers))], out)
-        n = meta.get("rows")
+        n = 0
+        if single is not None:
+            n = write_geoparquet(single, out)["feature_count"]
+        else:
+            # parquet has no layer concept either: one dataset per
+            # layer under the output dir (hive-style, scan-globbable)
+            for name, df in layers.items():
+                n += write_geoparquet(df, os.path.join(out, f"layer={name}"))[
+                    "feature_count"
+                ]
     else:  # pragma: no cover — argparse choices guard this
         raise ValueError(args.format)
     print(json.dumps({"written": out, "features": n, "layers": sorted(layers)}))

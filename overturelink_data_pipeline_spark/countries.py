@@ -15,21 +15,20 @@ resolves countries inside a 176-country batch export loop.
 
 from __future__ import annotations
 
-import json
 import os
 from functools import lru_cache
 
-from overturelink_data_pipeline_spark.plans.models import Country
+from overturelink_data_pipeline_spark.plans.models import Country, load_countries
 
 _DATA = os.path.join(os.path.dirname(__file__), "data", "countries.json")
 
 
 @lru_cache(maxsize=1)
 def _registry() -> tuple[dict[str, Country], dict[str, Country], dict[str, Country]]:
-    """(by_iso2, by_iso3, by_lower_name) indexes over the packaged data."""
-    with open(_DATA) as f:
-        rows = json.load(f)
-    countries = [Country.from_dict(r) for r in rows]
+    """(by_iso2, by_iso3, by_lower_name) indexes over the packaged data
+    — parsed by plans.models.load_countries (the one countries.json
+    parser in the codebase)."""
+    countries = list(load_countries(_DATA).values())
     return (
         {c.iso2.upper(): c for c in countries},
         {c.iso3.upper(): c for c in countries},

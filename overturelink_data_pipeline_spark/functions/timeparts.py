@@ -22,12 +22,18 @@ SEC_PER_HOUR = 3_600
 
 
 def _idiv(col: Column, divisor: int) -> Column:
-    """Exact integer floor-division for LongType columns. A plain
-    ``/`` goes through DoubleType, whose ~128 ns representation error
-    above 2^53 can floor boundary values into the wrong bucket; routing
-    through decimal(38,0) keeps the quotient exact and stays inside
-    whole-stage codegen."""
-    return F.floor(col.cast("decimal(38,0)") / F.lit(divisor)).cast("long")
+    """Exact integer division for LongType columns via the SQL ``div``
+    operator — pure long arithmetic, no intermediate rounding.
+
+    Neither floating ``/`` nor decimal division is safe here: doubles
+    carry ~128 ns representation error above 2^53, and decimal division
+    types the quotient as decimal(38,6) whose HALF_UP rounding to 6
+    decimals happens BEFORE any floor — empirically
+    ``floor(1_999_999_999 ns / 10^9)`` came back 2 through decimals.
+    ``div`` truncates toward zero, which equals floor for the
+    non-negative epoch values these helpers contract for (and matches
+    DuckDB's integer-division oracle either way)."""
+    return F.call_function("div", col.cast("long"), F.lit(divisor))
 
 
 def epoch_seconds(ns: Column) -> Column:

@@ -524,8 +524,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             hamming.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # Hamming filter BEFORE the pair-dedup shuffle: the predicate is
+        # per-pair deterministic so it commutes with dropDuplicates, and
+        # non-matching candidates (the vast majority) never ride the
+        # dedup exchange
         .filter(F.col("hamming") <= 6)
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
 

@@ -37,12 +37,15 @@ def region_from_url(base_url: str, default: str = "us-west-2") -> str:
     host = base_url.removeprefix("s3://").removeprefix("s3a://").split("/")[0]
     parts = host.split("-")
     compass = {
-        "east", "west", "central", "north", "south", "northeast", "southeast",
+        "east", "west", "central", "north", "south", "northeast",
+        "southeast", "northwest", "southwest",
     }
+    # only accept a full <area>-<compass>-<digit> suffix ("us-west-2"):
+    # a looser digit-only fallback would turn bucket names like
+    # "my-mirror-2" into the nonexistent region "mirror-2" and bake a
+    # broken endpoint into the s3a conf
     if len(parts) >= 3 and parts[-2] in compass and parts[-1].isdigit():
         return "-".join(parts[-3:])
-    if len(parts) >= 2 and parts[-1].isdigit():
-        return "-".join(parts[-2:])
     return default
 
 

@@ -72,11 +72,12 @@ def shp_field_names(cols: list[str], limit: int = 10) -> dict[str, str]:
 
 
 def _dbf_field_spec(dt: T.DataType) -> tuple[str, int, int]:
-    """(type char, width, decimals) for one Spark column."""
+    """(type char, width, decimals) for one Spark column. Long width 20
+    covers the full signed 64-bit range including the sign."""
     if isinstance(dt, T.BooleanType):
         return ("L", 1, 0)
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        return ("N", 19, 0)
+        return ("N", 20, 0)
     if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
         return ("N", 24, 10)
     return ("C", 254, 0)
@@ -91,8 +92,18 @@ def _fmt_cell(v: Any, spec: tuple[str, int, int]) -> bytes:
         if v is None:
             return b" " * w
         s = f"{v:.{d}f}" if d else str(int(v))
+        if len(s) > w and d:
+            # shave decimals before ever touching integer digits (what
+            # GDAL does when a double outgrows the declared width)
+            int_len = len(s) - d - 1
+            keep = max(0, w - int_len - 1)
+            s = f"{v:.{keep}f}" if keep else str(int(v))
         if len(s) > w:
-            s = s[:w]
+            # integer part alone exceeds the field — refuse to write a
+            # silently-corrupted attribute
+            raise ValueError(
+                f"numeric value {v!r} exceeds DBF field width {w}"
+            )
         return s.rjust(w).encode()
     # C: text, UTF-8, space-padded / truncated at byte boundary
     s = b"" if v is None else str(v).encode("utf-8")[:w]

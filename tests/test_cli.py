@@ -138,3 +138,17 @@ def test_cli_publish_lifecycle(capsys):
     for layer in result["layers"].values():
         assert layer["rows"] == layer["uploaded"] >= 0
     assert any(v["rows"] > 0 for v in result["layers"].values())
+
+
+def test_cli_export_geoparquet_multilayer(tmp_path, capsys):
+    out = str(tmp_path / "aaa_education_gpq")
+    assert main([
+        "export", "education", out, "--country", "AA",
+        "--format", "geoparquet",
+    ]) == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # every layer written, feature count reported (was: first layer
+    # only + features: null)
+    assert result["features"] > 0
+    for name in result["layers"]:
+        assert os.path.isdir(os.path.join(out, f"layer={name}")), name

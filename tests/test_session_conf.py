@@ -18,6 +18,10 @@ def test_region_from_url():
     assert region_from_url("s3://data-ap-southeast-2") == "ap-southeast-2"
     # no derivable region → reference's default (source.py:319)
     assert region_from_url("s3://plainbucket/release") == "us-west-2"
+    # a trailing digit alone is NOT a region — "mirror-2" must not be
+    # baked into the s3a conf as an endpoint region
+    assert region_from_url("s3://my-mirror-2/release") == "us-west-2"
+    assert region_from_url("s3://data-2023") == "us-west-2"
 
 
 def test_s3a_conf_block():

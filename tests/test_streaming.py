@@ -91,3 +91,35 @@ def test_stateful_sessionize_deterministic(spark, sf_dir):
         sessionize_stream(read_event_stream(spark, sf_dir)), spark, "append"
     ).toPandas().sort_values(["user_id", "session_start_s"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_timeparts_boundary_exactness(spark):
+    """Pin _idiv against the decimal-division regression: decimal(38,6)
+    HALF_UP-rounds the quotient to 6 decimals BEFORE floor, so any ns
+    within 500_000 ns below a boundary used to land in the NEXT bucket
+    (epoch_seconds(1_999_999_999) returned 2). Boundary values and the
+    2^53+ double-error zone must both bucket exactly."""
+    from pyspark.sql import functions as F, types as T
+
+    from overturelink_data_pipeline_spark.functions import timeparts as TP
+
+    HOUR_NS = 3_600 * TP.NS_PER_SEC
+    cases = [
+        # (ns, expected_seconds, expected_60min_bucket_start_ns)
+        (1_999_999_999, 1, 0),
+        (2_000_000_000, 2, 0),
+        (2 * HOUR_NS - 1_000_000, 7199, HOUR_NS),       # 1 ms before boundary
+        (2 * HOUR_NS, 7200, 2 * HOUR_NS),
+        (2**53 + 7, 9007199, 0 if (2**53 + 7) % HOUR_NS < HOUR_NS else None),
+    ]
+    df = spark.createDataFrame(
+        [(ns,) for ns, _, _ in cases],
+        T.StructType([T.StructField("ns", T.LongType())]),
+    )
+    got = df.select(
+        TP.epoch_seconds(F.col("ns")).alias("s"),
+        TP.minute_bucket_ns(F.col("ns"), 60).alias("b"),
+    ).collect()
+    for (ns, want_s, want_b), row in zip(cases, got):
+        assert row.s == ns // TP.NS_PER_SEC == want_s, (ns, row.s)
+        assert row.b == (ns // HOUR_NS) * HOUR_NS, (ns, row.b)
