@@ -280,6 +280,58 @@ def cmd_dump(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_list_queries(args: argparse.Namespace) -> int:
+    """Reference `list-queries` (cli.py:1354): the built-in query
+    configs with their theme/type/filter shape."""
+    for name, q in sorted(builtin_queries().items()):
+        kind = (
+            "multilayer" if q.is_multilayer
+            else "geometry-split" if q.geometry_split
+            else "single"
+        )
+        filt = q.filter or "-"
+        print(f"{name}\t{q.theme}/{q.type}\t{kind}\t{filt}")
+    return 0
+
+
+def cmd_list_cache(args: argparse.Namespace) -> int:
+    """Reference `list-cache` (cli.py:2092): per-entry metadata plus
+    the stats rollup."""
+    from overturelink_data_pipeline_spark.sources.cache import (
+        cache_stats,
+        list_cache,
+    )
+
+    for m in list_cache(args.cache_root):
+        print(
+            f"{m.release}\t{m.country}\t{m.theme}/{m.type}\t"
+            f"{m.feature_count} rows\t{m.cached_at}"
+        )
+    print(json.dumps(cache_stats(args.cache_root)))
+    return 0
+
+
+def cmd_clear_cache(args: argparse.Namespace) -> int:
+    """Reference `clear-cache` (cli.py:2167): whole root or one
+    release."""
+    from overturelink_data_pipeline_spark.sources.cache import clear_cache
+
+    n = clear_cache(args.cache_root, release=args.release_filter)
+    print(json.dumps({"removed": n}))
+    return 0
+
+
+def cmd_version(args: argparse.Namespace) -> int:
+    import pyspark
+
+    print(json.dumps({
+        "engine": "overturelink_data_pipeline_spark",
+        "pyspark": pyspark.__version__,
+        "queries": len(builtin_queries()),
+    }))
+    return 0
+
+
 def cmd_countries(args: argparse.Namespace) -> int:
     if args.regions:
         for r in registry.list_regions():
@@ -346,6 +398,22 @@ def build_parser() -> argparse.ArgumentParser:
     dmp.add_argument("--dump-root", required=True)
     common(dmp)
     dmp.set_defaults(fn=cmd_dump)
+
+    lsq = sub.add_parser("list-queries", help="built-in query configs")
+    lsq.set_defaults(fn=cmd_list_queries)
+
+    lsc = sub.add_parser("list-cache", help="cache entries + stats rollup")
+    lsc.add_argument("--cache-root", required=True)
+    lsc.set_defaults(fn=cmd_list_cache)
+
+    clc = sub.add_parser("clear-cache", help="remove cache entries")
+    clc.add_argument("--cache-root", required=True)
+    clc.add_argument("--release-filter", default=None,
+                     help="only remove entries of this release")
+    clc.set_defaults(fn=cmd_clear_cache)
+
+    ver = sub.add_parser("version", help="engine + runtime versions")
+    ver.set_defaults(fn=cmd_version)
 
     cnt = sub.add_parser("countries", help="registry listing")
     cnt.add_argument("--region", default=None)

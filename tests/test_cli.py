@@ -152,3 +152,27 @@ def test_cli_export_geoparquet_multilayer(tmp_path, capsys):
     assert result["features"] > 0
     for name in result["layers"]:
         assert os.path.isdir(os.path.join(out, f"layer={name}")), name
+
+
+def test_cli_admin_commands(tmp_path, capsys):
+    # list-queries
+    assert main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "education" in out and "multilayer" in out
+    # populate a cache, then list + clear it
+    root = str(tmp_path / "cache")
+    main(["cache", "roads", "--country", "AA", "--cache-root", root])
+    capsys.readouterr()
+    assert main(["list-cache", "--cache-root", root]) == 0
+    out = capsys.readouterr().out
+    assert "transportation/segment" in out
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["files"] >= 1 if "files" in stats else stats
+    assert main(["clear-cache", "--cache-root", root]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["removed"] >= 1
+    assert main(["list-cache", "--cache-root", root]) == 0
+    assert "transportation/segment" not in capsys.readouterr().out
+    # version
+    assert main(["version"]) == 0
+    v = json.loads(capsys.readouterr().out.strip())
+    assert v["engine"] == "overturelink_data_pipeline_spark"
