@@ -34,3 +34,41 @@ def test_s3a_conf_block():
     assert conf["spark.hadoop.fs.s3a.endpoint.region"] == "us-west-2"
     assert conf["spark.hadoop.fs.s3a.experimental.input.fadvise"] == "random"
     assert int(conf["spark.hadoop.fs.s3a.attempts.maximum"]) == 3
+
+
+def test_ensure_parallelism_conditional(spark):
+    """Repartition ONLY on split-starved scans: already-parallel frames
+    pass through plan-unchanged (no Exchange added)."""
+    from pyspark.sql import functions as F
+
+    from overturelink_data_pipeline_spark.session import ensure_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, numPartitions=max(2, target))
+    assert ensure_parallelism(wide) is wide  # no-op, same object
+
+    narrow = spark.range(0, 1000, 1, numPartitions=1)
+    out = ensure_parallelism(narrow)
+    assert out.rdd.getNumPartitions() == target
+    assert out.count() == 1000
+
+
+def test_geojson_layer_tag_all_null_props(spark, tmp_path):
+    """to_json drops null fields; an all-null-props row + layer tag
+    must still emit valid JSON (no trailing comma)."""
+    import json as _json
+
+    from pyspark.sql import Row, functions as F
+
+    from overturelink_data_pipeline_spark.geo import wkb as W
+    from overturelink_data_pipeline_spark.sinks.geojson import feature_line
+
+    df = spark.createDataFrame([
+        Row(name=None, geometry=W.dumps(("Point", (1.0, 2.0)))),
+        Row(name="x", geometry=W.dumps(("Point", (3.0, 4.0)))),
+    ])
+    lines = [r.v for r in df.select(feature_line(df, "roads").alias("v")).collect()]
+    feats = sorted((_json.loads(s) for s in lines),
+                   key=lambda f: f["properties"].get("name") or "")
+    assert feats[0]["properties"] == {"layer": "roads"}
+    assert feats[1]["properties"] == {"layer": "roads", "name": "x"}
