@@ -42,15 +42,34 @@ def parse_filter(filter_str: str) -> tuple[str, str] | None:
     return None
 
 
+def filter_roots(filter_str: str | None) -> set[str]:
+    """Root columns a KNOWN-shape filter references (empty set for
+    generic expressions — callers must not assume coverage there)."""
+    if not filter_str:
+        return set()
+    parsed = parse_filter(filter_str)
+    if parsed is None:
+        return set()
+    return {parsed[0].split(".")[0]}
+
+
 def apply_sql_filter(df: DataFrame, filter_str: str | None) -> DataFrame:
     """Reference-parity filter application.
 
-    Column existence is checked at plan time against the frame's root
-    columns; a miss yields ``df.limit(0)`` (empty, same schema) exactly
-    like the reference's empty-frame return. Anything the dialect
-    doesn't recognize is still handed to ``F.expr`` — only if Spark
-    can't parse it either does it pass through unfiltered (with the
-    reference's warning behavior).
+    The contract separates two failure classes (reference
+    source.py:109-115 vs 147-148):
+
+    - the filter references something the frame doesn't have
+      (unknown root column, or a missing NESTED struct field that only
+      resolution can detect) → ``df.limit(0)`` — empty, same schema;
+    - the string isn't parseable as an expression at all →
+      passthrough with a warning.
+
+    Resolution is forced eagerly (``.schema``) so an unresolvable
+    reference lands in the empty branch here, not as an
+    AnalysisException at action time — and never as a silent
+    passthrough, which would return UNFILTERED rows for a typo'd
+    column.
     """
     if not filter_str:
         return df
@@ -60,12 +79,23 @@ def apply_sql_filter(df: DataFrame, filter_str: str | None) -> DataFrame:
         if root not in df.columns:
             log.warning("filter references unknown column %r → empty result", root)
             return df.limit(0)
-        return df.filter(F.expr(filter_str))
+    from pyspark.errors import ParseException
+
     try:
-        return df.filter(F.expr(filter_str))
-    except Exception:
+        cond = F.expr(filter_str)
+        out = df.filter(cond)
+        # force analysis NOW: Spark parses F.expr lazily, so both error
+        # classes surface here — ParseException must be caught before
+        # AnalysisException (its superclass) to keep the two contracts
+        # distinct
+        out.schema
+        return out
+    except ParseException:
         log.warning("unparseable filter %r → passthrough", filter_str)
         return df
+    except Exception:
+        log.warning("filter %r does not resolve on this frame → empty", filter_str)
+        return df.limit(0)
 
 
 def apply_dict_filter(df: DataFrame, filters: dict | None) -> DataFrame:

@@ -207,6 +207,24 @@ _FAMILY_TYPES = {
 _CLEAN_UDFS: dict = {}
 
 
+_THRESHOLDS: tuple[float, float] | None = None
+
+
+def _thresholds() -> tuple[float, float]:
+    """(MIN_POLYGON_AREA, MIN_LINE_LENGTH), bound once — the circular
+    transform→functions import forces laziness, but re-running the
+    import statement per ROW of the hottest UDF path is pure waste."""
+    global _THRESHOLDS
+    if _THRESHOLDS is None:
+        from overturelink_data_pipeline_spark.transform import (
+            MIN_LINE_LENGTH,
+            MIN_POLYGON_AREA,
+        )
+
+        _THRESHOLDS = (MIN_POLYGON_AREA, MIN_LINE_LENGTH)
+    return _THRESHOLDS
+
+
 def clean_geometry_bytes(
     b: bytes, family: str, *, make_valid: bool = False, unwrap: bool = False
 ) -> bytes | None:
@@ -214,10 +232,7 @@ def clean_geometry_bytes(
     unwrap, family/empty/degenerate checks in ONE decode. Returns
     cleaned 2D WKB or None when the row must be dropped. Shared by the
     UDF and the fixture golden-column generator."""
-    from overturelink_data_pipeline_spark.transform import (
-        MIN_LINE_LENGTH,
-        MIN_POLYGON_AREA,
-    )
+    MIN_POLYGON_AREA, MIN_LINE_LENGTH = _thresholds()
 
     keep_types = _FAMILY_TYPES[family]
     g = W.loads(b)

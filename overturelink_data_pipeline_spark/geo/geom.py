@@ -326,6 +326,15 @@ def intersects(a: Geom, b: Geom) -> bool:
     aname, _ = a
     if aname in ("Polygon", "MultiPolygon"):
         return intersects(b, a)
+    # GeometryCollections may CONTAIN polygons (recursed by _polygons):
+    # test polygon containment first — the path fallback below only
+    # sees edges and would miss a point strictly inside — then fall
+    # through so line/point children still get the vertex/edge tests
+    for gc, other in ((b, a), (a, b)):
+        if gc[0] == "GeometryCollection":
+            for rings in _polygons(gc):
+                if intersects_polygon(other, rings):
+                    return True
     # point/line vs point/line: shared vertex or crossing edges
     apaths, bpaths = _paths(a), _paths(b)
     for pa in apaths:
@@ -461,7 +470,17 @@ def make_valid(geom: Geom) -> Geom:
             return ("Polygon", polys[0] + holes)
         return ("MultiPolygon", [("Polygon", p) for p in polys])
     if name in ("MultiPolygon", "GeometryCollection"):
-        fixed = [make_valid(c) for c in body]
+        # a child repair can itself return a MultiPolygon (bowtie split
+        # into 2+ shells); flatten those so a MultiPolygon never nests a
+        # MultiPolygon — type-6-inside-type-6 is invalid WKB and
+        # shapely/GDAL consumers reject the re-encoded bytes
+        fixed: list[Geom] = []
+        for c in body:
+            fc = make_valid(c)
+            if name == "MultiPolygon" and fc[0] == "MultiPolygon":
+                fixed.extend(fc[1])
+            else:
+                fixed.append(fc)
         return (name, fixed)
     return geom
 

@@ -39,7 +39,21 @@ def grid_cell(lon: Column, lat: Column, res_deg: float = 1.0) -> Column:
 
 def morton_cell(lon: Column, lat: Column, res_deg: float = 1.0, bits: int = 16) -> Column:
     """Z-order cell id: bitwise interleave of (cx, cy), cx in the even
-    positions. Built as 2·bits codegen'd shift/mask terms — no UDF."""
+    positions. Built as 2·bits codegen'd shift/mask terms — no UDF.
+
+    ``bits`` must cover the grid: at fine resolutions 2^bits < nx would
+    silently alias cells 2^bits columns apart into one key — the
+    widened count is derived here instead of erroring at query time."""
+    nx = int(360 / res_deg)
+    ny = int(180 / res_deg)
+    need = max(nx, ny).bit_length()
+    if bits < need:
+        bits = need
+    if 2 * bits > 63:
+        raise ValueError(
+            f"res_deg={res_deg} needs {need} bits/axis; interleaved code "
+            "would overflow a long"
+        )
     cx, cy = cell_coords(lon, lat, res_deg)
     code = F.lit(0).cast("long")
     for i in range(bits):

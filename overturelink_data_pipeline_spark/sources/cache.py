@@ -124,7 +124,10 @@ def write_cache(
         feature_count=int(row["n"]),
         bbox=(
             [float(row["xmin"]), float(row["ymin"]), float(row["xmax"]), float(row["ymax"])]
-            if has_bbox and row["n"] > 0
+            # all-null geometries aggregate to null extents even with
+            # rows present — float(None) would crash AFTER the parquet
+            # landed, stranding data without its sidecar
+            if has_bbox and row["n"] > 0 and row["xmin"] is not None
             else None
         ),
         cached_at=datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
@@ -132,6 +135,15 @@ def write_cache(
     with open(_meta_path(parquet_path), "w") as f:
         json.dump(asdict(meta), f)
     return meta
+
+
+def cached_columns(spark: SparkSession, parquet_path: str) -> list[str] | None:
+    """Root columns of a cache entry (footer-only read), or None on
+    miss — lets callers decide whether a filter can even resolve here
+    before committing to the cache tier."""
+    if not os.path.exists(parquet_path) or not os.path.exists(_meta_path(parquet_path)):
+        return None
+    return spark.read.parquet(parquet_path).columns
 
 
 def read_cache(

@@ -57,25 +57,31 @@ def ensure_dump(
 
     types = types or discover_types(spark, src_base, theme)
     theme_dir = os.path.join(dump_base, f"theme={theme}")
+    # PRE-FLIGHT all schema validation before the first byte is written:
+    # a validation failure must not trigger the cleanup below, which
+    # would otherwise destroy a still-usable prior-release mirror that
+    # this call never touched
+    frames = {}
+    for type_ in types:
+        df = spark.read.parquet(theme_path(src_base, theme, type_))
+        # the dump mirrors RAW source schema, so validate the
+        # projection's source roots (``names``), not its output
+        # aliases (``name``); the two checks are independent: a type
+        # can be missing expected attribute columns while still
+        # carrying geometry (and vice versa), and either defect must
+        # block the dump
+        missing = expected_source_columns(type_) - set(df.columns) - {"geometry"}
+        if missing:
+            raise ValueError(f"{theme}/{type_}: missing columns {sorted(missing)}")
+        if "geometry" not in df.columns:
+            raise ValueError(f"{theme}/{type_}: missing geometry column")
+        frames[type_] = df
     try:
         rows_per_type: dict[str, int] = {}
         for type_ in types:
-            src = theme_path(src_base, theme, type_)
             dst = theme_path(dump_base, theme, type_)
-            df = spark.read.parquet(src)
-            # the dump mirrors RAW source schema, so validate the
-            # projection's source roots (``names``), not its output
-            # aliases (``name``); the two checks are independent: a type
-            # can be missing expected attribute columns while still
-            # carrying geometry (and vice versa), and either defect must
-            # block the dump
-            missing = expected_source_columns(type_) - set(df.columns) - {"geometry"}
-            if missing:
-                raise ValueError(f"{theme}/{type_}: missing columns {sorted(missing)}")
-            if "geometry" not in df.columns:
-                raise ValueError(f"{theme}/{type_}: missing geometry column")
             (
-                df.write.mode("overwrite")
+                frames[type_].write.mode("overwrite")
                 .option("compression", "zstd")
                 .option("maxRecordsPerFile", str(max_records_per_file))
                 .parquet(dst)

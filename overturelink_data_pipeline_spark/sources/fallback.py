@@ -56,6 +56,25 @@ class OvertureReader:
 
     # -- single-layer resolution ----------------------------------------
 
+    def _dump_valid(self, theme: str) -> bool:
+        """Sidecar says complete AND matches this reader's release."""
+        import json
+        import os
+
+        from overturelink_data_pipeline_spark.sources.dump import (
+            dump_sidecar_path,
+        )
+
+        side = dump_sidecar_path(self.dump_dir, theme)
+        if not os.path.exists(side):
+            return False
+        try:
+            with open(side) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return False
+        return bool(meta.get("complete")) and meta.get("release") == self.release
+
     def _from_cache(
         self, query: Query, country: Country, options: RunOptions
     ) -> DataFrame | None:
@@ -64,6 +83,27 @@ class OvertureReader:
         path = cache_mod.cache_path(
             self.cache_root, self.release, country.iso2, query.theme, query.type
         )
+        # filters are written against the projected (cached) schema; if
+        # this filter's root columns aren't in the cache, the dialect's
+        # empty-on-unknown contract would silently return 0 rows HERE
+        # while the direct tier (raw schema) would return matches —
+        # treat that divergence as a cache MISS so resolution falls
+        # through to a tier that can actually evaluate the filter
+        if query.filter is not None:
+            cached_cols = cache_mod.cached_columns(self.spark, path)
+            if cached_cols is not None:
+                from overturelink_data_pipeline_spark.functions.dialect import (
+                    filter_roots,
+                )
+
+                roots = filter_roots(query.filter)
+                if roots and not roots <= set(cached_cols):
+                    log.info(
+                        "cache filter roots %s not in cached schema; "
+                        "falling through",
+                        sorted(roots - set(cached_cols)),
+                    )
+                    return None
         return cache_mod.read_cache(
             self.spark,
             path,
@@ -94,7 +134,13 @@ class OvertureReader:
                 return {query.name: cached}
 
         # Tier 2: local dump mirror, same layout as the direct source.
-        if self.dump_dir is not None:
+        # Only trusted when its sidecar says COMPLETE for THIS release —
+        # the dump layout has no release path component, so without the
+        # check a stale mirror (or a hard-killed partial write that
+        # never ran cleanup) would silently serve wrong-release or
+        # incomplete rows labeled as current (reference revalidates the
+        # same way, source.py:1102-1115).
+        if self.dump_dir is not None and self._dump_valid(query.theme):
             try:
                 return self._compile_from(self.dump_dir, query, country, options)
             except Exception as exc:  # dump missing/partial → fall through
