@@ -1,0 +1,197 @@
+"""Regression pins for the round-2 review findings — each test targets
+one specific repaired behavior so it cannot silently regress."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from overturelink_data_pipeline_spark.geo import geom as G
+from overturelink_data_pipeline_spark.geo import wkb as W
+
+BOWTIE = [(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0), (0.0, 0.0)]
+SQUARE = [(10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 12.0), (10.0, 10.0)]
+
+
+def test_make_valid_never_nests_multipolygon():
+    """A bowtie child of a MultiPolygon repairs into 2+ shells; those
+    must flatten into the parent — MP-inside-MP is invalid WKB."""
+    mp = ("MultiPolygon", [("Polygon", [BOWTIE]), ("Polygon", [SQUARE])])
+    fixed = G.make_valid(mp)
+    assert fixed[0] == "MultiPolygon"
+    kinds = {c[0] for c in fixed[1]}
+    assert kinds == {"Polygon"}
+    assert len(fixed[1]) == 3  # bowtie split into 2 + the square
+    # and the result round-trips through the WKB codec
+    assert W.loads(W.dumps(fixed)) == fixed
+
+
+def test_intersects_geometrycollection_containment():
+    """Point strictly inside a polygon nested in a GeometryCollection
+    (no shared edges/vertices) must intersect."""
+    gc = ("GeometryCollection", [("Polygon", [SQUARE])])
+    assert G.intersects(("Point", (11.0, 11.0)), gc)
+    assert G.intersects(gc, ("Point", (11.0, 11.0)))
+    assert not G.intersects(("Point", (0.0, 0.0)), gc)
+    # line child of a GC still gets the edge test
+    gc2 = ("GeometryCollection", [("LineString", [(0.0, 0.0), (5.0, 5.0)])])
+    assert G.intersects(gc2, ("LineString", [(0.0, 5.0), (5.0, 0.0)]))
+
+
+def test_dialect_resolution_vs_parse_contracts(spark):
+    from overturelink_data_pipeline_spark.functions.dialect import (
+        apply_sql_filter,
+        filter_roots,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id=1, names=Row(primary="x")), Row(id=2, names=Row(primary="y"))]
+    )
+    # generic expression naming a missing column → EMPTY, not passthrough
+    assert apply_sql_filter(df, "height > 10").count() == 0
+    # known shape with missing NESTED field → empty, not AnalysisException
+    assert apply_sql_filter(df, "names.primaryy = 'x'").count() == 0
+    # genuinely unparseable → passthrough
+    assert apply_sql_filter(df, "]] not sql [[").count() == 2
+    # sane filter still filters
+    assert apply_sql_filter(df, "names.primary = 'x'").count() == 1
+    assert filter_roots("names.primary = 'x'") == {"names"}
+    assert filter_roots("height > 10") == set()
+
+
+def test_cache_filter_root_miss_falls_through(spark, tmp_path):
+    """A cache whose projection lacks the filter's root columns must
+    report a MISS (None) so the reader falls to a tier that can
+    evaluate the filter — not silently return the empty frame."""
+    from overturelink_data_pipeline_spark.geo import fixtures as FX
+    from overturelink_data_pipeline_spark.operators.pipeline import (
+        fixture_base_dir,
+    )
+    from overturelink_data_pipeline_spark.plans.config import builtin_queries
+    from overturelink_data_pipeline_spark.plans.models import Country, Query
+    from overturelink_data_pipeline_spark.sources.fallback import OvertureReader
+
+    c = FX.COUNTRIES[0]
+    country = Country(
+        name=c["name"], iso2=c["iso2"], iso3=c["iso3"],
+        region=c["region"], bbox=tuple(c["bbox"]),
+    )
+    reader = OvertureReader(
+        spark,
+        base_dir=fixture_base_dir(spark),
+        release="2026-05-15.0",
+        cache_root=str(tmp_path / "cache"),
+        backoff_base_s=0.0,
+    )
+    base_q = builtin_queries()["places"]
+    reader.cache_country(base_q, country)
+    # filter on a RAW-schema root the projected cache does not carry
+    raw_q = Query(
+        name=base_q.name, theme=base_q.theme, type=base_q.type,
+        filter="names.primary = 'nope'",
+    )
+    from overturelink_data_pipeline_spark.plans.models import RunOptions
+
+    assert reader._from_cache(raw_q, country, RunOptions()) is None
+    # filter on a projected column IS served from cache
+    proj_q = Query(
+        name=base_q.name, theme=base_q.theme, type=base_q.type,
+        filter="category = 'education'",
+    )
+    assert reader._from_cache(proj_q, country, RunOptions()) is not None
+
+
+def test_dump_validation_failure_preserves_prior_mirror(spark, tmp_path):
+    """A schema-validation failure must not destroy a pre-existing
+    complete mirror the call never wrote to."""
+    from overturelink_data_pipeline_spark.operators.pipeline import (
+        fixture_base_dir,
+    )
+    from overturelink_data_pipeline_spark.sources.dump import ensure_dump
+
+    base = fixture_base_dir(spark)
+    dump_root = str(tmp_path / "dump")
+    meta = ensure_dump(spark, base, dump_root, "places", release="rA")
+    assert meta["complete"]
+    # a source missing required columns → validation error BEFORE write
+    bad_src = str(tmp_path / "bad_src")
+    spark.range(3).select(
+        F.col("id").cast("string").alias("id")
+    ).write.parquet(os.path.join(bad_src, "theme=places", "type=place"))
+    with pytest.raises(ValueError, match="missing"):
+        ensure_dump(spark, bad_src, dump_root, "places", release="rB")
+    # prior mirror intact and still valid
+    assert os.path.isdir(os.path.join(dump_root, "theme=places"))
+    again = ensure_dump(spark, base, dump_root, "places", release="rA")
+    assert again["complete"] and again["release"] == "rA"
+
+
+def test_reader_rejects_stale_release_dump(spark, tmp_path):
+    """Dump tier must be skipped when the sidecar's release differs
+    from the reader's."""
+    from overturelink_data_pipeline_spark.operators.pipeline import (
+        fixture_base_dir,
+    )
+    from overturelink_data_pipeline_spark.sources.dump import ensure_dump
+    from overturelink_data_pipeline_spark.sources.fallback import OvertureReader
+
+    base = fixture_base_dir(spark)
+    dump_root = str(tmp_path / "dump")
+    ensure_dump(spark, base, dump_root, "places", release="old-release")
+    reader = OvertureReader(
+        spark, base_dir=base, release="new-release",
+        dump_dir=dump_root, backoff_base_s=0.0,
+    )
+    assert not reader._dump_valid("places")
+    reader2 = OvertureReader(
+        spark, base_dir=base, release="old-release",
+        dump_dir=dump_root, backoff_base_s=0.0,
+    )
+    assert reader2._dump_valid("places")
+
+
+def test_write_cache_all_null_geometry(spark, tmp_path):
+    """Null-geometry frames must still land a sidecar (bbox=None), not
+    crash on float(None) after the parquet write."""
+    from pyspark.sql import types as T
+
+    from overturelink_data_pipeline_spark.sources.cache import write_cache
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("geometry", T.BinaryType()),
+        ]),
+    )
+    meta = write_cache(
+        df, str(tmp_path / "c.parquet"),
+        country="AA", theme="places", type_="place", release="r",
+    )
+    assert meta.feature_count == 2
+    assert meta.bbox is None
+    assert os.path.exists(str(tmp_path / "c.parquet.meta.json"))
+
+
+def test_morton_cell_widens_bits(spark):
+    """Fine resolutions must widen the interleave instead of aliasing
+    cells 2^bits columns apart."""
+    from overturelink_data_pipeline_spark.geo.grid import morton_cell
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (0.005 * 65536 - 180.0 + 180.0 - 180.0, 0.0)],
+        "lon double, lat double",
+    )
+    # two points 65536 grid columns apart at res 0.005 — distinct codes
+    df2 = spark.createDataFrame(
+        [(-180.0 + 0.0025, 0.0), (-180.0 + 0.005 * 65536 + 0.0025, 0.0)],
+        "lon double, lat double",
+    )
+    codes = [
+        r[0]
+        for r in df2.select(morton_cell(F.col("lon"), F.col("lat"), 0.005)).collect()
+    ]
+    assert codes[0] != codes[1]
