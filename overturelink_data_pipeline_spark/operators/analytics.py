@@ -271,15 +271,29 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases AS (
       SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id, value
       FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      -- NOT DuckDB's native ASOF JOIN: with two signups for one user
+      -- in the same second, ASOF's pick among ties is unspecified,
+      -- while the engine's union+window deterministically carries the
+      -- max signup_id — the oracle must pin the SAME tie-break or the
+      -- gate is flaky whenever the generator lands two signups in one
+      -- (user, second)
+      SELECT p.event_id AS purchase_id, p.user_id, p.value,
+             p.sec AS psec, s.event_id AS signup_id, s.sec AS ssec,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY s.sec DESC, s.event_id DESC
+             ) AS rn
+      FROM purchases p
+      LEFT JOIN signups s
+        ON p.user_id = s.user_id AND s.sec <= p.sec
     )
-    SELECT p.event_id                        AS purchase_id,
-           p.user_id,
-           ROUND(p.value, 2)                 AS value,
-           s.event_id                        AS signup_id,
-           CAST(p.sec - s.sec AS BIGINT)     AS lag_s
-    FROM purchases p
-    ASOF LEFT JOIN signups s
-      ON p.user_id = s.user_id AND p.sec >= s.sec
+    SELECT purchase_id, user_id,
+           ROUND(value, 2)                  AS value,
+           signup_id,
+           CAST(psec - ssec AS BIGINT)      AS lag_s
+    FROM matched WHERE rn = 1
     ORDER BY purchase_id
     """,
 )

@@ -122,6 +122,27 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token-shingle helpers (shared by jaccard / minhash)
 # ---------------------------------------------------------------------------
 
+_PERSIST_REGISTRY: dict[str, DataFrame] = {}
+
+
+def _fresh_persist(key: str, df: DataFrame, level=None) -> DataFrame:
+    """Persist ``df``, releasing the PREVIOUS invocation's cache under
+    the same key first — repeated query invocations in a long-lived
+    session (the bench/correctness loop) would otherwise accumulate
+    MEMORY_AND_DISK partitions until executor storage thrashes. The
+    frame returned by the current invocation stays cached for its
+    caller's action; it is released when the query runs next."""
+    prev = _PERSIST_REGISTRY.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
+    out = df.persist(level) if level is not None else df.persist()
+    _PERSIST_REGISTRY[key] = out
+    return out
+
+
 _PREFIX_CORPUS_SQL = """
     SELECT doc_id, lang, text FROM documents
     UNION ALL
@@ -149,6 +170,22 @@ def _prefix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(pref)
 
 
+def _gram_hashes(toks: str = "toks") -> Column:
+    """Token-triple shingle hashes from a materialized token-array
+    column: ``xxhash64(t_i, t_i+1, t_i+2)`` over the index range.
+    THE one shingle-hash definition — both near-dup pipelines and the
+    committed goldens (scripts/gen_dedup_goldens.py chain replica)
+    depend on these exact semantics; edit here or nowhere."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.xxhash64(
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+
+
 def _hashed_shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id, lang, len_bucket, n_sh, sh — distinct 3-gram shingles as
     xxhash64 longs (the Jaccard over distinct 64-bit hashes equals the
@@ -163,21 +200,13 @@ def _hashed_shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py)."""
     corpus = _prefix_corpus(spark, sf_dir)
     toked = corpus.withColumn("toks", F.split(F.trim(F.col("text")), "\\s+"))
-    gram = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - 3),
-        lambda i: F.xxhash64(
-            F.element_at("toks", i + 1),
-            F.element_at("toks", i + 2),
-            F.element_at("toks", i + 3),
-        ),
-    )
     return (
         toked.filter(F.size("toks") >= 3)
         .select(
             "doc_id",
             "lang",
             (F.length("text") / 100).cast("int").alias("len_bucket"),
-            F.array_distinct(gram).alias("sh"),
+            F.array_distinct(_gram_hashes()).alias("sh"),
         )
         .withColumn("n_sh", F.size("sh"))
     )
@@ -244,20 +273,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = corpus.withColumn("toks", F.split(F.trim(F.col("text")), "\\s+")).filter(
         F.size("toks") >= 3
     )
-    gram = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - 3),
-        lambda i: F.xxhash64(
-            F.element_at("toks", i + 1),
-            F.element_at("toks", i + 2),
-            F.element_at("toks", i + 3),
-        ),
-    )
     post = (
         toked.select(
             "doc_id",
             "lang",
             (F.length("text") / 100).cast("int").alias("len_bucket"),
-            F.explode(gram).alias("h"),
+            F.explode(_gram_hashes()).alias("h"),
         )
         .distinct()  # distinct (doc, shingle) — co-occurrence count = |a ∩ b|
     )
@@ -369,10 +390,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of candidate verification); persist it so the interpreted
     # shingling transform runs once, not three times (at 100 TB this is
     # a checkpointed intermediate table for the same reason)
-    sh = (
-        _hashed_shingle_table(spark, sf_dir)
-        .select("doc_id", "sh")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _fresh_persist(
+        "minhash_shingles",
+        _hashed_shingle_table(spark, sf_dir).select("doc_id", "sh"),
+        StorageLevel.MEMORY_AND_DISK,
     )
     post = sh.select("doc_id", F.explode("sh").alias("h"))
     sig = minhash_signatures_agg(post)  # codegen'd, not interpreted HOFs
@@ -496,7 +517,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # halves the query; the earlier "persist is slower" reading was GC
     # contamination). At 100 TB this persist is signatures only — 16 GB
     # per trillion docs, spread across the cluster — never the corpus.
-    sigs = votes.select("doc_id", sim.alias("simhash")).persist()
+    sigs = _fresh_persist("simhash_sigs", votes.select("doc_id", sim.alias("simhash")))
     sigs.count()  # materialize once; both join sides then read the cache
     banded = sigs.select(
         "doc_id",

@@ -172,10 +172,15 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing: 16-bit signatures, bucket-size
     histogram (the data layout a bucketed ANN join would shuffle on).
     Rows-only; signature determinism + bucket-join recall in tests."""
-    emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings")).select(
+    raw = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    emb = raw.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    dim = 64  # embeddings table dimension (TESTDATA.md)
+    # plane constants are built per dimension at plan time — DERIVE the
+    # dim from the data (one footer-cheap row) instead of hardcoding:
+    # with a wrong dim, zip_with pads with nulls, every dot product
+    # goes NULL, and all vectors silently collapse into bucket 0
+    dim = len(raw.select("embedding").first()["embedding"])
     sigs = emb.select("vec_id", lsh_signature(F.col("v"), dim).alias("sig"))
     return (
         sigs.groupBy("sig")

@@ -142,10 +142,11 @@ def resolve_latest_release(
     Network path is optional and gated: when ``stac_url`` is given the
     catalog JSON is fetched and its ``latest`` field returned; any
     failure (or no URL) falls back to listing release-like directory
-    names under ``base_dir`` and taking the lexicographic max —
-    Overture release ids (``2026-01-15.0``) sort chronologically as
-    strings, the same property the reference's ``releases.sort
-    (reverse=True)`` relies on (source.py:1694).
+    names under ``base_dir`` and taking the max under a NUMERIC-aware
+    key: the date part of ``2026-01-15.10`` sorts fine as a string but
+    the patch suffix does not (``.9`` > ``.10`` lexicographically —
+    the reference's plain ``releases.sort(reverse=True)``,
+    source.py:1694, has this same latent misordering).
     """
     if stac_url:
         try:
@@ -166,7 +167,12 @@ def resolve_latest_release(
             if os.path.isdir(os.path.join(base_dir, n)) and n[:1].isdigit()
         ]
         if releases:
-            return max(releases)
+
+            def _key(name: str):
+                date, _, patch = name.partition(".")
+                return (date, int(patch) if patch.isdigit() else -1, patch)
+
+            return max(releases, key=_key)
     raise LookupError("no release resolvable (no STAC response, no local releases)")
 
 

@@ -29,6 +29,7 @@ inactivity gap and processing-time timeout flushing.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -133,8 +134,22 @@ def run_to_completion(
     maintenance thread; a bounded replay doesn't need 32 of them — a
     production ``writeStream`` to a real sink would keep cluster-sized
     state partitioning and never set this)."""
+    # bound accumulation across invocations: each run registers a
+    # memory-sink table (full result in driver memory) and mkdtemps a
+    # checkpoint; release the PREVIOUS run's pair now — the previous
+    # return value has usually been consumed by the time a new replay
+    # starts, and the returned frame stays valid until then
+    prev = getattr(run_to_completion, "_prev", None)
+    if prev is not None:
+        prev_name, prev_ckpt = prev
+        try:
+            spark.catalog.dropTempView(prev_name)
+        except Exception:
+            pass
+        shutil.rmtree(os.path.dirname(prev_ckpt), ignore_errors=True)
     name = "s" + uuid.uuid4().hex[:12]
     checkpoint = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), name)
+    run_to_completion._prev = (name, checkpoint)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -207,34 +222,55 @@ def sessionize_batch(events: DataFrame) -> DataFrame:
 def sessionize_stream(stream: DataFrame) -> DataFrame:
     """Streaming sessionization via applyInPandasWithState: per-user
     state = the open session; events extend it or flush it closed when
-    the 30-min gap passes. State is O(users), not O(events)."""
+    the 30-min gap passes. State is O(users), not O(events), and is
+    BOUNDED in time too: an EVENT-time timeout at session_end + gap
+    (against the watermark) flushes idle users' open sessions and
+    removes their state rows. Event-time (not processing-time) for two
+    reasons: the gap semantics ARE event-time, and processing-time
+    timeouts make AvailableNow replays run no-data batches forever
+    waiting for wall-clock — measured, the replay never terminated.
+    A timeout-flushed session is final by watermark guarantee (no
+    event older than the watermark can still arrive), so flushed
+    output remains exactly the batch oracle's closed-session set."""
     gap_s = SESSION_GAP_MIN * 60
 
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
         closed: list[tuple[int, int, int, int, float]] = []
-        if state.exists:
-            start_s, end_s, n, total = state.get
-        else:
-            start_s = end_s = n = 0
-            total = 0.0
-        secs: list[int] = []
-        vals: list[float] = []
-        for pdf in pdfs:
-            secs.extend((pdf["ts"] // NS_PER_SEC).astype("int64").tolist())
-            vals.extend(pdf["value"].tolist())
-        order = sorted(range(len(secs)), key=secs.__getitem__)
-        for i in order:
-            s, v = secs[i], vals[i]
-            if n == 0:
-                start_s, end_s, n, total = s, s, 1, v
-            elif s - end_s > gap_s:
+        if state.hasTimedOut:
+            # watermark passed session_end + gap: the open session can
+            # no longer grow — flush it and FREE the state row. Without
+            # this branch a one-time user's state lives forever and
+            # their final session is never emitted (bounded replays
+            # mask it; a production stream does not).
+            if state.exists:
+                start_s, end_s, n, total = state.get
                 closed.append((user_id, start_s, end_s, n, total))
-                start_s, end_s, n, total = s, s, 1, v
+                state.remove()
+        else:
+            if state.exists:
+                start_s, end_s, n, total = state.get
             else:
-                end_s, n, total = max(end_s, s), n + 1, total + v
-        if n:
-            state.update((start_s, end_s, n, total))
+                start_s = end_s = n = 0
+                total = 0.0
+            secs: list[int] = []
+            vals: list[float] = []
+            for pdf in pdfs:
+                secs.extend((pdf["ts"] // NS_PER_SEC).astype("int64").tolist())
+                vals.extend(pdf["value"].tolist())
+            order = sorted(range(len(secs)), key=secs.__getitem__)
+            for i in order:
+                s, v = secs[i], vals[i]
+                if n == 0:
+                    start_s, end_s, n, total = s, s, 1, v
+                elif s - end_s > gap_s:
+                    closed.append((user_id, start_s, end_s, n, total))
+                    start_s, end_s, n, total = s, s, 1, v
+                else:
+                    end_s, n, total = max(end_s, s), n + 1, total + v
+            if n:
+                state.update((start_s, end_s, n, total))
+                state.setTimeoutTimestamp((end_s + gap_s) * 1000)
         if closed:
             yield pd.DataFrame(
                 closed,
@@ -247,10 +283,16 @@ def sessionize_stream(stream: DataFrame) -> DataFrame:
                 ],
             )
 
-    return stream.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType=_SESSION_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    # event-time timeouts require a watermark; one gap of delay means a
+    # session only times out once no in-gap event can still arrive
+    return (
+        stream.withWatermark("event_time", f"{SESSION_GAP_MIN} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

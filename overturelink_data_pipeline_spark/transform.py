@@ -347,9 +347,14 @@ def add_sector_layers(layers: dict[str, DataFrame]) -> dict[str, DataFrame]:
     if "places" not in layers or "buildings" not in layers:
         return layers
     places, buildings = layers["places"], layers["buildings"]
-    centroids = buildings.withColumn(
-        "geometry", st_centroid_utm(F.col("geometry"))
-    ).withColumn("feature_type", F.lit("building_centroid"))
+    centroids = (
+        buildings.withColumn("geometry", st_centroid_utm(F.col("geometry")))
+        # the centroid kernel can return NULL (degenerate input); the
+        # non-null-geometry invariant every sink assumes must be
+        # re-established after ANY geometry UDF, same as the normalizers
+        .filter(F.col("geometry").isNotNull())
+        .withColumn("feature_type", F.lit("building_centroid"))
+    )
     combined = places.unionByName(centroids, allowMissingColumns=True)
     out = dict(layers)
     out["places_combined"] = combined

@@ -195,3 +195,32 @@ def test_morton_cell_widens_bits(spark):
         for r in df2.select(morton_cell(F.col("lon"), F.col("lat"), 0.005)).collect()
     ]
     assert codes[0] != codes[1]
+
+
+def test_sanitize_field_name_contract():
+    """T2 — reference transform.py:297-324 semantics."""
+    from overturelink_data_pipeline_spark.transform import sanitize_field_name
+
+    assert sanitize_field_name("  My Field-Name!  ") == "my_field_name"
+    assert sanitize_field_name("x" * 40) == "x" * 30
+    assert sanitize_field_name("a.b/c") == "abc"
+
+
+def test_drop_bad_geometry_agrees_with_fused_path(spark):
+    """The readable multi-pass F9-F11 variant and the fused
+    st_clean_geometry UDF must keep the SAME row set (no make_valid/
+    unwrap) — guards semantic drift between the documented variant and
+    the hot path the normalizers actually use."""
+    from pyspark.sql import functions as F
+
+    from overturelink_data_pipeline_spark.geo import fixtures as FX
+    from overturelink_data_pipeline_spark.geo.functions import st_clean_geometry
+    from overturelink_data_pipeline_spark.transform import drop_bad_geometry
+
+    df = FX.fixture_df(spark, "transportation_segment").select("id", "geometry")
+    kept_multi = {r.id for r in drop_bad_geometry(df, "lines").select("id").collect()}
+    fused = df.withColumn(
+        "geometry", st_clean_geometry("lines")(F.col("geometry"))
+    ).filter(F.col("geometry").isNotNull())
+    kept_fused = {r.id for r in fused.select("id").collect()}
+    assert kept_multi == kept_fused and kept_multi

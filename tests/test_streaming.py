@@ -45,21 +45,33 @@ def test_streaming_rollup_equals_batch(spark, sf_dir):
 
 
 def test_stream_sessions_subset_of_batch(spark, sf_dir):
-    """Streaming closed sessions ⊂ batch sessions; exactly the final
-    open session per user is missing (NoTimeout never flushes it)."""
+    """Streaming closed sessions ⊂ batch sessions. With the event-time
+    timeout, idle sessions flush once the watermark passes end+gap, so
+    the ONLY batch sessions missing from the stream are final sessions
+    still inside the end-of-stream watermark window
+    (end_s ≥ max_sec − 2·gap) — everything else must be emitted."""
+    from overturelink_data_pipeline_spark.streaming.events import SESSION_GAP_MIN
+
     batch = registry.QUERIES["sessions_30min_gap"](spark, sf_dir).toPandas()
     stream = registry.QUERIES["stream_user_sessions"](spark, sf_dir).toPandas()
     bkeys = {tuple(r) for r in batch[["user_id", "session_start_s"]].itertuples(index=False)}
     skeys = {tuple(r) for r in stream[["user_id", "session_start_s"]].itertuples(index=False)}
     assert skeys <= bkeys
     missing = bkeys - skeys
-    n_users = batch["user_id"].nunique()
-    assert len(missing) == n_users  # one open session per user
-    # the missing key per user is that user's LAST session
+    assert missing  # at least the globally-last session can't flush
+    gap_s = SESSION_GAP_MIN * 60
+    max_sec = int(batch["session_end_s"].max())
     last = batch.sort_values("session_start_s").groupby("user_id").tail(1)
-    assert missing == {
+    last_keys = {
         tuple(r) for r in last[["user_id", "session_start_s"]].itertuples(index=False)
     }
+    by_key = {
+        (int(r.user_id), int(r.session_start_s)): int(r.session_end_s)
+        for r in batch.itertuples(index=False)
+    }
+    for key in missing:
+        assert key in last_keys  # only a user's final session can stay open
+        assert by_key[key] >= max_sec - 2 * gap_s  # and only within the window
     # values of shared sessions agree exactly
     merged = batch.merge(
         stream, on=["user_id", "session_start_s"], suffixes=("_b", "_s")
