@@ -54,6 +54,86 @@ def spark_query(name: str, oracle: str | None = None) -> Callable[[QueryFn], Que
     return deco
 
 
+# Canonical registration order. The driver's correctness snapshot covers
+# the first 50 registered queries, so ordering is part of the verification
+# contract: queries that have never received a driver row rotate to the
+# front; twice-driver-proven relational queries rotate to the tail.
+# Names not listed keep their module-registration order after the listed
+# prefix (defensive: a new query is never silently dropped).
+_PRIORITY_ORDER: tuple[str, ...] = (
+    # Never driver-checked before round 3 (registry slots 51-65 in r1/r2).
+    "anti_join_parts_never_ordered",
+    "ann_cosine_topk",
+    "embedding_norms",
+    "ann_ivf_topk",
+    "ann_lsh_buckets",
+    "ann_range_search",
+    "stream_hourly_rollup",
+    "sessions_30min_gap",
+    "stream_user_sessions",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_winnowing_fingerprint",
+    "text_repetition_filter",
+    # Driver-green in r2 but touched this round (oracle/plan rewrites) —
+    # keep in the checked window so the rewrites get fresh driver rows.
+    "pipeline_cache_roundtrip",
+    "pipeline_power_split_publish",
+    "json_try_cast",
+    "dedup_exact_normalized",
+    # Remaining driver-green families, most complex first.
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "geo_roads_normalize",
+    "geo_buildings_normalize",
+    "geo_places_flatten",
+    "geo_places_json_drift",
+    "geo_clip_divisions",
+    "geo_clip_bbox",
+    "geo_split_families",
+    "geo_centroid_utm",
+    "geo_grid_partition_stats",
+    "geo_bbox_struct",
+    "mm_decode_features",
+    "mm_metadata_rollup",
+    "mm_frame_sample",
+    "pipeline_education_multilayer",
+    "pipeline_roads_geojsonseq",
+    "pipeline_places_combined",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "agg_percentiles_exact",
+    "agg_approx_sketches",
+    "join_asof_last_signup",
+    "join_range_price_band",
+    "events_hourly_rollup",
+    "union_layer_tag",
+    # ---- slot 51+ below: twice-driver-proven (r1+r2) simple relational ----
+    "agg_rollup_nation_region",
+    "agg_cube_status_flag",
+    "agg_grouping_sets",
+    "set_intersect_except",
+    "window_rank_suppliers_per_nation",
+    "subquery_cheapest_order",
+    "filter_in_dialect",
+    "distinct_sort",
+    "agg_bounds",
+    "group_count_by_type",
+    "substring_clip",
+    "element_at_first",
+    "regexp_extract_discovery",
+    "window_top_event_per_user",
+    "case_when_bucket",
+    "semi_join_customers_with_urgent_orders",
+)
+
+
 def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     # Imports are inside the function to avoid circular imports at
@@ -70,3 +150,15 @@ def load_all() -> None:
         streaming_ops,
         text,
     )
+
+    _apply_canonical_order()
+
+
+def _apply_canonical_order() -> None:
+    """Rebuild QUERIES in _PRIORITY_ORDER (unlisted names keep their
+    module-registration order after the listed prefix)."""
+    ordered = [n for n in _PRIORITY_ORDER if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in _PRIORITY_ORDER]
+    reordered = {n: QUERIES[n] for n in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)
