@@ -47,6 +47,7 @@ _RELEASE = "2026-05-15.0"
 _SEG = FX.fixture_glob("transportation_segment")
 _BLD = FX.fixture_glob("buildings_building")
 _PLC = FX.fixture_glob("places_place")
+_INF = FX.fixture_glob("base_infrastructure")
 
 _fixture_dirs: dict[str, str] = {}
 
@@ -137,8 +138,7 @@ def pipeline_education_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame
               CAST(CASE WHEN c.n > f.n THEN 1 ELSE 0 END AS BIGINT)
               FROM c, f
     UNION ALL SELECT 'filtered', f.n FROM f
-    UNION ALL SELECT 'limited', CAST(5 AS BIGINT)
-    UNION ALL SELECT 'limited_is_5', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'limited', CAST(LEAST(5, f.n) AS BIGINT) FROM f
     """,
 )
 def pipeline_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,12 +171,14 @@ def pipeline_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         n_filtered, n_limited = int(counts[0]["n"]), int(counts[1]["n"])
+    # every row here is independently recomputed by the DuckDB oracle
+    # from the frozen fixture parquet (the limited row as LEAST(5, n) —
+    # no constant is restated on both sides)
     rows = [
         ("cached_complete", meta.feature_count),
         ("filtered", n_filtered),
         ("limited", n_limited),
         ("complete_gt_filtered", int(meta.feature_count > n_filtered)),
-        ("limited_is_5", int(n_limited == 5)),
     ]
     return spark.createDataFrame(rows, "stage string, n long").orderBy("stage")
 
@@ -290,7 +292,32 @@ def pipeline_places_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("pipeline_power_split_publish")
+@spark_query(
+    "pipeline_power_split_publish",
+    # The mock service's counters are deterministic functions of the
+    # per-family row sets, so the oracle recomputes them from the frozen
+    # fixture parquet: uploaded == service_rows == |power rows in the
+    # country-0 bbox with that family| (publish never drops/duplicates),
+    # and created == 1 asserts the seed-slice create fires even for a
+    # hypothetical empty family.
+    oracle=f"""
+    WITH fam(f) AS (VALUES ('points'), ('lines'), ('polygons'), ('other')),
+    c AS (
+        SELECT _g_family AS f, COUNT(*) AS n
+        FROM read_parquet('{_INF}')
+        WHERE subtype = 'power'
+          AND bbox.xmin > 0.0 AND bbox.xmax < 10.0
+          AND bbox.ymin > 0.0 AND bbox.ymax < 10.0
+        GROUP BY 1
+    )
+    SELECT 'power_' || fam.f AS layer,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS uploaded,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS service_rows,
+           CAST(1 AS INTEGER) AS created
+    FROM fam LEFT JOIN c ON c.f = fam.f
+    ORDER BY layer
+    """,
+)
 def pipeline_power_split_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.1 sink leg: power geometry_split (F12 fan-out) published
     per-layer through the Sink protocol with seed-then-batch + adaptive
