@@ -36,6 +36,39 @@ from overturelink_data_pipeline_spark.session import (
     read_table,
 )
 
+def _with_planted_copies(
+    df: DataFrame,
+    modulus: int,
+    mangle: dict[str, Column],
+    id_col: str = "doc_id",
+    offset: int = 1_000_000,
+) -> DataFrame:
+    """One-scan planted-duplicate corpus (oracle side: ``UNION ALL``).
+
+    Every ``modulus``-th row fans out into itself plus a copy with
+    ``id_col + offset`` and the ``mangle``d columns rewritten, via a
+    single explode. The naive union-of-two-filtered-scans shape reads
+    the source file twice and (on a rescue-repartitioned scan) shuffles
+    it twice — measured 0.90 → 0.69 s at sf1 on dedup_exact_normalized.
+    """
+    cols = df.columns
+    base = F.struct(*[F.col(c).alias(c) for c in cols])
+    copy = F.struct(
+        *[
+            (F.col(id_col) + offset).alias(id_col)
+            if c == id_col
+            else (mangle[c].alias(c) if c in mangle else F.col(c).alias(c))
+            for c in cols
+        ]
+    )
+    fan = F.when(
+        F.col(id_col) % modulus == 0, F.array(base, copy)
+    ).otherwise(F.array(base))
+    return df.select(F.explode(fan).alias("_r")).select(
+        *[F.col(f"_r.{c}").alias(c) for c in cols]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup (hash-groupBy)
 # ---------------------------------------------------------------------------
@@ -64,10 +97,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group on content hash, keep min-id canonical row.
     One shuffle; the HAVING>1 output is the duplicate report."""
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    dups = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1000000
-    )
-    corpus = docs.unionByName(dups)
+    corpus = _with_planted_copies(docs, 3, mangle={})
     return (
         corpus.groupBy(F.md5("text").alias("content_hash"))
         .agg(
@@ -100,12 +130,9 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized exact dedup: case/whitespace-mangled copies collapse
     onto their originals under lower+collapse normalization."""
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    mangled = (
-        docs.filter(F.col("doc_id") % 5 == 0)
-        .withColumn("doc_id", F.col("doc_id") + 1000000)
-        .withColumn("text", F.concat(F.upper("text"), F.lit("  ")))
+    corpus = _with_planted_copies(
+        docs, 5, mangle={"text": F.concat(F.upper("text"), F.lit("  "))}
     )
-    corpus = docs.unionByName(mangled)
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
     return (
         corpus.groupBy(F.md5(norm).alias("content_hash"))
@@ -155,19 +182,12 @@ def _prefix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus + 80%-prefix copies of every 7th doc (high shingle overlap
     with the original, low overlap with everything else)."""
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select("doc_id", "lang", "text")
-    pref = (
-        docs.filter(F.col("doc_id") % 7 == 0)
-        .withColumn("doc_id", F.col("doc_id") + 1000000)
-        .withColumn(
-            "text",
-            # explicit floor: DuckDB CAST(double AS INT) rounds-to-nearest
-            # while Spark truncates — floor in both keeps prefixes equal
-            F.substring(
-                F.col("text"), 1, F.floor(F.length("text") * 0.8).cast("int")
-            ),
-        )
+    # explicit floor: DuckDB CAST(double AS INT) rounds-to-nearest
+    # while Spark truncates — floor in both keeps prefixes equal
+    prefix = F.substring(
+        F.col("text"), 1, F.floor(F.length("text") * 0.8).cast("int")
     )
-    return docs.unionByName(pref)
+    return _with_planted_copies(docs, 7, mangle={"text": prefix})
 
 
 def _gram_hashes(toks: str = "toks") -> Column:
@@ -611,18 +631,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    pert = (
-        emb.filter(F.col("vec_id") % 11 == 0)
-        .withColumn("vec_id", F.col("vec_id") + 1000000)
-        .withColumn(
-            "v",
-            F.concat(
-                F.array(F.element_at("v", 1) + 0.05),
-                F.slice("v", 2, F.size("v") - 1),
-            ),
-        )
+    perturbed = F.concat(
+        F.array(F.element_at("v", 1) + 0.05),
+        F.slice("v", 2, F.size("v") - 1),
     )
-    corpus = emb.unionByName(pert)
+    corpus = _with_planted_copies(
+        emb, 11, mangle={"v": perturbed}, id_col="vec_id"
+    )
 
     out_schema = "id_a long, id_b long, cos_sim double"
 

@@ -335,8 +335,15 @@ def union_layer_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
-    # JSON parsing is the CPU hot spot here — spread a split-starved
-    # scan (see session.ensure_parallelism) before the per-row parse
+    # JSON parsing is the CPU hot spot here. ensure_parallelism serves
+    # this scan with finer byte-range splits (openCostInBytes floor
+    # lowered) rather than a rescue repartition: Catalyst pushes the
+    # parse-bearing filter below any repartition exchange, so only
+    # scan-level parallelism actually covers the parse. from_json with
+    # a fixed one-field schema measured within noise of
+    # get_json_object at sf1 (0.87 vs 0.82 s); keeping get_json_object
+    # — its string-extract semantics exactly match the oracle's
+    # json_extract_string under value-type drift.
     return (
         ensure_parallelism(read_table(spark, sf_dir, "events"))
         .select("event_id", k.alias("k_value"))

@@ -190,25 +190,145 @@ def read_events(spark: SparkSession, sf_dir: str):
     return _normalize_ts(spark.read.parquet(table_path(sf_dir, "events")))
 
 
+#: Spark's byte-range split floor (``spark.sql.files.openCostInBytes``
+#: default). On small multi-row-group files the 4 MiB floor caps a scan
+#: at totalBytes/4MiB tasks regardless of cores; lowering it is a no-op
+#: at real scale (bytesPerCore dominates the max() in Spark's split
+#: formula) but un-starves the local test layout WITHOUT a shuffle —
+#: and without one, Catalyst pushing an expression-heavy filter below
+#: the rescue ``repartition()`` silently re-serializes the CPU work
+#: onto the starved scan stage (observed on the JSON-parse query).
+_OPEN_COST_DEFAULT = 4 * 1024 * 1024
+_OPEN_COST_SMALL = 128 * 1024
+
+#: Above this many leaf files the layout is a real lake — splits are
+#: plentiful, AQE owns sizing, and footer-stat'ing every file from the
+#: driver would cost more than it could ever save.
+_LAYOUT_PROBE_MAX_FILES = 64
+
+
+def _parse_bytes(value: str, default: int) -> int:
+    """Parse Spark byte-conf renderings: ``134217728b``, ``128m``, ``1g``."""
+    s = str(value).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in "kmg":
+        mult = {"k": 1024, "m": 1024**2, "g": 1024**3}[s[-1]]
+        s = s[:-1]
+    try:
+        return int(float(s)) * mult
+    except ValueError:
+        return default
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    try:
+        return _parse_bytes(spark.conf.get(key), default)
+    except Exception:
+        return default
+
+
+def _scan_layout(df) -> tuple[int, int, int] | None:
+    """``(total_bytes, n_files, effective_splits)`` of the frame's leaf
+    file scan from driver-side metadata only (``df.inputFiles()`` + file
+    stats + parquet footers — no RDD lineage instantiation, no job).
+
+    ``effective_splits`` counts what a byte-range split can actually
+    parallelize: parquet readers split at row-group boundaries, so a
+    single-group file is 1 effective split no matter how Spark carves
+    its byte ranges. Returns None when the layout can't be probed
+    cheaply (non-file frame, remote FS, many files) — callers must
+    treat that as "already sane".
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > _LAYOUT_PROBE_MAX_FILES:
+        return None
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote, urlparse
+
+    total_bytes = 0
+    splits = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return None  # remote lake: trust the layout
+        path = unquote(parsed.path)
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return None
+        total_bytes += size
+        try:
+            splits += pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            # non-parquet leaf (text/json): line-splittable, never the
+            # bottleneck — count it as freely splittable
+            splits += 1 << 20
+    return total_bytes, len(files), splits
+
+
 def ensure_parallelism(df, min_fraction: float = 0.5):
-    """Round-robin repartition a scan whose partition count is far
-    below the cluster's parallelism — and ONLY then.
+    """Make a split-starved file scan parallel — and ONLY then.
 
     Parquet scans split at row-group boundaries; a file written with
     giant row groups (pyarrow's default is 1 Mi rows — the test
-    tables' ``documents``/``events`` are single-group) yields a
-    1-task scan, and every narrow op downstream (explode, regex,
-    hashing) inherits that single task regardless of cores. CPU-heavy
-    operators route their scan through here: if the scan already has
-    ≥ half the default parallelism — any sanely-written lake at any
-    scale, where AQE owns sizing — this is a NO-OP and adds no
-    shuffle. The repartition pays one small-table shuffle only in the
-    pathological layout, where it buys cores× speedup on the compute
-    that follows.
+    tables' ``documents``/``events`` have shipped single-group) yields
+    a 1-task scan, and every narrow op downstream (explode, regex,
+    hashing, JSON parse) inherits that single task regardless of
+    cores. CPU-heavy operators route their scan through here. Three
+    regimes, cheapest first:
+
+    1. **Sane layout** (≥ half the default parallelism in effective
+       splits, or any un-probeable/remote/many-file layout — i.e. any
+       real lake at any scale): NO-OP, no shuffle, no conf touched.
+    2. **Multi-row-group but byte-floor-starved**: lower
+       ``spark.sql.files.openCostInBytes`` (performance-only conf;
+       no-op in Spark's split formula at real scale) so the scan
+       itself splits finer — no shuffle, and expression-heavy filters
+       that Catalyst evaluates at the scan parallelize too, which a
+       rescue ``repartition()`` can never achieve (pushdown puts the
+       filter *below* the exchange).
+    3. **Genuinely unsplittable** (single row group): round-robin
+       ``repartition()`` — pays one small-table shuffle to buy cores×
+       on the compute that follows.
+
+    All decisions use driver-side metadata (file stats + parquet
+    footers), never ``df.rdd`` — instantiating the RDD lineage per
+    query build is driver overhead and defeats later plan reuse.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, int(target * min_fraction)):
+    threshold = max(2, int(target * min_fraction))
+    layout = _scan_layout(df)
+    if layout is None:
+        return df
+    total_bytes, n_files, effective_splits = layout
+
+    open_cost = _conf_bytes(
+        spark, "spark.sql.files.openCostInBytes", _OPEN_COST_DEFAULT
+    )
+    if effective_splits >= threshold and open_cost == _OPEN_COST_DEFAULT:
+        # enough row groups, but would Spark's byte-range carve reach
+        # them? maxSplitBytes floors at openCostInBytes — lower it so
+        # bytesPerCore (the scale-correct term) owns the split size.
+        bytes_per_core = (total_bytes + n_files * open_cost) / max(1, target)
+        if max(open_cost, bytes_per_core) == open_cost:
+            spark.conf.set(
+                "spark.sql.files.openCostInBytes", str(_OPEN_COST_SMALL)
+            )
+            open_cost = _OPEN_COST_SMALL
+
+    max_partition = _conf_bytes(
+        spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
+    )
+    bytes_per_core = (total_bytes + n_files * open_cost) / max(1, target)
+    max_split = min(max_partition, max(open_cost, bytes_per_core))
+    byte_splits = max(1, -(-total_bytes // max(1, int(max_split))))
+    if min(byte_splits, effective_splits) < threshold:
         return df.repartition(target)
     return df
 

@@ -31,9 +31,10 @@ def stage_file(
     name: str = "staged",
 ) -> str:
     """Create a staging artifact; returns its path. ``fmt`` is one of
-    ``geojson`` (always available), ``gpkg`` / ``fgdb`` (gated on the
-    GDAL stack like S9/S10; fgdb output is zipped as the reference
-    zips the .gdb directory, export.py:227-246)."""
+    ``geojson`` and ``gpkg`` (both always available — GPKG is the
+    pure-stdlib sqlite3 writer, sinks/gpkg.py) or ``fgdb`` (the one
+    format still gated on pyogrio/GDAL, S10; fgdb output is zipped as
+    the reference zips the .gdb directory, export.py:227-246)."""
     staging_dir = staging_dir or tempfile.mkdtemp(prefix="ol_stage_")
     os.makedirs(staging_dir, exist_ok=True)
     if fmt == "geojson":

@@ -36,21 +36,53 @@ def test_s3a_conf_block():
     assert int(conf["spark.hadoop.fs.s3a.attempts.maximum"]) == 3
 
 
-def test_ensure_parallelism_conditional(spark):
-    """Repartition ONLY on split-starved scans: already-parallel frames
-    pass through plan-unchanged (no Exchange added)."""
-    from pyspark.sql import functions as F
+def test_ensure_parallelism_conditional(spark, tmp_path):
+    """Three regimes: non-file frames pass through untouched; a
+    single-row-group parquet scan (genuinely unsplittable) gets the
+    rescue repartition; a multi-row-group scan is served by finer
+    byte-range splits (openCostInBytes lowered) with NO shuffle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    from overturelink_data_pipeline_spark.session import ensure_parallelism
+    from overturelink_data_pipeline_spark import session as S
 
+    # non-file frame: layout unprobeable -> same object, no shuffle
+    wide = spark.range(0, 1000, 1, numPartitions=max(2, 4))
+    assert S.ensure_parallelism(wide) is wide
+
+    # single row group: must repartition to defaultParallelism
     target = spark.sparkContext.defaultParallelism
-    wide = spark.range(0, 1000, 1, numPartitions=max(2, target))
-    assert ensure_parallelism(wide) is wide  # no-op, same object
-
-    narrow = spark.range(0, 1000, 1, numPartitions=1)
-    out = ensure_parallelism(narrow)
+    one = str(tmp_path / "one.parquet")
+    pq.write_table(
+        pa.table({"x": list(range(10000))}), one, row_group_size=10000
+    )
+    out = S.ensure_parallelism(spark.read.parquet(one))
     assert out.rdd.getNumPartitions() == target
-    assert out.count() == 1000
+    assert out.count() == 10000
+
+    # many row groups: no Exchange in the plan (scan splits finer
+    # instead), and the split-floor conf was lowered to make that real
+    many = str(tmp_path / "many.parquet")
+    pq.write_table(
+        pa.table({"x": list(range(100000))}), many, row_group_size=100000 // target
+    )
+    df = S.ensure_parallelism(spark.read.parquet(many))
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        S._conf_bytes(spark, "spark.sql.files.openCostInBytes", 0)
+        == S._OPEN_COST_SMALL
+    )
+    assert df.count() == 100000
+
+
+def test_parse_bytes_conf_renderings():
+    from overturelink_data_pipeline_spark.session import _parse_bytes
+
+    assert _parse_bytes("134217728b", 0) == 134217728
+    assert _parse_bytes("128m", 0) == 128 * 1024**2
+    assert _parse_bytes("1g", 0) == 1024**3
+    assert _parse_bytes("4194304", 0) == 4194304
+    assert _parse_bytes("garbage", 7) == 7
 
 
 def test_geojson_layer_tag_all_null_props(spark, tmp_path):
