@@ -165,6 +165,18 @@ def cmd_export(args: argparse.Namespace) -> int:
         n = 0
         for i, (name, df) in enumerate(layers.items()):
             n += write_filegdb(df, out, layer=name, mode="w" if i == 0 else "a")
+    elif args.format == "fgb":
+        from overturelink_data_pipeline_spark.sinks.fgb import write_fgb
+
+        n = 0
+        if single is not None:
+            n = write_fgb(single, out, name=query.name)
+        else:
+            # one FlatGeobuf per layer (the format is single-layer),
+            # sharing the stem like the shapefile dataset convention
+            stem = out[:-4] if out.lower().endswith(".fgb") else out
+            for name, df in layers.items():
+                n += write_fgb(df, f"{stem}_{name}.fgb", name=name)
     elif args.format == "shapefile":
         from overturelink_data_pipeline_spark.sinks.shapefile import write_shapefile
 
@@ -362,7 +374,7 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--country", required=True)
     exp.add_argument("--format", default="geojson",
                      choices=["geojson", "geojsonseq", "gpkg", "fgdb",
-                              "geoparquet", "shapefile"])
+                              "geoparquet", "shapefile", "fgb"])
     exp.add_argument("--clip", default="divisions", choices=["divisions", "bbox"])
     exp.add_argument("--limit", type=int, default=None)
     exp.add_argument("--raw", action="store_true",
