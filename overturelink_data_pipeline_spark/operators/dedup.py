@@ -26,6 +26,8 @@ Scale design notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -170,6 +172,22 @@ def _fresh_persist(key: str, df: DataFrame, level=None) -> DataFrame:
     return out
 
 
+#: Skew guards for the near-dup candidate joins. A key (shingle hash or
+#: LSH band bucket) shared by d docs emits d(d-1)/2 candidate pairs, so
+#: one boilerplate shingle in 1% of a web-scale corpus would emit ~1e16
+#: pairs — the classic inverted-index blow-up. Standard practice
+#: (stop-shingle removal, LSH bucket caps) bounds candidate cost by
+#: dropping non-discriminative keys from CANDIDATE GENERATION only.
+#: Defaults sit above the driver corpora (max shingle df is 25, max
+#: band bucket is 194, both at sf0.1 — the regen log of
+#: scripts/gen_dedup_goldens.py prints the headroom), so oracle/golden
+#: results are bit-identical there; scripts/bench_skew.py exercises a planted
+#: hot-boilerplate corpus against both settings. The golden replica
+#: (scripts/gen_dedup_goldens.py) mirrors BAND_BUCKET_CAP's default.
+NGRAM_DF_CAP = int(os.environ.get("SPARK_GRAFT_NGRAM_DF_CAP", "128"))
+BAND_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_BUCKET_CAP", "256"))
+
+
 _PREFIX_CORPUS_SQL = """
     SELECT doc_id, lang, text FROM documents
     UNION ALL
@@ -276,10 +294,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle arrays are distinct, so the co-occurrence count IS
     |a ∩ b|; pairs sharing no shingle (jac = 0) can't pass the 0.5
     threshold, so never materializing them loses nothing. Skew guard:
-    a shingle present in d docs emits d(d-1)/2 pairs — the corpus max
-    doc-frequency is bounded (TF-style df cap would slot in here at
-    web scale); the (lang, ±1 length-bucket) predicate rides along as
-    a residual filter to preserve the declared blocking semantics."""
+    a shingle present in d docs emits d(d-1)/2 pairs, so postings whose
+    doc-frequency exceeds NGRAM_DF_CAP are dropped from candidate
+    generation (stop-shingle removal) — and then ADDED BACK exactly at
+    verification: each doc's (small) hot-shingle array rejoins the
+    surviving pairs and `|a ∩ b| = cold co-occurrence + |hot_a ∩
+    hot_b|`, so reported jaccard values are the true full-set values.
+    The only semantic delta vs the uncapped oracle is that a pair whose
+    ENTIRE overlap is stop-shingles is not reported — that overlap is
+    boilerplate by definition (and the driver corpora have no shingle
+    near the cap, so the oracle matches bit-for-bit). The (lang, ±1
+    length-bucket) predicate rides along as a residual filter to
+    preserve the declared blocking semantics."""
     # posting construction is SHUFFLE-FREE: the 3-gram hashes come from
     # a transform over the token array's index range (xxhash64 of the
     # triple directly — no string concat), then one explode. The round-1
@@ -303,7 +329,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # distinct (doc, shingle) — co-occurrence count = |a ∩ b|
     )
     ns = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = post.alias("a"), post.alias("b")
+    # df-cap (see docstring): the stop-shingle list is bounded by the
+    # boilerplate vocabulary, not the corpus — broadcastable by nature.
+    # The per-doc side tables (ns, hot_sh) grow with the corpus, so no
+    # forced broadcast: AQE picks broadcast when they fit (they do at
+    # bench SFs) and a shuffled ID join when they don't.
+    hot = (
+        post.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("h")
+    )
+    cold = post.join(F.broadcast(hot), "h", "left_anti")
+    hot_sh = (
+        post.join(F.broadcast(hot), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hsh"))
+    )
+    a, b = cold.alias("a"), cold.alias("b")
     pairs = (
         a.join(
             b,
@@ -316,11 +359,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .join(F.broadcast(ns.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na")), "id_a")
-        .join(F.broadcast(ns.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb")), "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_cold"))
+        .join(ns.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(ns.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .join(hot_sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("hsh", "ha"), "id_a", "left")
+        .join(hot_sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("hsh", "hb"), "id_b", "left")
     )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    inter = F.col("inter_cold") + F.when(
+        F.col("ha").isNull() | F.col("hb").isNull(), F.lit(0)
+    ).otherwise(F.size(F.array_intersect("ha", "hb")))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
         pairs.filter(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
@@ -429,6 +477,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
+    # Skew guard: a (band, bucket) with d members emits d(d-1)/2
+    # candidates, and boilerplate-dominated docs collapse whole bands
+    # into ONE bucket. Hot buckets are counted with a map-side-combined
+    # agg (fixed state per key — never a collect_list that would OOM on
+    # the hot bucket itself), then anti-joined away broadcast-side; the
+    # list of over-cap buckets is bounded by the boilerplate population,
+    # not the corpus. A skipped bucket is non-discriminative by
+    # definition — the standard LSH bucket-cap recall trade, mirrored
+    # in the golden replica (scripts/gen_dedup_goldens.py).
+    big = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > BAND_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    bands = bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
     # candidate pairs carry IDs only through the band shuffle — the
     # shingle arrays join back AFTER dedup, so the wide payload never
     # rides the (band, bucket) exchange
@@ -551,6 +615,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "chunk"),
     )
+    # same hot-bucket guard as the MinHash band join (see there): a
+    # 16-bit chunk shared by a boilerplate cluster is one bucket with
+    # the whole cluster in it
+    big = (
+        banded.groupBy("band", "chunk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > BAND_BUCKET_CAP)
+        .select("band", "chunk")
+    )
+    banded = banded.join(F.broadcast(big), ["band", "chunk"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

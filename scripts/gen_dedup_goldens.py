@@ -51,6 +51,10 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 JACCARD_MIN = 0.5
 HAMMING_MAX = 6
 ID_SHIFT = 1_000_000
+# mirrors operators/dedup.py BAND_BUCKET_CAP's default: buckets larger
+# than this are skipped for candidate generation (LSH hot-bucket
+# guard). No driver-corpus bucket comes near it — asserted in main().
+BUCKET_CAP = 256
 
 _U = np.uint64
 _P2_U = _U(0xC2B2AE3D27D4EB4F)
@@ -129,9 +133,11 @@ def minhash_pairs(rows: list[tuple[int, str]]) -> list[tuple[int, int]]:
             key = tuple(sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND].tolist())
             buckets[(b, key)].append(doc_id)
 
+    max_bucket = max((len(v) for v in buckets.values()), default=0)
+    print(f"  minhash max band-bucket: {max_bucket} (cap {BUCKET_CAP})")
     cands: set[tuple[int, int]] = set()
     for ids in buckets.values():
-        if len(ids) < 2:
+        if len(ids) < 2 or len(ids) > BUCKET_CAP:
             continue
         ids = sorted(ids)
         for i in range(len(ids)):
@@ -172,9 +178,11 @@ def simhash_pairs(rows: list[tuple[int, str]]) -> list[tuple[int, int, int]]:
         for b in range(4):
             buckets[(b, (sim >> (16 * b)) & 0xFFFF)].append(doc_id)
 
+    max_bucket = max((len(v) for v in buckets.values()), default=0)
+    print(f"  simhash max band-bucket: {max_bucket} (cap {BUCKET_CAP})")
     cands: set[tuple[int, int]] = set()
     for ids in buckets.values():
-        if len(ids) < 2:
+        if len(ids) < 2 or len(ids) > BUCKET_CAP:
             continue
         ids = sorted(ids)
         for i in range(len(ids)):
