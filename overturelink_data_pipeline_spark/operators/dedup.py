@@ -734,3 +734,89 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(block_pairs, schema=out_schema)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters (connected components over the candidate pair set)
+# ---------------------------------------------------------------------------
+
+@spark_query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE golden AS (
+      SELECT id_a, id_b FROM read_parquet('{_MH_GOLD}')
+      WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM golden
+      UNION
+      SELECT id_b, id_a FROM golden
+    ),
+    reach(n, m) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, r.m FROM reach r JOIN edges e ON e.s = r.n
+    ),
+    label AS (SELECT n, MIN(m) AS root FROM reach GROUP BY n)
+    SELECT root AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM label GROUP BY root ORDER BY cluster_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the MinHash pair set: connected
+    components by iterative min-label propagation, reported as
+    (canonical id = component min, member count).
+
+    Why this exists: the skew bench (BENCH_SF1.md round 3) showed that
+    enumerating the pairs of an n-doc duplicate cluster is inherently
+    O(n²) — the scale-correct *deliverable* of a dedup pipeline is one
+    row per cluster (keep the canonical doc, drop the rest), which is
+    linear in the corpus. This operator is the pair → cluster reducer.
+
+    Physical strategy: labels start as each node's own id; each round
+    joins labels across the (bidirectional) edge list, takes the min
+    label per node (map-side combinable), and stops when no label
+    changed — rounds ∝ component diameter, and near-dup components are
+    shallow (duplicates of a common source), so convergence is 2-3
+    rounds here. Each round persists IDs-only state and unpersists the
+    previous round. For adversarially long chains the known fix is the
+    alternating large-star/small-star contraction (O(log n) rounds,
+    same join-agg primitives); diameter-bounded propagation keeps this
+    implementation transparent against the recursive-CTE oracle, which
+    freezes BOTH the pair derivation (golden minhash pairs, computed
+    by the independent replica) and the component semantics."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).toDF("s", "d")
+    edges = _fresh_persist("cc_edges", edges)
+    labels = edges.select(F.col("s").alias("n"), F.col("s").alias("lbl")).distinct()
+    labels = _fresh_persist("cc_labels", labels)
+    for _ in range(20):  # diameter guard; near-dup components are shallow
+        prop = (
+            labels.join(edges, labels["n"] == edges["s"])
+            .select(F.col("d").alias("n"), "lbl")
+            .groupBy("n")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        nxt = (
+            labels.join(prop, "n", "left")
+            .select("n", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+        )
+        nxt = _fresh_persist("cc_labels_next", nxt)
+        changed = (
+            nxt.alias("x")
+            .join(labels.alias("y"), "n")
+            .filter(F.col("x.lbl") != F.col("y.lbl"))
+            .count()
+        )
+        labels = _fresh_persist("cc_labels", nxt)
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .select(F.col("lbl").alias("cluster_id"), "n_members")
+        .orderBy("cluster_id")
+    )

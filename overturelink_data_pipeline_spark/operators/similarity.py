@@ -232,3 +232,192 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= RANGE_TAU)
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN join (many query points × full base set)
+# ---------------------------------------------------------------------------
+
+N_QUERIES = 10  # vec_id < 10 are the query points
+K_NN = 5
+
+
+@spark_query(
+    "knn_join",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND(list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 5) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id >= {N_QUERIES}
+    )
+    SELECT qid, vec_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {K_NN}
+    ORDER BY qid, rank
+    """,
+)
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: top-k cosine neighbors in the base set for EACH of a
+    small query set (the retrieval shape of dataset decontamination /
+    eval-leak sweeps: "for every eval prompt, its nearest training
+    docs").
+
+    Scale shape: the query side broadcasts (it is small by contract),
+    scoring is one embarrassingly parallel pass over the base set, and
+    top-k-per-query runs in TWO phases — a per-partition window (any
+    partitioning serves: the global top-k is a subset of every local
+    top-k union) cuts candidates to ≤ k·partitions BEFORE the only
+    data-dependent shuffle, so the per-qid exchange moves k·P rows,
+    never the scored corpus. A single window over qid alone would
+    funnel the whole base set through |queries| reducer partitions —
+    the classic top-k skew trap."""
+    from pyspark.sql.window import Window
+
+    emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 5).alias("cos_sim"),
+        )
+    )
+    order = [F.col("cos_sim").desc(), F.col("vec_id")]
+    local = Window.partitionBy("qid", F.spark_partition_id()).orderBy(*order)
+    pruned = scored.withColumn("lrn", F.row_number().over(local)).filter(
+        F.col("lrn") <= K_NN
+    )
+    final = Window.partitionBy("qid").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= K_NN)
+        .select("qid", "vec_id", "cos_sim", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd's k-means over the embedding column (iterative algorithm)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_UPDATES = 2  # centroid updates; assignments run UPDATES + 1 times
+
+_KM_EMB = "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+_KM_ASSIGN = """
+  SELECT e.vec_id, e.v,
+         (SELECT c.cl FROM {cents} c ORDER BY list_distance(e.v, c.c), c.cl LIMIT 1) AS cl
+  FROM emb e
+"""
+_KM_UPDATE = """
+  SELECT cl, list(cx ORDER BY dim) AS c
+  FROM (SELECT cl, dim, ROUND(AVG(x), 6) AS cx
+        FROM (SELECT cl, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM {assigned})
+        GROUP BY cl, dim) t
+  GROUP BY cl
+"""
+
+
+@spark_query(
+    "embedding_kmeans",
+    oracle=f"""
+    WITH emb AS ({_KM_EMB}),
+    c0 AS (SELECT vec_id AS cl, v AS c FROM emb WHERE vec_id < {KMEANS_K}),
+    a1 AS ({_KM_ASSIGN.format(cents='c0')}),
+    c1 AS ({_KM_UPDATE.format(assigned='a1')}),
+    a2 AS ({_KM_ASSIGN.format(cents='c1')}),
+    c2 AS ({_KM_UPDATE.format(assigned='a2')}),
+    a3 AS ({_KM_ASSIGN.format(cents='c2')})
+    SELECT a3.cl AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(sqrt(list_reduce(list_transform(c2.c, x -> x * x), (a, b) -> a + b)), 4) AS centroid_l2
+    FROM a3 JOIN c2 ON c2.cl = a3.cl
+    GROUP BY a3.cl, c2.c
+    ORDER BY cluster
+    """,
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, k=8, 2 centroid updates + final assignment,
+    deterministic init (the first k vectors by vec_id) — the iterative-
+    algorithm pattern (same structure as Spark MLlib KMeans): centroids
+    are DRIVER state bounded by k x dim (512 doubles here — never
+    corpus-sized), broadcast into each assignment pass as literal
+    arrays; assignment is an embarrassingly parallel scan; the update
+    is a posexplode -> groupBy(cluster, dim) avg — map-side combinable
+    with exactly k x dim groups, so each iteration is one scan + one
+    bounded shuffle. Centroids round to 1e-6 at every update in BOTH
+    engines, pinning the assignment boundaries against summation-order
+    drift; ties break to the lowest cluster id in both (array_position
+    takes the first minimum; the oracle orders by distance, cl).
+    Squared distance vs the oracle's euclidean is argmin-equivalent."""
+    import math
+
+    emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    init = emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    cents: dict[int, list[float]] = {int(r["vec_id"]): list(r["v"]) for r in init}
+
+    def assign(cents: dict[int, list[float]]) -> DataFrame:
+        cls = sorted(cents)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(x) for x in cents[c]]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+                for c in cls
+            ]
+        )
+        pos = F.array_position(dists, F.array_min(dists)).cast("int")
+        cl = F.element_at(F.array(*[F.lit(c).cast("bigint") for c in cls]), pos)
+        return emb.withColumn("cl", cl)
+
+    for _ in range(KMEANS_UPDATES):
+        rows = (
+            assign(cents)
+            .select("cl", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cl", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
+            .collect()
+        )
+        by_cl: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cl.setdefault(int(r["cl"]), {})[int(r["dim"])] = float(r["cx"])
+        cents = {cl: [d[i] for i in range(len(d))] for cl, d in by_cl.items()}
+
+    cls = sorted(cents)
+    l2 = {
+        c: round(math.sqrt(sum(x * x for x in cents[c])), 4) for c in cls
+    }
+    l2_lookup = F.map_from_arrays(
+        F.array(*[F.lit(c).cast("bigint") for c in cls]),
+        F.array(*[F.lit(l2[c]) for c in cls]),
+    )
+    return (
+        assign(cents)
+        .groupBy("cl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.col("cl").alias("cluster"),
+            "n",
+            F.element_at(l2_lookup, F.col("cl")).alias("centroid_l2"),
+        )
+        .orderBy("cluster")
+    )

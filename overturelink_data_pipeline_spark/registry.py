@@ -83,6 +83,12 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "pipeline_power_split_publish",
     "json_try_cast",
     "dedup_exact_normalized",
+    # New in round 3 — must sit inside the driver's 50-query window.
+    "knn_join",
+    "embedding_kmeans",
+    "dedup_clusters",
+    "text_gopher_quality",
+    "stream_dedup_hourly",
     # Remaining driver-green families, most complex first.
     "dedup_exact",
     "dedup_ngram_jaccard",
