@@ -101,3 +101,56 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize_stream(stream), spark, output_mode="append", shuffle_partitions=8
     )
     return result.orderBy("user_id", "session_start_s")
+
+
+@spark_query(
+    "stream_dedup_hourly",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_start_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def stream_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the event stream is unioned with itself
+    (every event arrives TWICE — the duplicated-delivery shape of
+    at-least-once ingestion), deduplicated on event_id with
+    ``dropDuplicatesWithinWatermark`` (first arrival emits immediately;
+    per-key state evicts once the watermark passes, so state is bounded
+    by the dedup horizon, not the stream), then rolled up hourly.
+
+    The oracle is the PLAIN batch hourly rollup of the source — i.e.
+    the planted duplicates must be invisible in the result: without the
+    dedup every count would be exactly 2x and the hash would break.
+    The rollup runs as a batch agg over the drained deduped rows (the
+    streaming operator under test is the dedup; chaining a second
+    stateful agg would gate emission on watermark advance, which a
+    bounded AvailableNow replay never completes for the last window)."""
+    read_table(spark, sf_dir, "events")
+    doubled = read_event_stream(spark, sf_dir).unionByName(
+        read_event_stream(spark, sf_dir)
+    )
+    deduped = (
+        doubled.withWatermark("event_time", "120 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "value")
+    )
+    drained = run_to_completion(
+        deduped, spark, output_mode="append", shuffle_partitions=8
+    )
+    hour_ns = 3_600 * 1_000_000_000
+    # integer `div`, not float `/`: above 2^53 ns a double's rounding
+    # can misbucket boundary events (same pitfall as events.py:90)
+    return (
+        drained.groupBy(
+            (F.expr(f"ts div {hour_ns}") * 3600).cast("bigint").alias("bucket_start_s")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("bucket_start_s")
+    )

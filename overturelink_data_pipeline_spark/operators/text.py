@@ -326,3 +326,85 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("repetitive"),
     ).orderBy("doc_id")
+
+
+@spark_query(
+    "text_gopher_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             list_reduce(list_transform(toks, w -> length(w)), (a, b) -> a + b) * 1.0
+               / greatest(len(toks), 1) AS mean_word_len,
+             len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0
+               / greatest(len(toks), 1) AS alpha_frac,
+             len(list_filter(ltoks, w -> list_contains(['the','a','and','of','to','in'], w))) AS n_stop,
+             len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS uniq_frac
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mean_word_len, 4) AS mean_word_len,
+           ROUND(alpha_frac, 4)    AS alpha_frac,
+           CAST(n_stop AS BIGINT)  AS n_stop,
+           ROUND(uniq_frac, 4)     AS uniq_frac,
+           CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+                      AND mean_word_len BETWEEN 3 AND 10
+                      AND alpha_frac >= 0.8
+                      AND n_stop >= 2
+                      AND uniq_frac >= 0.2
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style RULE filter (vs text_quality_score's scalar score):
+    each document is tested against the classic repetition/shape rules
+    — word-count bounds, mean-word-length bounds, alphabetic-word
+    fraction, minimum stopword evidence, unique-word fraction — and
+    `keep` is their conjunction. Pure Catalyst higher-order array
+    expressions over one scan: zero shuffle, whole-stage codegen, the
+    exact shape a 100 TB pretraining-filter pass needs (the rollup of
+    keep-rates is a separate cheap agg).
+
+    Rule thresholds follow the published Gopher heuristics adapted to
+    this corpus's scale (30-word floor instead of 50 — the synthetic
+    docs average ~50 tokens)."""
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    tok = tokens(F.col("text"))
+    ltok = tokens(F.lower(F.col("text")))
+    n_words = F.size(tok)
+    denom = F.greatest(n_words, F.lit(1))
+    mean_word_len = (
+        F.aggregate(
+            F.transform(tok, lambda w: F.length(w)), F.lit(0), lambda s, x: s + x
+        )
+        * 1.0
+        / denom
+    )
+    alpha_frac = F.size(F.filter(tok, lambda w: w.rlike("[a-zA-Z]"))) * 1.0 / denom
+    n_stop = F.size(F.filter(ltok, lambda w: w.isin(*STOPWORDS)))
+    uniq_frac = F.size(F.array_distinct(tok)) * 1.0 / denom
+    keep = (
+        n_words.between(30, 100000)
+        & mean_word_len.between(3, 10)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+        & (uniq_frac >= 0.2)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        n_stop.cast("bigint").alias("n_stop"),
+        F.round(uniq_frac, 4).alias("uniq_frac"),
+        keep.cast("int").alias("keep"),
+    ).orderBy("doc_id")
