@@ -1,0 +1,392 @@
+"""Training-data curation operators: benchmark decontamination,
+sequence packing, PII redaction, stratified hash sampling.
+
+These extend the LLM-pipeline families (dedup/, similarity/, text ops)
+with the remaining steps a pretraining-corpus build runs between "raw
+crawl" and "tokenized shards":
+
+- **decontamination** — drop/flag training documents that share long
+  n-gram shingles with an evaluation benchmark (the GPT-3/PaLM 13-gram
+  protocol, here k=8 to fit the synthetic corpus);
+- **sequence packing** — concat-and-chunk assignment of documents into
+  fixed-length context windows (the GPT-style pretraining layout),
+  computed as offsets so the tokenizer stage can shard embarrassingly;
+- **PII redaction** — regex scrub of emails/phones/IPs with per-class
+  counts (the C4/CCNet hygiene pass);
+- **stratified sampling** — deterministic hash-bucket sampling with a
+  per-stratum rate (language/domain rebalancing without a shuffle).
+
+Scale design: every op here is either a pure scan-local expression
+(redaction, sampling), a broadcast join against a small benchmark set
+(decontamination), or a per-source window (packing) — nothing moves
+the corpus through an unbounded shuffle.
+
+The driver corpus is clean by construction (no PII, no benchmark
+leakage), so decontamination and redaction synthesize their positive
+population from the corpus itself — id-derived eval excerpts and
+planted contact strings — with the oracle applying the identical
+construction (the dedup.py pattern: parity checks the operator, not
+the synthetic data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from overturelink_data_pipeline_spark.registry import spark_query
+from overturelink_data_pipeline_spark.session import (
+    ensure_parallelism,
+    read_table,
+)
+
+# ---------------------------------------------------------------------------
+# Decontamination (eval-benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+#: Shingle width for contamination checks. Published pipelines use 13-gram
+#: word shingles (GPT-3 appendix C); the synthetic corpus averages ~60
+#: tokens from a ~30-word vocabulary, so k=8 keeps chance collisions
+#: negligible while every planted excerpt still yields >= 1 shingle.
+DECONTAM_K = 8
+
+#: Every 37th document donates its first 25 tokens as an "eval benchmark"
+#: record; the donor (and only the donor, up to vanishing chance overlap)
+#: is then contaminated by construction.
+EVAL_MODULUS = 37
+EVAL_EXCERPT_TOKENS = 25
+
+
+def _ltokens(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def _shingles(tok: Column, k: int) -> Column:
+    """Distinct k-token shingles (space-joined) of a token array."""
+    idx = F.sequence(F.lit(1), F.size(tok) - (k - 1))
+    return F.when(
+        F.size(tok) >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, k)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@spark_query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    eval_t AS (
+      SELECT list_slice(t, 1, {EVAL_EXCERPT_TOKENS}) AS t
+      FROM d WHERE doc_id % {EVAL_MODULUS} = 0
+    ),
+    eval_sh AS (
+      SELECT DISTINCT array_to_string(list_slice(t, i, i + {DECONTAM_K - 1}), ' ') AS sh
+      FROM eval_t, unnest(generate_series(1, len(t) - {DECONTAM_K - 1})) AS u(i)
+      WHERE len(t) >= {DECONTAM_K}
+    ),
+    train_sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i, i + {DECONTAM_K - 1}), ' ') AS sh
+      FROM d, unnest(generate_series(1, len(t) - {DECONTAM_K - 1})) AS u(i)
+      WHERE len(t) >= {DECONTAM_K}
+    ),
+    hits AS (
+      SELECT train_sh.doc_id, COUNT(*) AS c
+      FROM train_sh JOIN eval_sh USING (sh)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.c, 0) AS BIGINT) AS n_overlap,
+           CAST(CASE WHEN COALESCE(h.c, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS contaminated
+    FROM d LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    k-token shingle with an eval set (excerpts planted from every 37th
+    doc; see module docstring for why the eval set is synthesized).
+
+    100 TB plan shape: the eval benchmark is tiny (MMLU+GSM8K+... is
+    a few hundred MB of shingles) and arrives as a **broadcast** hash
+    set, so the corpus never shuffles — each scan task intersects its
+    documents' shingle arrays against the broadcast side and emits
+    (doc_id, n_overlap) directly; the only exchange is the final
+    per-doc count, already one row per doc from the map side.
+    """
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", _ltokens(F.col("text")).alias("t"))
+    eval_sh = (
+        toks.filter(F.col("doc_id") % EVAL_MODULUS == 0)
+        .select(
+            F.explode(
+                _shingles(F.slice(F.col("t"), 1, EVAL_EXCERPT_TOKENS), DECONTAM_K)
+            ).alias("sh")
+        )
+        .distinct()
+    )
+    train_sh = toks.select(
+        "doc_id", F.explode(_shingles(F.col("t"), DECONTAM_K)).alias("sh")
+    )
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        toks.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce(F.col("c"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk offsets)
+# ---------------------------------------------------------------------------
+
+#: Context-window length in whitespace tokens. Real pipelines use the
+#: tokenizer's context (2k-8k BPE tokens); synthetic docs average ~60
+#: tokens, so 64 exercises both multi-doc windows and boundary spans.
+PACK_SEQ_LEN = 64
+
+
+@spark_query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      FROM n
+    )
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT)     AS n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // {PACK_SEQ_LEN} AS BIGINT) AS first_seq,
+           CAST((start_offset + n_tokens - 1) // {PACK_SEQ_LEN} AS BIGINT) AS last_seq,
+           CAST(CASE WHEN start_offset // {PACK_SEQ_LEN}
+                       <> (start_offset + n_tokens - 1) // {PACK_SEQ_LEN}
+                THEN 1 ELSE 0 END AS INTEGER) AS spans_boundary
+    FROM o
+    ORDER BY doc_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each document its byte^Wtoken offset in
+    a per-source concat-and-chunk stream of fixed-length context
+    windows (GPT-style pretraining layout). Emits, per doc, the global
+    token offset within its source stream and the first/last window it
+    lands in, so a downstream tokenizer can materialize window shards
+    without re-scanning neighbours.
+
+    100 TB plan shape: ONE window function partitioned by ``source`` —
+    packing is defined per source-shard (as real pipelines do: you
+    pack within a crawl dump / domain bucket, never globally), so the
+    sort is bounded per partition and streams run independently. No
+    global total order, no iterative bin-packing state; the greedy
+    first-fit variants that need sequential state are deliberately
+    traded for the deterministic concat-and-chunk layout used by the
+    large pretraining runs.
+    """
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    n = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    first_seq = F.floor(start / PACK_SEQ_LEN)
+    last_seq = F.floor((start + F.col("n_tokens") - 1) / PACK_SEQ_LEN)
+    return (
+        n.select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            start.cast("bigint").alias("start_offset"),
+            first_seq.cast("bigint").alias("first_seq"),
+            last_seq.cast("bigint").alias("last_seq"),
+            (first_seq != last_seq).cast("int").alias("spans_boundary"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: Patterns are written to the RE2 ∩ java.util.regex common dialect so the
+#: oracle runs them verbatim. Order matters: emails first (their local
+#: part may contain digits), then IPs (dots break the phone pattern but
+#: redact them first anyway), then phones.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE = r"\+?\d[\d-]{7,}\d"
+
+#: Every 7th document gets a planted contact line (the corpus itself is
+#: digit-free, so these are the only matches and the redacted text is a
+#: deterministic function of the input).
+PII_MODULUS = 7
+
+_PII_TAIL_SQL = (
+    "' contact user' || CAST(doc_id % 100 AS VARCHAR)"
+    " || '@example.com or phone +1-202-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'"
+)
+
+
+def _pii_tail_spark() -> Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit(" contact user"),
+        (d % 100).cast("string"),
+        F.lit("@example.com or phone +1-202-555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (d % 256).cast("string"),
+        F.lit(".17"),
+    )
+
+
+@spark_query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {PII_MODULUS} = 0
+                  THEN text || {_PII_TAIL_SQL}
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_IP}')) AS BIGINT)    AS n_ips,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IP}', '<IP>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM corpus
+    ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: scrub emails / IPv4s / phone numbers with
+    typed placeholder tags and count matches per class (planted contact
+    lines supply the positives; see module docstring).
+
+    100 TB plan shape: three chained ``regexp_replace`` + three
+    ``regexp_extract_all`` counts, all whole-stage-codegen expressions
+    on the scan — zero shuffle, and the per-class counts roll up with
+    a later cheap agg when a hygiene report is wanted.
+    """
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    text = F.when(
+        F.col("doc_id") % PII_MODULUS == 0,
+        F.concat(F.col("text"), _pii_tail_spark()),
+    ).otherwise(F.col("text"))
+    corpus = docs.select("doc_id", text.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IP,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+
+    def _count(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+
+    return corpus.select(
+        "doc_id",
+        _count(PII_EMAIL).cast("bigint").alias("n_emails"),
+        _count(PII_IP).cast("bigint").alias("n_ips"),
+        _count(PII_PHONE).cast("bigint").alias("n_phones"),
+        redacted.alias("redacted"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+#: Per-language keep rates expressed as an exclusive upper bound on the
+#: first md5 byte (two hex chars, string-compared): '40' ≈ 25 %, '80' ≈
+#: 50 %, 'g0' > 'ff' ≈ 100 %. Hash-threshold sampling is the standard
+#: reproducible way to hit a language/domain mixture target.
+SAMPLE_THRESHOLDS: dict[str, str] = {
+    "en": "80",  # 50 %
+    "es": "40",  # 25 %
+    "de": "40",  # 25 %
+    "fr": "20",  # 12.5 %
+    "zh": "g0",  # 100 % (keep all)
+}
+
+
+@spark_query(
+    "sample_stratified",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket
+    FROM b
+    WHERE bucket < CASE lang
+        {" ".join(f"WHEN '{lang}' THEN '{thr}'" for lang, thr in SAMPLE_THRESHOLDS.items())}
+        ELSE '00' END
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: keep a per-language fraction
+    of documents chosen by an md5-of-key hash threshold (so the sample
+    is reproducible across runs, machines, and engine versions —
+    unlike ``df.sample`` whose output depends on partitioning).
+
+    100 TB plan shape: a scan-local filter (hash + string compare in
+    codegen) — rebalancing a corpus to a target language/domain
+    mixture costs one pass and no shuffle; changing the mixture is a
+    threshold edit, not a re-shard.
+    """
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thr = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(t))
+            for lang, t in SAMPLE_THRESHOLDS.items()
+        ],
+        F.lit("00"),
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < thr)
+        .orderBy("doc_id")
+    )

@@ -89,6 +89,10 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_clusters",
     "text_gopher_quality",
     "stream_dedup_hourly",
+    "text_decontaminate",
+    "text_pack_sequences",
+    "text_pii_redact",
+    "sample_stratified",
     # Remaining driver-green families, most complex first.
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -100,11 +104,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "geo_places_flatten",
     "geo_places_json_drift",
     "geo_clip_divisions",
-    "geo_clip_bbox",
     "geo_split_families",
-    "geo_centroid_utm",
-    "geo_grid_partition_stats",
-    "geo_bbox_struct",
     "mm_decode_features",
     "mm_metadata_rollup",
     "mm_frame_sample",
@@ -120,7 +120,11 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "join_range_price_band",
     "events_hourly_rollup",
     "union_layer_tag",
-    # ---- slot 51+ below: twice-driver-proven (r1+r2) simple relational ----
+    # ---- slot 51+ below: twice-driver-proven (r1+r2) simple queries ----
+    "geo_clip_bbox",
+    "geo_centroid_utm",
+    "geo_grid_partition_stats",
+    "geo_bbox_struct",
     "agg_rollup_nation_region",
     "agg_cube_status_flag",
     "agg_grouping_sets",
@@ -147,6 +151,7 @@ def load_all() -> None:
     # cheap for non-query uses.
     from overturelink_data_pipeline_spark.operators import (  # noqa: F401
         analytics,
+        curation,
         dedup,
         geospatial,
         multimodal,

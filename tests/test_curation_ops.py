@@ -1,0 +1,102 @@
+"""Property tests for the curation operators (text_decontaminate,
+text_pack_sequences, text_pii_redact, sample_stratified). Oracle
+parity for all four is covered by test_oracle_parity.py; these pin
+the semantic properties a value hash can't express."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from overturelink_data_pipeline_spark import registry
+from overturelink_data_pipeline_spark.operators.curation import (
+    EVAL_MODULUS,
+    PACK_SEQ_LEN,
+    PII_EMAIL,
+    PII_IP,
+    PII_MODULUS,
+    PII_PHONE,
+    SAMPLE_THRESHOLDS,
+)
+from overturelink_data_pipeline_spark.session import read_table
+
+registry.load_all()
+
+
+def test_decontaminate_flags_every_donor(spark, sf_dir):
+    """Every doc that donated an eval excerpt must be contaminated
+    (its own excerpt's shingles are a subset of its shingles), and the
+    output covers the whole corpus exactly once."""
+    rows = registry.QUERIES["text_decontaminate"](spark, sf_dir).collect()
+    total = read_table(spark, sf_dir, "documents").count()
+    assert len(rows) == total
+    by_id = {r["doc_id"]: r for r in rows}
+    donors = [i for i in by_id if i % EVAL_MODULUS == 0]
+    assert donors, "fixture must contain at least one eval donor"
+    for i in donors:
+        # docs shorter than the shingle width can't overlap — the
+        # synthetic corpus has none at any SF, so donors always flag
+        assert by_id[i]["contaminated"] == 1, f"donor {i} not flagged"
+        assert by_id[i]["n_overlap"] >= 1
+
+
+def test_pack_sequences_offsets_are_contiguous_per_source(spark, sf_dir):
+    """Within each source stream, each doc starts exactly where the
+    previous one ended, windows are consistent with the offsets, and
+    spans_boundary is exact."""
+    rows = registry.QUERIES["text_pack_sequences"](spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in rs:
+            assert r["start_offset"] == expect, (source, r["doc_id"])
+            assert r["first_seq"] == r["start_offset"] // PACK_SEQ_LEN
+            assert r["last_seq"] == (r["start_offset"] + r["n_tokens"] - 1) // PACK_SEQ_LEN
+            assert r["spans_boundary"] == int(r["first_seq"] != r["last_seq"])
+            expect += r["n_tokens"]
+
+
+def test_pii_redact_scrubs_planted_rows_and_only_them(spark, sf_dir):
+    rows = registry.QUERIES["text_pii_redact"](spark, sf_dir).collect()
+    for r in rows:
+        planted = r["doc_id"] % PII_MODULUS == 0
+        assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (
+            (1, 1, 1) if planted else (0, 0, 0)
+        ), r["doc_id"]
+        # redacted output must carry no residual match for any pattern
+        for pat in (PII_EMAIL, PII_IP, PII_PHONE):
+            assert not re.search(pat, r["redacted"]), (r["doc_id"], pat)
+        if planted:
+            assert "<EMAIL>" in r["redacted"]
+            assert "<IP>" in r["redacted"]
+            assert "<PHONE>" in r["redacted"]
+
+
+def test_stratified_sample_is_deterministic_and_rate_shaped(spark, sf_dir):
+    """Sampling twice yields the identical id set; per-stratum rates
+    land within a loose binomial envelope; zh keeps everything."""
+    a = {r["doc_id"] for r in registry.QUERIES["sample_stratified"](spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in registry.QUERIES["sample_stratified"](spark, sf_dir).collect()}
+    assert a == b
+    docs = read_table(spark, sf_dir, "documents")
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r["lang"]: r["n"]
+        for r in registry.QUERIES["sample_stratified"](spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert kept.get("zh", 0) == totals.get("zh", 0)
+    rates = {"en": 0.5, "es": 0.25, "de": 0.25, "fr": 0.125}
+    for lang, rate in rates.items():
+        n = totals.get(lang, 0)
+        if n < 30:
+            continue  # envelope meaningless on tiny strata
+        k = kept.get(lang, 0)
+        sigma = (n * rate * (1 - rate)) ** 0.5
+        assert abs(k - n * rate) <= 5 * sigma, (lang, k, n)
