@@ -390,3 +390,64 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < thr)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture report
+# ---------------------------------------------------------------------------
+
+#: Target mixture: uniform across sources. Real pipelines weight by
+#: quality tier; the operator shape (one rollup + a broadcast-scalar
+#: share computation) is identical for any target table.
+@spark_query(
+    "domain_mix_report",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+      FROM documents
+      GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS k FROM per)
+    SELECT per.source, per.n_docs, per.n_tokens,
+           ROUND(per.n_tokens * 1.0 / tot.t, 6)                 AS token_share,
+           ROUND((tot.t * 1.0 / tot.k) / per.n_tokens, 6)       AS mix_weight
+    FROM per CROSS JOIN tot
+    ORDER BY per.source
+    """,
+)
+def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture report: per-source token mass, its share of the
+    corpus, and the sampling weight that would rebalance the corpus to
+    the target (uniform) mixture — the planning step before a
+    sample_stratified-style pass enforces the mix.
+
+    100 TB plan shape: one map-side-combinable rollup to ~|sources|
+    rows, then the corpus total joins back as a broadcast scalar —
+    the second "join" is against a 1-row aggregate, so nothing
+    corpus-sized moves twice.
+    """
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("t"), 6).alias("token_share"),
+            F.round((F.col("t") / F.col("k")) / F.col("n_tokens"), 6).alias(
+                "mix_weight"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -421,3 +421,182 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + asymmetric distance computation (ADC) — the
+# billion-scale ANN memory plan (Jégou et al., "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011).
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (64-dim embeddings -> 4 x 16)
+PQ_SUBDIM = 16
+PQ_K = 8  # centroids per subspace codebook
+PQ_TOPK = 20
+
+
+def _pq_oracle() -> str:
+    parts = [
+        "WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    ]
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        parts.append(
+            f""",
+    s{s} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM emb),
+    c0_{s} AS (SELECT vec_id AS cl, v AS c FROM s{s} WHERE vec_id < {PQ_K}),
+    a1_{s} AS (SELECT e.vec_id, e.v,
+               (SELECT c.cl FROM c0_{s} c ORDER BY list_distance(e.v, c.c), c.cl LIMIT 1) AS cl
+               FROM s{s} e),
+    c1_{s} AS (SELECT cl, list(cx ORDER BY dim) AS c
+               FROM (SELECT cl, dim, ROUND(AVG(x), 6) AS cx
+                     FROM (SELECT cl, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a1_{s})
+                     GROUP BY cl, dim) t
+               GROUP BY cl),
+    a2_{s} AS (SELECT e.vec_id,
+               (SELECT c.cl FROM c1_{s} c ORDER BY list_distance(e.v, c.c), c.cl LIMIT 1) AS cl
+               FROM s{s} e),
+    q_{s} AS (SELECT v FROM s{s} WHERE vec_id = {QUERY_VEC_ID}),
+    p_{s} AS (SELECT a.vec_id, a.cl,
+              ROUND(power(list_distance(q_{s}.v, c.c), 2), 6) AS p
+              FROM a2_{s} a JOIN c1_{s} c USING (cl) CROSS JOIN q_{s})"""
+        )
+    code = " || '-' || ".join(f"CAST(p_{s}.cl AS VARCHAR)" for s in range(PQ_M))
+    adc = " + ".join(f"p_{s}.p" for s in range(PQ_M))
+    joins = " ".join(f"JOIN p_{s} USING (vec_id)" for s in range(PQ_M))
+    parts.append(
+        f"""
+    SELECT emb.vec_id, {code} AS pq_code, ROUND({adc}, 4) AS adc_dist
+    FROM emb {joins}
+    WHERE emb.vec_id <> {QUERY_VEC_ID}
+    ORDER BY adc_dist, emb.vec_id
+    LIMIT {PQ_TOPK}"""
+    )
+    return "".join(parts)
+
+
+@spark_query("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate nearest neighbours: per-subspace k-means
+    codebooks (deterministic init = first PQ_K vectors, one rounded
+    Lloyd update — the embedding_kmeans pattern), each vector encoded
+    as PQ_M codebook ids, and query distance computed asymmetrically
+    from a PQ_M x PQ_K table of precomputed query->centroid partial
+    distances.
+
+    100 TB plan shape — why PQ is *the* memory plan at scale: the
+    corpus is stored as PQ_M bytes per vector (here 4 codes vs 64
+    floats, a 64x compression), codebooks are driver state bounded by
+    PQ_M x PQ_K x PQ_SUBDIM doubles and broadcast as literals, and the
+    query-time scan does ZERO vector arithmetic per row — encoding is
+    an argmin over literal arrays, and the ADC distance is PQ_M map
+    lookups + a 4-term sum, all whole-stage codegen; top-k is
+    TakeOrderedAndProject (per-partition heaps, no shuffle of data).
+    Codebook training touches each vector's slices once per pass (one
+    scan + one bounded k x dim shuffle per update, fused across all
+    subspaces here).
+    """
+    emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def sub(s: int) -> Column:
+        return F.slice("v", s * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+    # --- codebook init: subvectors of the first PQ_K vectors (1 collect)
+    init = emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    cents: list[dict[int, list[float]]] = [
+        {int(r["vec_id"]): list(r["v"])[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM] for r in init}
+        for s in range(PQ_M)
+    ]
+
+    def code_col(s: int, cbook: dict[int, list[float]]) -> Column:
+        cls = sorted(cbook)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub(s),
+                        F.array(*[F.lit(x) for x in cbook[c]]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cls
+            ]
+        )
+        pos = F.array_position(dists, F.array_min(dists)).cast("int")
+        return F.element_at(F.array(*[F.lit(c).cast("bigint") for c in cls]), pos)
+
+    # --- one Lloyd update, fused across subspaces: one scan computes all
+    # PQ_M assignments, posexplode full vectors, and dim//SUBDIM recovers
+    # the subspace — a single groupBy(s, cl, dim) avg (k x dim groups).
+    assigned = emb.select(
+        "v", *[code_col(s, cents[s]).alias(f"code{s}") for s in range(PQ_M)]
+    )
+    upd = (
+        assigned.select(
+            F.posexplode("v").alias("dim", "x"),
+            *[F.col(f"code{s}") for s in range(PQ_M)],
+        )
+        .withColumn("s", (F.col("dim") / PQ_SUBDIM).cast("int"))
+        .withColumn(
+            "cl",
+            F.element_at(
+                F.array(*[F.col(f"code{s}") for s in range(PQ_M)]), F.col("s") + 1
+            ),
+        )
+        .groupBy("s", "cl", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .collect()
+    )
+    new_cents: list[dict[int, dict[int, float]]] = [dict() for _ in range(PQ_M)]
+    for r in upd:
+        new_cents[int(r["s"])].setdefault(int(r["cl"]), {})[int(r["dim"])] = float(
+            r["cx"]
+        )
+    cents = [
+        {
+            cl: [dims[i] for i in sorted(dims)]
+            for cl, dims in new_cents[s].items()
+        }
+        for s in range(PQ_M)
+    ]
+
+    # --- ADC partial-distance table (driver-side: PQ_M x PQ_K doubles)
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
+    q = list(qrow["v"])
+    partial: list[dict[int, float]] = []
+    for s in range(PQ_M):
+        qs = q[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        partial.append(
+            {
+                cl: round(sum((a - b) * (a - b) for a, b in zip(qs, c)), 6)
+                for cl, c in cents[s].items()
+            }
+        )
+
+    def p_lookup(s: int) -> Column:
+        cls = sorted(partial[s])
+        m = F.map_from_arrays(
+            F.array(*[F.lit(c).cast("bigint") for c in cls]),
+            F.array(*[F.lit(partial[s][c]) for c in cls]),
+        )
+        return F.element_at(m, F.col(f"code{s}"))
+
+    coded = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", *[code_col(s, cents[s]).alias(f"code{s}") for s in range(PQ_M)]
+    )
+    adc = F.round(sum(p_lookup(s) for s in range(PQ_M)), 4)
+    return (
+        coded.select(
+            "vec_id",
+            F.concat_ws(
+                "-", *[F.col(f"code{s}").cast("string") for s in range(PQ_M)]
+            ).alias("pq_code"),
+            adc.alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(PQ_TOPK)
+    )

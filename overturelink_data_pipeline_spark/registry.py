@@ -93,6 +93,8 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "text_pack_sequences",
     "text_pii_redact",
     "sample_stratified",
+    "ann_pq_topk",
+    "domain_mix_report",
     # Remaining driver-green families, most complex first.
     "dedup_exact",
     "dedup_ngram_jaccard",
