@@ -435,11 +435,13 @@ def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
-    tot = per.agg(
-        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("k")
-    )
+    # corpus totals via an empty-partition window over the ~|sources|-row
+    # aggregate — one scan of documents total (a separate agg + crossJoin
+    # would recompute `per` and scan the corpus twice)
+    w = Window.partitionBy()
     return (
-        per.crossJoin(F.broadcast(tot))
+        per.withColumn("t", F.sum("n_tokens").over(w))
+        .withColumn("k", F.count(F.lit(1)).over(w))
         .select(
             "source",
             "n_docs",
