@@ -160,23 +160,34 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tokens, so 64 exercises both multi-doc windows and boundary spans.
 PACK_SEQ_LEN = 64
 
+#: Documents per packing substream. Offsets are computed within
+#: (source, doc_id // PACK_SUBSTREAM_DOCS) so no window partition ever
+#: exceeds this many rows — a single hot source (half the corpus from
+#: one crawl) would otherwise funnel into ONE sort partition. Window
+#: ids are globally unique per substream, so the layout stays a valid
+#: packing; only boundary docs per substream (1 in PACK_SUBSTREAM_DOCS)
+#: lose a potential window-share with their neighbour.
+PACK_SUBSTREAM_DOCS = 100
+
 
 @spark_query(
     "text_pack_sequences",
     oracle=f"""
     WITH n AS (
       SELECT doc_id, source,
+             doc_id // {PACK_SUBSTREAM_DOCS} AS substream,
              len(string_split_regex(trim(text), '\\s+')) AS n_tokens
       FROM documents
     ),
     o AS (
-      SELECT doc_id, source, n_tokens,
+      SELECT doc_id, source, substream, n_tokens,
              COALESCE(SUM(n_tokens) OVER (
-               PARTITION BY source ORDER BY doc_id
+               PARTITION BY source, substream ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
       FROM n
     )
     SELECT doc_id, source,
+           CAST(substream AS BIGINT)    AS substream,
            CAST(n_tokens AS BIGINT)     AS n_tokens,
            CAST(start_offset AS BIGINT) AS start_offset,
            CAST(start_offset // {PACK_SEQ_LEN} AS BIGINT) AS first_seq,
@@ -196,23 +207,25 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands in, so a downstream tokenizer can materialize window shards
     without re-scanning neighbours.
 
-    100 TB plan shape: ONE window function partitioned by ``source`` —
-    packing is defined per source-shard (as real pipelines do: you
-    pack within a crawl dump / domain bucket, never globally), so the
-    sort is bounded per partition and streams run independently. No
-    global total order, no iterative bin-packing state; the greedy
-    first-fit variants that need sequential state are deliberately
-    traded for the deterministic concat-and-chunk layout used by the
-    large pretraining runs.
+    100 TB plan shape: ONE window function partitioned by
+    (source, substream) — packing is defined per source-shard (as real
+    pipelines do: you pack within a crawl dump / domain bucket, never
+    globally), and the substream key bounds every sort partition at
+    PACK_SUBSTREAM_DOCS rows BY CONSTRUCTION, so a hot source cannot
+    produce a straggler partition. No global total order, no iterative
+    bin-packing state; the greedy first-fit variants that need
+    sequential state are deliberately traded for the deterministic
+    concat-and-chunk layout used by the large pretraining runs.
     """
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     n = docs.select(
         "doc_id",
         "source",
+        (F.col("doc_id") / PACK_SUBSTREAM_DOCS).cast("bigint").alias("substream"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "substream")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -223,6 +236,7 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.select(
             "doc_id",
             "source",
+            "substream",
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
             start.cast("bigint").alias("start_offset"),
             first_seq.cast("bigint").alias("first_seq"),

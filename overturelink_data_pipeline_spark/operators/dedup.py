@@ -787,32 +787,50 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     freezes BOTH the pair derivation (golden minhash pairs, computed
     by the independent replica) and the component semantics."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
-    edges = pairs.union(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).toDF("s", "d")
+    # bidirect the edge list with ONE explode, not union(pairs, swap):
+    # a union duplicates the whole minhash-pair lineage into both
+    # branches, running that pipeline twice per materialization
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("s"), F.col("id_b").alias("d")),
+                F.struct(F.col("id_b").alias("s"), F.col("id_a").alias("d")),
+            )
+        ).alias("e")
+    ).select("e.s", "e.d")
     edges = _fresh_persist("cc_edges", edges)
+    # materialize the edge cache BEFORE anything branches on it: the
+    # first round's action would otherwise run the whole minhash pair
+    # pipeline once per downstream branch (labels-init, prop) racing
+    # the not-yet-populated cache
+    edges.count()
     labels = edges.select(F.col("s").alias("n"), F.col("s").alias("lbl")).distinct()
-    labels = _fresh_persist("cc_labels", labels)
-    for _ in range(20):  # diameter guard; near-dup components are shallow
+    labels = _fresh_persist("cc_labels_init", labels)
+    # Round i persists under an ALTERNATING key so eviction hits round
+    # i-2's state (dead) — a single rotating key would unpersist the
+    # very frame the current round still reads, silently re-running the
+    # whole upstream pair pipeline every round (measured: 5 s/round of
+    # pure lineage recomputation at sf0.1 before this fix). The changed
+    # count rides along as a column so convergence costs one agg on the
+    # cached frame, not an extra self-join.
+    for i in range(20):  # diameter guard; near-dup components are shallow
         prop = (
             labels.join(edges, labels["n"] == edges["s"])
             .select(F.col("d").alias("n"), "lbl")
             .groupBy("n")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        nxt = (
-            labels.join(prop, "n", "left")
-            .select("n", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+        nxt = labels.join(prop, "n", "left").select(
+            "n",
+            F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+            (F.least("lbl", F.coalesce("nlbl", "lbl")) != F.col("lbl"))
+            .cast("long")
+            .alias("chg"),
         )
-        nxt = _fresh_persist("cc_labels_next", nxt)
-        changed = (
-            nxt.alias("x")
-            .join(labels.alias("y"), "n")
-            .filter(F.col("x.lbl") != F.col("y.lbl"))
-            .count()
-        )
-        labels = _fresh_persist("cc_labels", nxt)
-        if changed == 0:
+        nxt = _fresh_persist(f"cc_labels_{i % 2}", nxt)
+        changed = nxt.agg(F.sum("chg")).collect()[0][0]
+        labels = nxt.select("n", "lbl")
+        if not changed:
             break
     return (
         labels.groupBy("lbl")

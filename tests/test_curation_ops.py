@@ -13,6 +13,7 @@ from overturelink_data_pipeline_spark import registry
 from overturelink_data_pipeline_spark.operators.curation import (
     EVAL_MODULUS,
     PACK_SEQ_LEN,
+    PACK_SUBSTREAM_DOCS,
     PII_EMAIL,
     PII_IP,
     PII_MODULUS,
@@ -41,19 +42,22 @@ def test_decontaminate_flags_every_donor(spark, sf_dir):
         assert by_id[i]["n_overlap"] >= 1
 
 
-def test_pack_sequences_offsets_are_contiguous_per_source(spark, sf_dir):
-    """Within each source stream, each doc starts exactly where the
-    previous one ended, windows are consistent with the offsets, and
-    spans_boundary is exact."""
+def test_pack_sequences_offsets_are_contiguous_per_substream(spark, sf_dir):
+    """Within each (source, substream) stream, each doc starts exactly
+    where the previous one ended, windows are consistent with the
+    offsets, spans_boundary is exact, and the substream key is the
+    doc_id bucket that bounds sort-partition size."""
     rows = registry.QUERIES["text_pack_sequences"](spark, sf_dir).collect()
-    by_source: dict[str, list] = {}
+    streams: dict[tuple, list] = {}
     for r in rows:
-        by_source.setdefault(r["source"], []).append(r)
-    for source, rs in by_source.items():
+        assert r["substream"] == r["doc_id"] // PACK_SUBSTREAM_DOCS
+        streams.setdefault((r["source"], r["substream"]), []).append(r)
+    for key, rs in streams.items():
+        assert len(rs) <= PACK_SUBSTREAM_DOCS
         rs.sort(key=lambda r: r["doc_id"])
         expect = 0
         for r in rs:
-            assert r["start_offset"] == expect, (source, r["doc_id"])
+            assert r["start_offset"] == expect, (key, r["doc_id"])
             assert r["first_seq"] == r["start_offset"] // PACK_SEQ_LEN
             assert r["last_seq"] == (r["start_offset"] + r["n_tokens"] - 1) // PACK_SEQ_LEN
             assert r["spans_boundary"] == int(r["first_seq"] != r["last_seq"])
