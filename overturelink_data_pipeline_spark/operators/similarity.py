@@ -23,7 +23,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from overturelink_data_pipeline_spark.operators.dedup import cosine
+from overturelink_data_pipeline_spark.operators.dedup import (
+    _with_planted_copies,
+    cosine,
+)
 from overturelink_data_pipeline_spark.registry import spark_query
 from overturelink_data_pipeline_spark.session import (
     ensure_parallelism,
@@ -330,6 +333,56 @@ _KM_UPDATE = """
 """
 
 
+def _lloyd_assign(emb: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """Attach the nearest-centroid cluster id as ``cl``: centroids are
+    bounded driver state (k x dim) broadcast as literal arrays; the
+    squared-distance argmin is one codegen'd pass over the scan.
+    Ties break to the lowest cluster id (``array_position`` takes the
+    first minimum; the oracle orders by distance, cl)."""
+    cls = sorted(cents)
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(x) for x in cents[c]]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            for c in cls
+        ]
+    )
+    pos = F.array_position(dists, F.array_min(dists)).cast("int")
+    cl = F.element_at(F.array(*[F.lit(c).cast("bigint") for c in cls]), pos)
+    return emb.withColumn("cl", cl)
+
+
+def _lloyd_fit(
+    emb: DataFrame, k: int = KMEANS_K, updates: int = KMEANS_UPDATES
+) -> dict[int, list[float]]:
+    """Lloyd's k-means fit with deterministic init (first ``k`` vectors
+    by vec_id) and 1e-6-rounded centroid updates; returns the fitted
+    centroids. Each iteration is one scan + one bounded k x dim shuffle
+    (posexplode -> groupBy(cluster, dim) avg, map-side combinable)."""
+    init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    cents: dict[int, list[float]] = {int(r["vec_id"]): list(r["v"]) for r in init}
+    for _ in range(updates):
+        rows = (
+            _lloyd_assign(emb, cents)
+            .select("cl", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cl", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
+            .collect()
+        )
+        by_cl: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cl.setdefault(int(r["cl"]), {})[int(r["dim"])] = float(r["cx"])
+        cents = {cl: [d[i] for i in range(len(d))] for cl, d in by_cl.items()}
+    return cents
+
+
 @spark_query(
     "embedding_kmeans",
     oracle=f"""
@@ -367,41 +420,10 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    init = emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
-    cents: dict[int, list[float]] = {int(r["vec_id"]): list(r["v"]) for r in init}
+    cents = _lloyd_fit(emb)
 
     def assign(cents: dict[int, list[float]]) -> DataFrame:
-        cls = sorted(cents)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"),
-                        F.array(*[F.lit(x) for x in cents[c]]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda s, x: s + x,
-                )
-                for c in cls
-            ]
-        )
-        pos = F.array_position(dists, F.array_min(dists)).cast("int")
-        cl = F.element_at(F.array(*[F.lit(c).cast("bigint") for c in cls]), pos)
-        return emb.withColumn("cl", cl)
-
-    for _ in range(KMEANS_UPDATES):
-        rows = (
-            assign(cents)
-            .select("cl", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cl", "dim")
-            .agg(F.round(F.avg("x"), 6).alias("cx"))
-            .collect()
-        )
-        by_cl: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cl.setdefault(int(r["cl"]), {})[int(r["dim"])] = float(r["cx"])
-        cents = {cl: [d[i] for i in range(len(d))] for cl, d in by_cl.items()}
+        return _lloyd_assign(emb, cents)
 
     cls = sorted(cents)
     l2 = {
@@ -611,4 +633,108 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("adc_dist", "vec_id")
         .limit(PQ_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al., "SemDeDup: Data-
+# efficient learning at web-scale through semantic deduplication",
+# arXiv 2303.09540): cluster the embedding space with k-means, then
+# prune near-identical points WITHIN each cluster only.
+# ---------------------------------------------------------------------------
+
+#: Within-cluster cosine threshold above which the later point is pruned.
+SEMDEDUP_TAU = 0.9
+#: Every SEMDEDUP_MODULUS-th vector donates a perturbed copy (first dim
+#: +0.05, id +1e6) — the planted near-dup population (the corpus itself
+#: has no natural near-dups: max raw pairwise cosine ~0.51).
+SEMDEDUP_MODULUS = 13
+
+_SD_EMB = f"""SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         [list_transform(embedding, x -> CAST(x AS DOUBLE))[1] + 0.05] ||
+         list_transform(embedding, x -> CAST(x AS DOUBLE))[2:]
+  FROM embeddings WHERE vec_id % {SEMDEDUP_MODULUS} = 0"""
+
+
+@spark_query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH emb AS ({_SD_EMB}),
+    c0 AS (SELECT vec_id AS cl, v AS c FROM emb WHERE vec_id < {KMEANS_K}),
+    a1 AS ({_KM_ASSIGN.format(cents="c0")}),
+    c1 AS ({_KM_UPDATE.format(assigned="a1")}),
+    a2 AS ({_KM_ASSIGN.format(cents="c1")}),
+    c2 AS ({_KM_UPDATE.format(assigned="a2")}),
+    a3 AS ({_KM_ASSIGN.format(cents="c2")}),
+    pairs AS (
+      SELECT a.cl, a.vec_id AS keeper_id, b.vec_id AS vec_id,
+             ROUND(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+      FROM a3 a JOIN a3 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 5) >= {SEMDEDUP_TAU}
+    )
+    SELECT cl AS cluster, vec_id, keeper_id, cos_sim
+    FROM pairs
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY keeper_id) = 1
+    ORDER BY vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means the corpus (the embedding_kmeans machinery —
+    deterministic init, 2 rounded Lloyd updates), then within each
+    cluster prune every vector that has an earlier (lower-id) neighbor
+    at rounded cosine >= SEMDEDUP_TAU; keeper = the lowest-id such
+    neighbor. One row per PRUNED vector — the drop-list a curation
+    pipeline feeds back as an anti-join.
+
+    Why this survives 100 TB where all-pairs cosine cannot: the k-means
+    cells bound the O(n²) — pair enumeration runs per cluster inside
+    ``applyInPandas`` as a blocked unit-normalized GEMM (the
+    dedup_embedding_cosine strategy, dedup.py:687), centroids are
+    driver state (k x dim), and the only corpus-wide movement is the
+    one groupBy(cl) exchange. The threshold compares the ROUNDED
+    cosine in both engines so numpy-vs-DuckDB last-bit drift cannot
+    flip a boundary pair."""
+    emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    perturbed = F.concat(
+        F.array(F.element_at("v", 1) + 0.05),
+        F.slice("v", 2, F.size("v") - 1),
+    )
+    corpus = _with_planted_copies(
+        emb, SEMDEDUP_MODULUS, mangle={"v": perturbed}, id_col="vec_id"
+    )
+    assigned = _lloyd_assign(corpus, _lloyd_fit(corpus))
+
+    out_schema = "cluster long, vec_id long, keeper_id long, cos_sim double"
+
+    def block_prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["v"].to_numpy())
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = np.round((m / norms) @ (m / norms).T, 5)
+        mask = np.triu(sims >= SEMDEDUP_TAU, k=1)
+        pruned = mask.any(axis=0)
+        j = np.nonzero(pruned)[0]
+        keeper = mask[:, j].argmax(axis=0)  # first (lowest-id) qualifying row
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(j), int(pdf["cl"].iloc[0]), dtype="int64"),
+                "vec_id": ids[j],
+                "keeper_id": ids[keeper],
+                "cos_sim": sims[keeper, j],
+            }
+        )
+
+    return (
+        assigned.groupBy("cl")
+        .applyInPandas(block_prune, schema=out_schema)
+        .orderBy("vec_id")
     )

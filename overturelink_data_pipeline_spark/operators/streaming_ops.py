@@ -23,6 +23,7 @@ from overturelink_data_pipeline_spark.streaming.events import (
     run_to_completion,
     sessionize_batch,
     sessionize_stream,
+    sliding_event_counts,
     windowed_event_counts,
 )
 
@@ -153,4 +154,66 @@ def stream_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .orderBy("bucket_start_s")
+    )
+
+
+@spark_query(
+    "stream_topk_trending",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS b,
+             event_type, value
+      FROM events
+    ),
+    w AS (
+      -- each event belongs to the two 60-min windows sliding by 30 min
+      -- that cover it: starts b and b - 1800 (starts align to epoch 0)
+      SELECT unnest([b, b - 1800]) AS bucket_start_s, event_type, value FROM e
+    ),
+    agg AS (
+      SELECT bucket_start_s, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 2)     AS sum_value
+      FROM w GROUP BY 1, 2
+    )
+    SELECT bucket_start_s, event_type, n_events, sum_value,
+           CAST(ROW_NUMBER() OVER (PARTITION BY bucket_start_s
+                                   ORDER BY n_events DESC, event_type) AS INTEGER) AS rank
+    FROM agg
+    QUALIFY rank <= 3
+    ORDER BY bucket_start_s, rank
+    """,
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k over a SLIDING window: 60-min windows sliding
+    every 30 min, top-3 event types per window by count (ties to the
+    lexicographically first type) — the "what's hot right now"
+    dashboard query.
+
+    The sliding windowed count is the streaming operator under test
+    (each event fans into length/slide windows inside the state store;
+    watermarked, so state is bounded by the lateness horizon). The
+    rank runs as a BATCH window over the drained per-window counts —
+    ranking inside the stream would re-sort a window's top-k on every
+    late update, which append-mode streaming cannot express; the
+    drained-counts frame is already aggregated (windows x types), so
+    the batch rank touches a bounded input, never the event stream."""
+    read_table(spark, sf_dir, "events")  # sets nanosAsLong defensively
+    stream = read_event_stream(spark, sf_dir)
+    counts = run_to_completion(
+        sliding_event_counts(stream, minutes=60, slide_minutes=30),
+        spark,
+        shuffle_partitions=8,
+    )
+    from pyspark.sql.window import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy("bucket_start_s").orderBy(
+            F.col("n_events").desc(), F.col("event_type")
+        )
+    )
+    return (
+        counts.withColumn("rank", rank)
+        .filter(F.col("rank") <= 3)
+        .orderBy("bucket_start_s", "rank")
     )

@@ -408,3 +408,158 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(uniq_frac, 4).alias("uniq_frac"),
         keep.cast("int").alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus shape: sequence-length histogram
+# ---------------------------------------------------------------------------
+
+@spark_query(
+    "text_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT source, len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             CAST(floor(log2(greatest(n_tok, 1))) AS INTEGER) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+      FROM t GROUP BY 1, 2
+    )
+    SELECT source, bucket, n_docs, total_tokens,
+           ROUND(total_tokens * 1.0 / (SELECT SUM(n_tok) FROM t), 4) AS token_share
+    FROM g
+    ORDER BY source, bucket
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram per source: docs bucketed by
+    floor(log2(token count)) — the shard-planning / curriculum view of
+    a corpus ("how much of my token budget sits in short docs?").
+
+    Scale shape: one scan computes the per-doc token count inside
+    codegen, one map-side-combinable groupBy produces the (source,
+    bucket) cells — a bounded result (#sources x ~log2(max_len)
+    buckets) — and the corpus-wide token total for the share column is
+    a window over that bounded aggregate, never a second scan of the
+    data."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    n_tok = F.size(tokens(F.col("text")))
+    g = (
+        docs.select(
+            "source",
+            F.floor(F.log2(F.greatest(n_tok, F.lit(1)))).cast("int").alias("bucket"),
+            n_tok.alias("n_tok"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
+    total = F.sum("total_tokens").over(Window.partitionBy())
+    return g.select(
+        "source",
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") * 1.0 / total, 4).alias("token_share"),
+    ).orderBy("source", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Statistical LM quality scoring (CCNet-style perplexity filter with a
+# corpus-trained bigram model instead of an external KenLM binary)
+# ---------------------------------------------------------------------------
+
+@spark_query(
+    "text_lm_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(t[1:len(t)-1]) AS w1,
+             unnest(t[2:len(t)])   AS w2
+      FROM toks
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+          FROM (SELECT unnest(t) AS w FROM toks)),
+    scored AS (
+      SELECT b.doc_id, -ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS nll
+      FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, AVG(nll) AS a
+      FROM scored GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(agg.a, 4)      AS avg_nll,
+           ROUND(EXP(agg.a), 2) AS ppl
+    FROM toks t LEFT JOIN agg USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring (the CCNet/KenLM quality-filter
+    shape, self-trained): count corpus bigrams, score every document by
+    its average add-one-smoothed negative log-likelihood, report
+    per-doc (n_bigrams, avg_nll, ppl = exp(avg_nll)).
+
+    p(w2|w1) = (C(w1,w2) + 1) / (C(w1·) + V), where C(w1·) is the
+    bigram-prefix count and V the corpus vocabulary size.
+
+    Scale shape: bigrams are built JVM-side with an indexed transform
+    over the token array (no window, no per-doc shuffle), counted with
+    one map-side-combinable groupBy; scoring re-joins doc bigrams to
+    the count tables on the bigram key — a vocabulary-bounded frame
+    that broadcasts for closed vocabularies and degrades to a
+    sort-merge join on (w1, w2) for open ones, never an unbounded
+    state. V is one driver scalar. Rounding at 1e-4 pins the float
+    summation order across engines."""
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    # bigrams via indexed transform over the sliced array — w1 = t[i],
+    # w2 = t[i+1], all inside codegen ([] is 0-based in Spark SQL)
+    bigr = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+        " (w, i) -> struct(w AS w1, t[i + 1] AS w2))"
+    )
+    pairs = docs.select("doc_id", F.explode(bigr).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vocab = docs.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    ).collect()[0]["v"]
+    nll = -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(int(vocab))))
+    agg = (
+        pairs.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.avg("nll").alias("a"),
+        )
+    )
+    return (
+        docs.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.round("a", 4).alias("avg_nll"),
+            F.round(F.exp("a"), 2).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )

@@ -95,6 +95,10 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "sample_stratified",
     "ann_pq_topk",
     "domain_mix_report",
+    "dedup_semantic",
+    "text_lm_perplexity",
+    "text_length_histogram",
+    "stream_topk_trending",
     # Remaining driver-green families, most complex first.
     "dedup_exact",
     "dedup_ngram_jaccard",

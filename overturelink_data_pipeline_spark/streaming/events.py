@@ -118,6 +118,35 @@ def windowed_event_counts(stream: DataFrame, minutes: int = 60) -> DataFrame:
     )
 
 
+def sliding_event_counts(
+    stream: DataFrame, minutes: int = 60, slide_minutes: int = 30
+) -> DataFrame:
+    """Watermarked SLIDING-window rollup: count + value sum per
+    (window, event_type), window length ``minutes`` sliding every
+    ``slide_minutes`` — each event lands in length/slide windows.
+    Window starts align to epoch 0 (Spark's default), so bucket k
+    covers [k*slide, k*slide + length)."""
+    return (
+        stream.withWatermark("event_time", f"{2 * minutes} minutes")
+        .groupBy(
+            F.window(
+                "event_time", f"{minutes} minutes", f"{slide_minutes} minutes"
+            ).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            (F.unix_timestamp("w.start")).cast("bigint").alias("bucket_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_to_completion(
     streaming_df: DataFrame,
     spark: SparkSession,

@@ -1,0 +1,86 @@
+"""Targeted invariants for the second round-3 operator batch:
+SemDeDup, bigram-LM perplexity, length histogram, sliding top-k.
+(Oracle parity for each runs in test_oracle_parity.py; these pin the
+semantics the hash alone doesn't explain.)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from overturelink_data_pipeline_spark import registry
+from overturelink_data_pipeline_spark.operators.similarity import (
+    SEMDEDUP_MODULUS,
+    SEMDEDUP_TAU,
+)
+from overturelink_data_pipeline_spark.operators.text import tokens
+from overturelink_data_pipeline_spark.session import read_table
+
+registry.load_all()
+
+
+def test_semdedup_prunes_planted_copies(spark, sf_dir):
+    rows = registry.QUERIES["dedup_semantic"](spark, sf_dir).collect()
+    assert rows, "planted copies must produce a non-empty prune list"
+    planted = 0
+    for r in rows:
+        # the keeper always precedes the pruned vector
+        assert r["keeper_id"] < r["vec_id"]
+        assert r["cos_sim"] >= SEMDEDUP_TAU
+        if r["vec_id"] >= 1_000_000:
+            planted += 1
+            # a planted copy's keeper should be its own original
+            assert r["keeper_id"] == r["vec_id"] - 1_000_000
+    n_expected = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % SEMDEDUP_MODULUS == 0)
+        .count()
+    )
+    # near-every planted copy is pruned back to its original (cos
+    # ~0.99); a copy that crosses a k-means cell boundary escapes the
+    # within-cluster enumeration — that recall loss is inherent to
+    # cluster blocking (the trade SemDeDup makes for the O(n²) bound)
+    assert planted >= 0.9 * n_expected
+
+
+def test_lm_perplexity_bigram_count_and_ppl(spark, sf_dir):
+    res = registry.QUERIES["text_lm_perplexity"](spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    joined = res.join(docs, "doc_id").collect()
+    assert joined
+    for r in joined:
+        assert r["n_bigrams"] == max(r["n_tok"] - 1, 0)
+        if r["avg_nll"] is not None:
+            assert r["avg_nll"] > 0  # smoothed probs are < 1
+            assert math.isclose(
+                r["ppl"], round(math.exp(r["avg_nll"]), 1), abs_tol=0.2
+            )
+
+
+def test_length_histogram_partitions_the_corpus(spark, sf_dir):
+    res = registry.QUERIES["text_length_histogram"](spark, sf_dir).collect()
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in res) == n_docs
+    assert abs(sum(r["token_share"] for r in res) - 1.0) < 0.01
+    for r in res:
+        lo, hi = 2 ** r["bucket"], 2 ** (r["bucket"] + 1)
+        assert r["n_docs"] <= r["total_tokens"] <= r["n_docs"] * (hi - 1)
+        assert r["total_tokens"] >= r["n_docs"] * lo
+
+
+def test_topk_trending_rank_contract(spark, sf_dir):
+    rows = registry.QUERIES["stream_topk_trending"](spark, sf_dir).collect()
+    assert rows
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket_start_s"], []).append(r)
+    for bucket, rs in by_bucket.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= 3
+        ordered = sorted(rs, key=lambda x: x["rank"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert (a["n_events"], b["event_type"]) >= (b["n_events"], a["event_type"])
