@@ -798,40 +798,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.s", "e.d")
-    edges = _fresh_persist("cc_edges", edges)
+    # The edge set is bounded by the duplicate population (orders of
+    # magnitude below the corpus), so pack it into a few cached
+    # partitions before the iteration: scanning a 32/64-partition cache
+    # of a ~40 k-row frame 32-threads-wide every round costs more in
+    # task scheduling than the join itself (measured 9.8 s → 1.3 s per
+    # round at sf1). A cluster run would size this by |edges| / a
+    # per-partition row target instead of a constant.
+    edges = _fresh_persist("cc_edges", edges.coalesce(8))
     # materialize the edge cache BEFORE anything branches on it: the
     # first round's action would otherwise run the whole minhash pair
-    # pipeline once per downstream branch (labels-init, prop) racing
-    # the not-yet-populated cache
+    # pipeline once per downstream branch racing the not-yet-populated
+    # cache
     edges.count()
     labels = edges.select(F.col("s").alias("n"), F.col("s").alias("lbl")).distinct()
-    labels = _fresh_persist("cc_labels_init", labels)
     # Round i persists under an ALTERNATING key so eviction hits round
     # i-2's state (dead) — a single rotating key would unpersist the
     # very frame the current round still reads, silently re-running the
     # whole upstream pair pipeline every round (measured: 5 s/round of
-    # pure lineage recomputation at sf0.1 before this fix). The changed
-    # count rides along as a column so convergence costs one agg on the
-    # cached frame, not an extra self-join.
+    # pure lineage recomputation at sf0.1 before this fix).
+    #
+    # One join + one agg per round: new_label(n) = min over the labels
+    # of n's in-neighbors ∪ n itself — the self term rides in as a
+    # union of the (tiny, cached) label frame rather than self-loop
+    # edges, which would double-run the pair lineage while building the
+    # edge cache. Convergence: min-label propagation is monotone
+    # non-increasing, so the label SUM is a fixed-point witness —
+    # unchanged sum ⟺ no label moved — one agg on the cached frame
+    # instead of a changed-flag join against the previous round.
+    prev_sum: int | None = None
     for i in range(20):  # diameter guard; near-dup components are shallow
-        prop = (
+        nxt = (
             labels.join(edges, labels["n"] == edges["s"])
             .select(F.col("d").alias("n"), "lbl")
+            .unionByName(labels)
             .groupBy("n")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        nxt = labels.join(prop, "n", "left").select(
-            "n",
-            F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
-            (F.least("lbl", F.coalesce("nlbl", "lbl")) != F.col("lbl"))
-            .cast("long")
-            .alias("chg"),
+            .agg(F.min("lbl").alias("lbl"))
         )
         nxt = _fresh_persist(f"cc_labels_{i % 2}", nxt)
-        changed = nxt.agg(F.sum("chg")).collect()[0][0]
-        labels = nxt.select("n", "lbl")
-        if not changed:
+        cur_sum = nxt.agg(F.sum("lbl")).collect()[0][0]
+        labels = nxt
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return (
         labels.groupBy("lbl")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
