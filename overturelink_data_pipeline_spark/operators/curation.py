@@ -467,3 +467,169 @@ def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier (the fastText-style scorer
+# the LLaMA/RedPajama/CCNet pipelines run between rule filters and
+# LM-perplexity filters: hash tokens into a bounded feature space,
+# score = mean of learned per-feature weights).
+# ---------------------------------------------------------------------------
+
+#: Feature-space size (buckets of the token hash).
+QC_FEATURES = 64
+#: Char-polynomial modulus (< 2^31 so every fold step stays BIGINT-exact).
+QC_MOD = 2_147_483_647
+
+def _qc_weights() -> list[int]:
+    """Deterministic stand-in for trained weights, in INTEGER
+    milli-units (x 1e4): a fixed linear-congruential sequence mapped
+    to [-10000, 10000). Integer weights keep the per-doc score sum
+    BIGINT-exact in both engines — a float mean can land exactly on a
+    round-half boundary (measured: sum/n = -0.30945 rounded to
+    -0.3094 by Spark, -0.3095 by DuckDB). (A real pipeline would load
+    trained weights; the operator shape — hash, lookup, sum — is
+    identical, and quantized weights are standard there too.)"""
+    w, x = [], 1234567
+    for _ in range(QC_FEATURES):
+        x = (x * 1103515245 + 12345) % (2**31)
+        w.append(round(x / 2**30 * 10000) - 10000)
+    return w
+
+
+QC_WEIGHTS = _qc_weights()
+
+
+@spark_query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH w(fid, wt) AS (VALUES {", ".join(f"({i}, {v})" for i, v in enumerate(QC_WEIGHTS))}),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             list_reduce(list_transform(string_split(tok, ''),
+                                        c -> CAST(unicode(c) AS BIGINT)),
+                         (a, b) -> (a * 257 + b) % {QC_MOD}) % {QC_FEATURES} AS fid
+      FROM toks WHERE tok <> ''
+    ),
+    s AS (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w.wt) AS BIGINT) AS score_milli
+      FROM f JOIN w USING (fid)
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_tokens, score_milli,
+           CAST(CASE WHEN score_milli > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier: each token hashes (char-fold
+    polynomial mod 2^31, BIGINT-exact in both engines) into one of
+    QC_FEATURES buckets; a document's score is the SUM of the integer
+    bucket weights (milli-units); keep = score > 0 (equivalent to
+    mean > 0, with no float division anywhere).
+
+    Scale shape: the whole scorer is ONE scan — tokenize, hash, and
+    the weight lookup all run inside codegen (the weight table ships
+    as a literal array indexed by ``element_at``, never a join), and
+    the per-doc sum is a map-side-combinable groupBy. The interpreted
+    char-fold is the portability price of a cross-engine-exact hash;
+    a production variant swaps in ``F.xxhash64`` (JVM intrinsic) with
+    the pinned replica in functions/xxh64.py as its oracle."""
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(_ltokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    chars = F.filter(F.split("tok", ""), lambda c: c != F.lit(""))
+    h = F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, b: (a * 257 + b) % F.lit(QC_MOD),
+    )
+    wt = F.element_at(
+        F.array(*[F.lit(v) for v in QC_WEIGHTS]), (h % QC_FEATURES).cast("int") + 1
+    )
+    s = (
+        toks.select("doc_id", wt.alias("wt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("wt").cast("bigint").alias("score_milli"),
+        )
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "score_milli",
+        (F.col("score_milli") > 0).cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Importance-weighted sampling (per-ROW inclusion probability ∝ a
+# quality weight — the DoReMi / importance-resampling shape, vs
+# sample_stratified's per-STRATUM rate).
+# ---------------------------------------------------------------------------
+
+#: Inclusion-test resolution (probabilities quantized to 1/1e4).
+WS_BUCKETS = 10_000
+#: Weight saturation: p(doc) = min(n_chars, WS_CAP) / WS_CAP.
+WS_CAP = 5_000
+#: Knuth multiplicative-hash constant (2^32 * golden ratio).
+WS_MIX = 2_654_435_761
+
+
+@spark_query(
+    "sample_weighted",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, n_chars,
+             (doc_id * {WS_MIX}) % 4294967296 % {WS_BUCKETS} AS h,
+             least(n_chars, {WS_CAP}) AS w
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN h * {WS_CAP} < w * {WS_BUCKETS} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           ROUND(SUM(CASE WHEN h * {WS_CAP} < w * {WS_BUCKETS} THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS actual_rate,
+           ROUND(AVG(w * 1.0 / {WS_CAP}), 4) AS expected_rate
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted Bernoulli sampling: doc kept iff
+    hash(doc_id) mod 1e4 falls under its weight-proportional
+    threshold, weight = min(n_chars, cap)/cap (stand-in for any
+    quality score). Reported as the per-source keep-rate audit
+    (n_docs, n_sampled, actual vs expected rate).
+
+    Everything is INTEGER arithmetic (multiplicative hash, cross-
+    multiplied threshold test — no floats until the final rounded
+    ratios), so the sample is bit-reproducible across engines,
+    re-runs, and partitionings — the property that makes a sampled
+    corpus auditable. One scan, no shuffle until the bounded
+    per-source rollup; the kept-rows variant is the same predicate
+    as a filter."""
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    h = (F.col("doc_id") * WS_MIX) % F.lit(4294967296) % WS_BUCKETS
+    w = F.least(F.col("n_chars"), F.lit(WS_CAP))
+    kept = (h * WS_CAP < w * WS_BUCKETS).cast("long")
+    return (
+        docs.select("source", w.alias("w"), kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_sampled"),
+            F.round(F.sum("kept") * 1.0 / F.count(F.lit(1)), 4).alias("actual_rate"),
+            F.round(F.avg(F.col("w") * 1.0 / WS_CAP), 4).alias("expected_rate"),
+        )
+        .orderBy("source")
+    )

@@ -99,6 +99,8 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "text_lm_perplexity",
     "text_length_histogram",
     "stream_topk_trending",
+    "text_quality_classifier",
+    "sample_weighted",
     # Remaining driver-green families, most complex first.
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -84,3 +84,25 @@ def test_topk_trending_rank_contract(spark, sf_dir):
         ordered = sorted(rs, key=lambda x: x["rank"])
         for a, b in zip(ordered, ordered[1:]):
             assert (a["n_events"], b["event_type"]) >= (b["n_events"], a["event_type"])
+
+
+def test_quality_classifier_integer_score_contract(spark, sf_dir):
+    rows = registry.QUERIES["text_quality_classifier"](spark, sf_dir).collect()
+    assert rows
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)  # a useful classifier splits the corpus
+    for r in rows:
+        assert r["keep"] == int(r["score_milli"] > 0)
+        # |score| is bounded by n_tokens * max|weight| (milli-units)
+        assert abs(r["score_milli"]) <= r["n_tokens"] * 10_000
+
+
+def test_sample_weighted_rate_audit(spark, sf_dir):
+    rows = registry.QUERIES["sample_weighted"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_sampled"] <= r["n_docs"]
+        assert 0.0 <= r["expected_rate"] <= 1.0
+        # hash-Bernoulli keep-rate tracks the expected inclusion
+        # probability (loose bound: per-source strata are small)
+        assert abs(r["actual_rate"] - r["expected_rate"]) < 0.35
