@@ -33,9 +33,32 @@ NEVER_DRIVER_CHECKED_THROUGH_R2 = {
 }
 
 
+#: Queries added in round 3 — no driver row exists yet, so they must
+#: also occupy the checked window.
+NEW_IN_ROUND_3 = {
+    "knn_join",
+    "embedding_kmeans",
+    "dedup_clusters",
+    "text_gopher_quality",
+    "stream_dedup_hourly",
+    "text_decontaminate",
+    "text_pack_sequences",
+    "text_pii_redact",
+    "sample_stratified",
+    "ann_pq_topk",
+    "domain_mix_report",
+    "dedup_semantic",
+    "text_lm_perplexity",
+    "text_length_histogram",
+    "stream_topk_trending",
+    "text_quality_classifier",
+    "sample_weighted",
+}
+
+
 def test_never_checked_queries_inside_driver_window():
     top50 = set(list(registry.QUERIES)[:50])
-    missing = NEVER_DRIVER_CHECKED_THROUGH_R2 - top50
+    missing = (NEVER_DRIVER_CHECKED_THROUGH_R2 | NEW_IN_ROUND_3) - top50
     assert not missing, f"outside driver's first-50 window: {sorted(missing)}"
 
 
