@@ -481,6 +481,27 @@ QC_FEATURES = 64
 #: Char-polynomial modulus (< 2^31 so every fold step stays BIGINT-exact).
 QC_MOD = 2_147_483_647
 
+def char_fold_hash(tok: Column) -> Column:
+    """Char-fold polynomial hash of a token, mod QC_MOD — every step
+    stays under 2^63 (acc < 2^31, acc*257 + cp < 2^40), so the fold is
+    BIGINT-exact and replicable in any engine (tests pin it against a
+    pure-Python replica)."""
+    chars = F.filter(F.split(tok, ""), lambda c: c != F.lit(""))
+    return F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, b: (a * 257 + b) % F.lit(QC_MOD),
+    )
+
+
+def char_fold_hash_py(tok: str) -> int:
+    """Pure-Python replica of :func:`char_fold_hash`."""
+    h = 0
+    for ch in tok:
+        h = (h * 257 + ord(ch)) % QC_MOD
+    return h
+
+
 def _qc_weights() -> list[int]:
     """Deterministic stand-in for trained weights, in INTEGER
     milli-units (x 1e4): a fixed linear-congruential sequence mapped
@@ -546,14 +567,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(_ltokens(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
-    chars = F.filter(F.split("tok", ""), lambda c: c != F.lit(""))
-    h = F.aggregate(
-        F.transform(chars, lambda c: F.ascii(c).cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda a, b: (a * 257 + b) % F.lit(QC_MOD),
-    )
     wt = F.element_at(
-        F.array(*[F.lit(v) for v in QC_WEIGHTS]), (h % QC_FEATURES).cast("int") + 1
+        F.array(*[F.lit(v) for v in QC_WEIGHTS]),
+        (char_fold_hash(F.col("tok")) % QC_FEATURES).cast("int") + 1,
     )
     s = (
         toks.select("doc_id", wt.alias("wt"))

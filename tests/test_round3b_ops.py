@@ -106,3 +106,33 @@ def test_sample_weighted_rate_audit(spark, sf_dir):
         # hash-Bernoulli keep-rate tracks the expected inclusion
         # probability (loose bound: per-source strata are small)
         assert abs(r["actual_rate"] - r["expected_rate"]) < 0.35
+
+
+def test_char_fold_hash_lockstep_with_python(spark):
+    """The classifier's feature hash must be engine-independent: fuzz
+    the Spark expression against the pure-Python replica over ASCII
+    tokens (the corpus alphabet; DuckDB parity runs in the oracle)."""
+    import string
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from overturelink_data_pipeline_spark.operators.curation import (
+        char_fold_hash,
+        char_fold_hash_py,
+    )
+
+    alphabet = string.ascii_letters + string.digits + string.punctuation
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.text(alphabet=alphabet, max_size=24), min_size=1, max_size=16))
+    def check(tokens):
+        df = spark.createDataFrame([(t,) for t in tokens], "tok string")
+        got = {
+            r["tok"]: r["h"]
+            for r in df.select("tok", char_fold_hash(F.col("tok")).alias("h")).collect()
+        }
+        for t in set(tokens):
+            assert got[t] == char_fold_hash_py(t), t
+
+    check()
