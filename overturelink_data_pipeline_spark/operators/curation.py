@@ -35,6 +35,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from overturelink_data_pipeline_spark.operators.dedup import _with_planted_copies
+from overturelink_data_pipeline_spark.operators.text import (
+    GOPHER_KEEP_SQL,
+    gopher_keep,
+)
+from overturelink_data_pipeline_spark.operators.text import (
+    tokens as _tokens,
+)
 from overturelink_data_pipeline_spark.registry import spark_query
 from overturelink_data_pipeline_spark.session import (
     ensure_parallelism,
@@ -646,6 +654,127 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("kept").cast("bigint").alias("n_sampled"),
             F.round(F.sum("kept") * 1.0 / F.count(F.lit(1)), 4).alias("actual_rate"),
             F.round(F.avg(F.col("w") * 1.0 / WS_CAP), 4).alias("expected_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pretraining-corpus build: rule-filter → exact-dedup →
+# concat-and-chunk packing, reported as the per-source build audit.
+# ---------------------------------------------------------------------------
+
+#: Every 3rd document donates a verbatim copy (id + 1e6) — the
+#: duplicated-ingestion population the dedup stage must collapse
+#: (matches dedup_exact's construction, dedup.py).
+PRETRAIN_DUP_MODULUS = 3
+
+
+@spark_query(
+    "pipeline_pretrain_corpus",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, text FROM documents
+      WHERE doc_id % {PRETRAIN_DUP_MODULUS} = 0
+    ),
+    kept AS (
+      SELECT doc_id, source, text,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM corpus WHERE {{GOPHER_KEEP_SQL}}
+    ),
+    canon AS (
+      SELECT md5(text) AS h,
+             MIN(doc_id)              AS doc_id,
+             arg_min(source, doc_id)  AS source,
+             MIN(n_tokens)            AS n_tokens
+      FROM kept GROUP BY md5(text)
+    ),
+    sub AS (
+      SELECT source, doc_id // {PACK_SUBSTREAM_DOCS} AS substream,
+             SUM(n_tokens) AS sub_tokens
+      FROM canon GROUP BY 1, 2
+    ),
+    packed AS (
+      SELECT source,
+             CAST(SUM(sub_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(CAST(ceil(sub_tokens * 1.0 / {PACK_SEQ_LEN}) AS BIGINT)) AS BIGINT) AS n_sequences
+      FROM sub GROUP BY source
+    ),
+    raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw FROM corpus GROUP BY source),
+    filt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY source),
+    ded AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_canonical FROM canon GROUP BY source)
+    SELECT raw.source, raw.n_raw, filt.n_kept, ded.n_canonical,
+           packed.total_tokens, packed.n_sequences,
+           ROUND(packed.total_tokens * 1.0 / (packed.n_sequences * {PACK_SEQ_LEN}), 4) AS utilization
+    FROM raw JOIN filt USING (source) JOIN ded USING (source) JOIN packed USING (source)
+    ORDER BY source
+    """.replace("{GOPHER_KEEP_SQL}", GOPHER_KEEP_SQL),
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation LIFECYCLE as one plan: raw corpus (with planted
+    duplicate ingestion) → Gopher rule filter → exact dedup (canonical
+    = lowest doc_id per content hash) → per-source concat-and-chunk
+    packing — reported as the per-source build audit (docs surviving
+    each stage, token total, sequence count, window utilization).
+
+    This is the "one command from crawl to training shards" shape; at
+    100 TB every stage composes scan-locally: the filter is a codegen
+    predicate on the scan, dedup is one hash-groupBy whose key is the
+    content hash (min/min_by aggregates, map-side combinable), packing
+    needs NO window here — the audit only needs per-substream token
+    sums, so it is two more bounded groupBys. Nothing corpus-sized
+    crosses a second shuffle.
+    """
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    corpus = _with_planted_copies(docs, PRETRAIN_DUP_MODULUS, mangle={})
+    kept = corpus.filter(gopher_keep(F.col("text"))).select(
+        "doc_id",
+        "source",
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    canon = kept.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    sub = canon.groupBy(
+        "source",
+        (F.col("doc_id") / PACK_SUBSTREAM_DOCS).cast("bigint").alias("substream"),
+    ).agg(F.sum("n_tokens").alias("sub_tokens"))
+    packed = sub.groupBy("source").agg(
+        F.sum("sub_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.ceil(F.col("sub_tokens") * 1.0 / PACK_SEQ_LEN))
+        .cast("bigint")
+        .alias("n_sequences"),
+    )
+    raw = corpus.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw")
+    )
+    filt = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    ded = canon.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_canonical")
+    )
+    return (
+        raw.join(filt, "source")
+        .join(ded, "source")
+        .join(packed, "source")
+        .select(
+            "source",
+            "n_raw",
+            "n_kept",
+            "n_canonical",
+            "total_tokens",
+            "n_sequences",
+            F.round(
+                F.col("total_tokens") * 1.0 / (F.col("n_sequences") * PACK_SEQ_LEN), 4
+            ).alias("utilization"),
         )
         .orderBy("source")
     )

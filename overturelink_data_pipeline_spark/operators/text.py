@@ -328,6 +328,48 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def gopher_keep(text: Column) -> Column:
+    """The Gopher rule conjunction as a single boolean expression —
+    shared by text_gopher_quality and the pipeline_pretrain_corpus
+    lifecycle so the two can never drift. SQL mirror:
+    :data:`GOPHER_KEEP_SQL` (same literals, same rules)."""
+    tok = tokens(text)
+    ltok = tokens(F.lower(text))
+    n_words = F.size(tok)
+    denom = F.greatest(n_words, F.lit(1))
+    mean_word_len = (
+        F.aggregate(
+            F.transform(tok, lambda w: F.length(w)), F.lit(0), lambda s, x: s + x
+        )
+        * 1.0
+        / denom
+    )
+    alpha_frac = F.size(F.filter(tok, lambda w: w.rlike("[a-zA-Z]"))) * 1.0 / denom
+    n_stop = F.size(F.filter(ltok, lambda w: w.isin(*STOPWORDS)))
+    uniq_frac = F.size(F.array_distinct(tok)) * 1.0 / denom
+    return (
+        n_words.between(30, 100000)
+        & mean_word_len.between(3, 10)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+        & (uniq_frac >= 0.2)
+    )
+
+
+#: DuckDB mirror of :func:`gopher_keep` — a boolean SQL expression over a
+#: column named ``text`` (whitespace tokens, same thresholds).
+GOPHER_KEEP_SQL = """(
+  len(string_split_regex(trim(text), '\\s+')) BETWEEN 30 AND 100000
+  AND list_reduce(list_transform(string_split_regex(trim(text), '\\s+'), w -> length(w)), (a, b) -> a + b) * 1.0
+      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) BETWEEN 3 AND 10
+  AND len(list_filter(string_split_regex(trim(text), '\\s+'), w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0
+      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) >= 0.8
+  AND len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> list_contains(['the','a','and','of','to','in'], w))) >= 2
+  AND len(list_distinct(string_split_regex(trim(text), '\\s+'))) * 1.0
+      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) >= 0.2
+)"""
+
+
 @spark_query(
     "text_gopher_quality",
     oracle="""

@@ -101,6 +101,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "stream_topk_trending",
     "text_quality_classifier",
     "sample_weighted",
+    "pipeline_pretrain_corpus",
     # Remaining driver-green families, most complex first.
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -53,6 +53,7 @@ NEW_IN_ROUND_3 = {
     "stream_topk_trending",
     "text_quality_classifier",
     "sample_weighted",
+    "pipeline_pretrain_corpus",
 }
 
 

@@ -136,3 +136,18 @@ def test_char_fold_hash_lockstep_with_python(spark):
             assert got[t] == char_fold_hash_py(t), t
 
     check()
+
+
+def test_pretrain_corpus_stage_monotonicity(spark, sf_dir):
+    from overturelink_data_pipeline_spark.operators.curation import PACK_SEQ_LEN
+
+    rows = registry.QUERIES["pipeline_pretrain_corpus"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # each stage can only shrink the corpus
+        assert r["n_raw"] >= r["n_kept"] >= r["n_canonical"] > 0
+        # planted verbatim copies must be collapsed by the dedup stage
+        assert r["n_canonical"] < r["n_kept"] or r["n_kept"] == 0
+        # packing audit consistency
+        assert 0 < r["utilization"] <= 1.0
+        assert r["total_tokens"] <= r["n_sequences"] * PACK_SEQ_LEN
