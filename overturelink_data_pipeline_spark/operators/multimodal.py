@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from overturelink_data_pipeline_spark.operators.dedup import (
+    _fresh_persist as _fresh_persist_dedup,
+)
 from overturelink_data_pipeline_spark.registry import spark_query
 from overturelink_data_pipeline_spark.session import (
     ensure_parallelism,
@@ -291,3 +294,161 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole decode→sample→score pipeline is hash-checked."""
     media = media_fixture(spark, sf_dir)
     return sample_frames(media).orderBy("media_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup across the media table (image dedup — the
+# multimodal leg of the dedup family).
+# ---------------------------------------------------------------------------
+
+#: Every 9th doc's media donates a "re-encoded" copy (id + 1e6).
+MM_DUP_MODULUS = 9
+#: Marker appended to a re-encoded payload (models codec/container bytes).
+MM_REENC_MARKER = " reencoded:v2"
+#: Pairs at perceptual-hash hamming <= this are duplicates. With 8
+#: bands of 8 bits, pigeonhole guarantees any pair at hamming <= 7
+#: shares at least one full band, so banded candidate generation has
+#: EXACT recall at this threshold.
+MM_HAMMING_T = 6
+
+PHASH_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType())]
+    + [T.StructField(f"b{j}", T.IntegerType()) for j in range(8)]
+)
+
+
+def _fake_phash(payload: bytes) -> list[int]:
+    """STUB perceptual hash — stands in for DCT-pHash over decoded
+    pixels (no image libs in this container). Faithful to pHash
+    STATISTICS: re-encodings of the same content land within a few
+    bits (content hash of the normalized payload + 0-2 payload-
+    dependent noise bits), unrelated content differs by ~32 bits.
+    Returns the hash as 8 bytes (= the 8 LSH bands)."""
+    norm = payload
+    marker = MM_REENC_MARKER.encode()
+    if norm.endswith(marker):
+        norm = norm[: -len(marker)]
+    base = bytearray(hashlib.md5(norm).digest()[:8])
+    raw = hashlib.md5(payload).digest()
+    k = raw[4] % 3
+    for pos_byte in raw[5 : 5 + k]:
+        pos = pos_byte % 64
+        base[pos // 8] ^= 1 << (pos % 8)
+    return list(base)
+
+
+def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media (+ planted re-encodings) → mapInPandas pHash kernel →
+    one row of 8 band bytes per media item."""
+    from overturelink_data_pipeline_spark.operators.dedup import _with_planted_copies
+
+    media = media_fixture(spark, sf_dir).select("media_id", "payload")
+    reenc = F.concat(F.col("payload"), F.encode(F.lit(MM_REENC_MARKER), "UTF-8"))
+    corpus = _with_planted_copies(
+        media, MM_DUP_MODULUS, mangle={"payload": reenc}, id_col="media_id"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = [
+                [mid, *_fake_phash(bytes(p))]
+                for mid, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in PHASH_SCHEMA.fields])
+
+    return corpus.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def _mm_phash_oracle() -> str:
+    """Brute-force ground truth: derive every media item's 8 pHash
+    band bytes from md5 hex digits (base = md5(normalized payload),
+    0-2 noise-bit flips indexed by md5(raw payload) bytes 4-6 — the
+    exact _fake_phash recipe), then scan ALL pairs for hamming <=
+    MM_HAMMING_T. The banded Spark plan must reproduce this exactly
+    (8x8 banding has guaranteed recall at this threshold)."""
+    flip = (
+        "CASE WHEN n4 % 3 >= {i} AND (n{src} % 64) // 8 = {j} "
+        "THEN xor(b{j}, 1 << ((n{src} % 64) % 8)) ELSE b{j} END"
+    )
+    cols = []
+    for j in range(8):
+        one = flip.format(i=1, src=5, j=j)
+        two = (
+            "CASE WHEN n4 % 3 >= 2 AND (n6 % 64) // 8 = {j} "
+            "THEN xor(({one}), 1 << ((n6 % 64) % 8)) ELSE ({one}) END"
+        ).format(j=j, one=one)
+        cols.append(f"{two} AS p{j}")
+    ham = " + ".join(f"bit_count(xor(a.p{j}, b.p{j}))" for j in range(8))
+    base_bytes = ", ".join(
+        _BYTE.format(p=2 * j + 1).replace("(h", "(hn") + f" AS b{j}" for j in range(8)
+    )
+    noise_bytes = ", ".join(
+        _BYTE.format(p=2 * j + 1).replace("(h", "(hr") + f" AS n{j}" for j in (4, 5, 6)
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, md5(text) AS hn, md5(text) AS hr FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, md5(text), md5(text || '{MM_REENC_MARKER}')
+      FROM documents WHERE doc_id % {MM_DUP_MODULUS} = 0
+    ),
+    ph AS (
+      SELECT media_id,
+             {", ".join(cols)}
+      FROM (SELECT media_id, {base_bytes}, {noise_bytes} FROM m)
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST({ham} AS INTEGER) AS hamming
+    FROM ph a JOIN ph b ON a.media_id < b.media_id
+    WHERE {ham} <= {MM_HAMMING_T}
+    ORDER BY id_a, id_b
+    """
+
+
+@spark_query("mm_dedup_phash", oracle=_mm_phash_oracle())
+def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over media payloads: pHash kernel in
+    mapInPandas (stubbed — deterministic md5-derived hash with
+    re-encoding noise bits; see _fake_phash), then 8-band x 8-bit LSH
+    candidate generation and exact hamming verification at <= 6 bits.
+
+    Scale mechanics mirror dedup_simhash: only (media_id, band_idx,
+    band_value) crosses the candidate shuffle — never payloads or
+    decoded pixels — and band-bucket sizes bound candidate cost. The
+    8x8 banding is chosen so pigeonhole makes recall EXACT for the
+    declared threshold (hamming <= 7 leaves >= 1 of 8 bands intact),
+    which is why the banded plan hash-matches the oracle's brute-force
+    all-pairs scan."""
+    ph = _fresh_persist_dedup("mm_phash", _phash_table(spark, sf_dir))
+    ph.count()  # materialize before the plan branches (bands + two rejoins)
+    bands = ph.select(
+        "media_id",
+        F.posexplode(F.array(*[F.col(f"b{j}") for j in range(8)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pa = ph.select(F.col("media_id").alias("id_a"), *[F.col(f"b{j}").alias(f"a{j}") for j in range(8)])
+    pb = ph.select(F.col("media_id").alias("id_b"), *[F.col(f"b{j}").alias(f"pb{j}") for j in range(8)])
+    ham = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"pb{j}"))) for j in range(8)
+    )
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= MM_HAMMING_T)
+        .orderBy("id_a", "id_b")
+    )

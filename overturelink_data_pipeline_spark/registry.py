@@ -102,6 +102,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "text_quality_classifier",
     "sample_weighted",
     "pipeline_pretrain_corpus",
+    "mm_dedup_phash",
     # Remaining driver-green families, most complex first.
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -54,6 +54,7 @@ NEW_IN_ROUND_3 = {
     "text_quality_classifier",
     "sample_weighted",
     "pipeline_pretrain_corpus",
+    "mm_dedup_phash",
 }
 
 

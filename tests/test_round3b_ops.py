@@ -151,3 +151,23 @@ def test_pretrain_corpus_stage_monotonicity(spark, sf_dir):
         # packing audit consistency
         assert 0 < r["utilization"] <= 1.0
         assert r["total_tokens"] <= r["n_sequences"] * PACK_SEQ_LEN
+
+
+def test_phash_dedup_finds_reencodings(spark, sf_dir):
+    from overturelink_data_pipeline_spark.operators.multimodal import (
+        MM_DUP_MODULUS,
+        MM_HAMMING_T,
+    )
+
+    rows = registry.QUERIES["mm_dedup_phash"](spark, sf_dir).collect()
+    assert rows
+    n_expected = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % MM_DUP_MODULUS == 0)
+        .count()
+    )
+    planted = {(r["id_a"], r["id_b"]) for r in rows if r["id_b"] >= 1_000_000}
+    # every re-encoded copy (<= 4 noise bits from its original) is found
+    assert len(planted) == n_expected
+    for r in rows:
+        assert 0 <= r["hamming"] <= MM_HAMMING_T
