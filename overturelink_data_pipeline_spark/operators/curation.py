@@ -778,3 +778,76 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard writer: the terminal sink of the curation pipeline —
+# hive-partitioned parquet shards with bounded rows per file, audited
+# by reading the dataset back.
+# ---------------------------------------------------------------------------
+
+#: Rows per shard file (small so the file-split path is exercised even
+#: at the test SFs; a real run sizes this to ~a few hundred MB).
+SHARD_MAX_ROWS = 16
+
+
+@spark_query(
+    "sink_training_shards",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ceil(COUNT(*) * 1.0 / {SHARD_MAX_ROWS}) AS BIGINT) AS n_files,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard writer + read-back audit: documents are written as a
+    hive-partitioned parquet dataset (partitionBy(source), rows sorted
+    by doc_id within partitions, ``maxRecordsPerFile`` bounding every
+    shard), then the DATASET — not the input — is read back and
+    audited per source: row/char totals prove write-read integrity,
+    and the on-disk file count must equal ceil(rows / max), which the
+    oracle predicts from the raw table alone.
+
+    Scale shape: ``repartition(source)`` gives each source exactly one
+    writing task (collisions just mean a task writes several partition
+    dirs), so file splitting is deterministic; sortWithinPartitions
+    costs a per-task sort, no extra shuffle; the manifest listing is
+    driver-side but bounded by the FILE count, never rows. At 100 TB
+    the same plan writes bucketed/sorted shards a downstream tokenizer
+    can map one-task-per-file."""
+    import glob
+    import os
+    import tempfile
+
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    out = os.path.join(tempfile.mkdtemp(prefix="train_shards_"), "docs")
+    (
+        docs.repartition("source")
+        .sortWithinPartitions("source", "doc_id")
+        .write.option("maxRecordsPerFile", SHARD_MAX_ROWS)
+        .partitionBy("source")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    counts = [
+        (os.path.basename(d).split("=", 1)[1], len(glob.glob(os.path.join(d, "*.parquet"))))
+        for d in glob.glob(os.path.join(out, "source=*"))
+    ]
+    manifest = spark.createDataFrame(counts, "source string, n_files long")
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .join(F.broadcast(manifest), "source")
+        .select("source", "n_rows", "n_files", "min_doc", "max_doc", "total_chars")
+        .orderBy("source")
+    )

@@ -103,6 +103,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "sample_weighted",
     "pipeline_pretrain_corpus",
     "mm_dedup_phash",
+    "sink_training_shards",
     # Remaining driver-green families, most complex first.
     "dedup_exact",
     "dedup_ngram_jaccard",

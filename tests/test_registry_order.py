@@ -55,6 +55,7 @@ NEW_IN_ROUND_3 = {
     "sample_weighted",
     "pipeline_pretrain_corpus",
     "mm_dedup_phash",
+    "sink_training_shards",
 }
 
 

@@ -171,3 +171,31 @@ def test_phash_dedup_finds_reencodings(spark, sf_dir):
     assert len(planted) == n_expected
     for r in rows:
         assert 0 <= r["hamming"] <= MM_HAMMING_T
+
+
+def test_shard_writer_splits_files_and_sorts(spark, sf_dir):
+    """Beyond the oracle: shards must actually be SORTED by doc_id and
+    SPLIT at SHARD_MAX_ROWS on disk."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from overturelink_data_pipeline_spark.operators.curation import SHARD_MAX_ROWS
+
+    rows = registry.QUERIES["sink_training_shards"](spark, sf_dir).collect()
+    assert rows and all(r["n_files"] >= 2 for r in rows), "split path unexercised"
+    # find the most recent shard dir this run produced
+    import tempfile
+
+    roots = sorted(
+        glob.glob(os.path.join(tempfile.gettempdir(), "train_shards_*")),
+        key=os.path.getmtime,
+    )
+    parts = glob.glob(os.path.join(roots[-1], "docs", "source=*", "*.parquet"))
+    assert parts
+    for f in parts[:8]:
+        t = pq.read_table(f, columns=["doc_id"])
+        ids = t["doc_id"].to_pylist()
+        assert len(ids) <= SHARD_MAX_ROWS
+        assert ids == sorted(ids)
