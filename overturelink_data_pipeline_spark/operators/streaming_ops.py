@@ -217,3 +217,41 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("bucket_start_s", "rank")
     )
+
+
+@spark_query(
+    "stream_latest_state",
+    oracle="""
+    SELECT user_id,
+           CAST(MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS last_seen_s,
+           arg_max(event_type, CAST(floor(epoch(ts)) AS BIGINT) * 100000000 + event_id) AS last_event_type,
+           ROUND(arg_max(value, CAST(floor(epoch(ts)) AS BIGINT) * 100000000 + event_id), 2) AS last_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized view: latest state per user (the
+    CDC-upsert / "current value" table every serving layer keeps).
+    The streaming aggregate maintains one max_by row per user — state
+    is bounded by the USER population, not the stream — and draining
+    the same plan over the static file must equal the batch arg_max,
+    the incremental ≡ batch property. Ties (same second) break to the
+    highest event_id, pinned identically in the oracle's composite
+    arg_max key."""
+    read_table(spark, sf_dir, "events")  # sets nanosAsLong defensively
+    stream = read_event_stream(spark, sf_dir)
+    sec = F.expr("ts div 1000000000")
+    # composite tie-break key as ONE integer (second * 1e8 + event_id,
+    # exact in BIGINT) — DuckDB's arg_max takes no struct key
+    key = sec * F.lit(100_000_000) + F.col("event_id")
+    agg = stream.groupBy("user_id").agg(
+        F.max(sec).cast("bigint").alias("last_seen_s"),
+        F.max_by("event_type", key).alias("last_event_type"),
+        F.round(F.max_by("value", key), 2).alias("last_value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    result = run_to_completion(agg, spark, shuffle_partitions=8)
+    return result.orderBy("user_id")

@@ -104,6 +104,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "pipeline_pretrain_corpus",
     "mm_dedup_phash",
     "sink_training_shards",
+    "stream_latest_state",
     # Remaining driver-green families, most complex first.
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -56,6 +56,7 @@ NEW_IN_ROUND_3 = {
     "pipeline_pretrain_corpus",
     "mm_dedup_phash",
     "sink_training_shards",
+    "stream_latest_state",
 }
 
 
