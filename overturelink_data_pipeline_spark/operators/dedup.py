@@ -847,3 +847,95 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lbl").alias("cluster_id"), "n_members")
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph (iterative graph analytics beyond
+# connected components: rank duplicate-cluster hubs).
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+
+
+def _pr_round_sql(t: int) -> str:
+    return (
+        f"r{t + 1} AS (SELECT e.d AS n, "
+        f"ROUND({1 - PR_DAMPING} + {PR_DAMPING} * SUM(r.r / e.deg), 6) AS r "
+        f"FROM r{t} r JOIN e ON e.s = r.n GROUP BY e.d)"
+    )
+
+
+@spark_query(
+    "graph_pagerank_dupes",
+    oracle=f"""
+    WITH golden AS (
+      SELECT id_a, id_b FROM read_parquet('{_MH_GOLD}')
+      WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM golden
+      UNION
+      SELECT id_b, id_a FROM golden
+    ),
+    deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+    e AS (SELECT edges.s, edges.d, deg.deg FROM edges JOIN deg USING (s)),
+    r0 AS (SELECT DISTINCT s AS n, 1.0 AS r FROM edges),
+    {", ".join(_pr_round_sql(t) for t in range(PR_ITERS))}
+    SELECT r{PR_ITERS}.n AS doc_id, r{PR_ITERS}.r AS rank,
+           CAST(deg.deg AS BIGINT) AS degree
+    FROM r{PR_ITERS} JOIN deg ON deg.s = r{PR_ITERS}.n
+    ORDER BY doc_id
+    """,
+)
+def graph_pagerank_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank restricted to the near-dup candidate graph: which
+    documents are duplicate HUBS (shared boilerplate sources) vs leaf
+    copies — the triage view a dedup pipeline surfaces before deciding
+    what to canonicalize.
+
+    Same iterative discipline as dedup_clusters/k-means: the edge list
+    (bounded by the duplicate population) is cached once, packed into
+    few partitions; each of the {PR_ITERS} fixed rounds is ONE
+    join + map-side-combinable sum; ranks round to 1e-6 per round in
+    BOTH engines so cross-engine float summation order cannot drift
+    the fixed point. Bidirected edges mean no dangling nodes, so no
+    teleport-mass correction term is needed."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("s"), F.col("id_b").alias("d")),
+                F.struct(F.col("id_b").alias("s"), F.col("id_a").alias("d")),
+            )
+        ).alias("e")
+    ).select("e.s", "e.d")
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    e = _fresh_persist("pr_edges", edges.join(deg, "s").coalesce(8))
+    e.count()  # materialize before branching (r0 + every round read it)
+    ranks = e.select(F.col("s").alias("n")).distinct().select(
+        "n", F.lit(1.0).alias("r")
+    )
+    for i in range(PR_ITERS):
+        ranks = (
+            ranks.join(e, ranks["n"] == e["s"])
+            .groupBy(F.col("d").alias("n"))
+            .agg(
+                F.round(
+                    F.lit(1 - PR_DAMPING)
+                    + F.lit(PR_DAMPING) * F.sum(F.col("r") / F.col("deg")),
+                    6,
+                ).alias("r")
+            )
+        )
+        ranks = _fresh_persist(f"pr_ranks_{i % 2}", ranks)
+        ranks.count()
+    return (
+        ranks.join(e.select("s", "deg").distinct(), ranks["n"] == F.col("s"))
+        .select(
+            F.col("n").alias("doc_id"),
+            F.col("r").alias("rank"),
+            F.col("deg").cast("bigint").alias("degree"),
+        )
+        .orderBy("doc_id")
+    )

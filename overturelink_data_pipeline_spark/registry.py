@@ -105,6 +105,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "mm_dedup_phash",
     "sink_training_shards",
     "stream_latest_state",
+    "graph_pagerank_dupes",
     # Remaining driver-green families, most complex first.
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -57,6 +57,7 @@ NEW_IN_ROUND_3 = {
     "mm_dedup_phash",
     "sink_training_shards",
     "stream_latest_state",
+    "graph_pagerank_dupes",
 }
 
 
