@@ -458,3 +458,98 @@ def subquery_cheapest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("custkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered-sequence match over event streams)
+# ---------------------------------------------------------------------------
+
+@spark_query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    u1 AS (
+      SELECT user_id, MIN(sec) AS v FROM e WHERE event_type = 'view' GROUP BY 1
+    ),
+    u2 AS (
+      SELECT e.user_id, MIN(e.sec) AS c
+      FROM e JOIN u1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.sec > u1.v
+      GROUP BY 1
+    ),
+    u3 AS (
+      SELECT e.user_id, MIN(e.sec) AS p
+      FROM e JOIN u2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.sec > u2.c
+      GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM u1) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM u2) AS BIGINT) AS n_click_after,
+           CAST((SELECT COUNT(*) FROM u3) AS BIGINT) AS n_purchase_after,
+           ROUND((SELECT COUNT(*) FROM u2) * 1.0 / (SELECT COUNT(*) FROM u1), 4) AS click_rate,
+           ROUND((SELECT COUNT(*) FROM u3) * 1.0 / (SELECT COUNT(*) FROM u1), 4) AS purchase_rate
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase (strictly later stages,
+    second resolution): how many users progress through each stage.
+
+    Spark side is ONE PASS: per user, events collect into a
+    time-sorted array and a codegen'd fold walks it once carrying
+    (v, c, p) — first view, first strictly-later click, first
+    strictly-later purchase. One shuffle on user_id, no self-joins.
+    The oracle verifies the same semantics with the obvious (but
+    3-scan) staged MIN CTEs; strict '>' makes both independent of
+    within-second event order, so the algorithms agree exactly.
+    Per-user event arrays are bounded by the funnel horizon in a real
+    deployment (this corpus: ≤ a few thousand events/user)."""
+    from overturelink_data_pipeline_spark.session import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr("ts div 1000000000").alias("sec")
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("sec"), F.col("event_type").alias("t")))
+    )
+    folded = F.aggregate(
+        arr,
+        F.struct(
+            F.lit(None).cast("bigint").alias("v"),
+            F.lit(None).cast("bigint").alias("c"),
+            F.lit(None).cast("bigint").alias("p"),
+        ),
+        lambda s, e: F.struct(
+            F.when(s["v"].isNull() & (e["t"] == "view"), e["sec"])
+            .otherwise(s["v"])
+            .alias("v"),
+            F.when(
+                s["c"].isNull()
+                & s["v"].isNotNull()
+                & (e["t"] == "click")
+                & (e["sec"] > s["v"]),
+                e["sec"],
+            )
+            .otherwise(s["c"])
+            .alias("c"),
+            F.when(
+                s["p"].isNull()
+                & s["c"].isNotNull()
+                & (e["t"] == "purchase")
+                & (e["sec"] > s["c"]),
+                e["sec"],
+            )
+            .otherwise(s["p"])
+            .alias("p"),
+        ),
+    )
+    per_user = ev.groupBy("user_id").agg(folded.alias("f"))
+    return per_user.agg(
+        F.count("f.v").cast("bigint").alias("n_view"),
+        F.count("f.c").cast("bigint").alias("n_click_after"),
+        F.count("f.p").cast("bigint").alias("n_purchase_after"),
+        F.round(F.count("f.c") * 1.0 / F.count("f.v"), 4).alias("click_rate"),
+        F.round(F.count("f.p") * 1.0 / F.count("f.v"), 4).alias("purchase_rate"),
+    )

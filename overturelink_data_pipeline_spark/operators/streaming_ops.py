@@ -255,3 +255,37 @@ def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_to_completion(agg, spark, shuffle_partitions=8)
     return result.orderBy("user_id")
+
+
+@spark_query(
+    "stream_join_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2)   AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    ORDER BY segment, event_type
+    """,
+)
+def stream_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the event stream joins the
+    (batch, broadcast) customer dimension mid-stream, then rolls up by
+    market segment — the canonical streaming enrichment topology. The
+    static side is planned once and broadcast into every micro-batch;
+    state is only the bounded (segment x type) aggregate. Drained over
+    the static file, the result must equal the batch join the oracle
+    runs."""
+    read_table(spark, sf_dir, "events")  # sets nanosAsLong defensively
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    stream = read_event_stream(spark, sf_dir)
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    result = run_to_completion(agg, spark, shuffle_partitions=8)
+    return result.orderBy("segment", "event_type")

@@ -106,6 +106,8 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "sink_training_shards",
     "stream_latest_state",
     "graph_pagerank_dupes",
+    "stream_join_enrichment",
+    "funnel_view_click_purchase",
     # Remaining driver-green families, most complex first.
     "dedup_exact",
     "dedup_ngram_jaccard",

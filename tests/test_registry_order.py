@@ -58,6 +58,8 @@ NEW_IN_ROUND_3 = {
     "sink_training_shards",
     "stream_latest_state",
     "graph_pagerank_dupes",
+    "stream_join_enrichment",
+    "funnel_view_click_purchase",
 }
 
 
