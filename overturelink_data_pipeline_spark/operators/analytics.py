@@ -553,3 +553,62 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("f.c") * 1.0 / F.count("f.v"), 4).alias("click_rate"),
         F.round(F.count("f.p") * 1.0 / F.count("f.v"), 4).alias("purchase_rate"),
     )
+
+
+@spark_query(
+    "retention_week_offsets",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (SELECT user_id, MIN(week) AS cohort FROM w GROUP BY 1),
+    o AS (
+      SELECT w.user_id, w.week - c.cohort AS offset_weeks
+      FROM w JOIN c USING (user_id)
+    )
+    SELECT offset_weeks,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(COUNT(DISTINCT user_id) * 1.0
+                 / (SELECT COUNT(*) FROM c), 4) AS retention
+    FROM o
+    GROUP BY offset_weeks
+    ORDER BY offset_weeks
+    """,
+)
+def retention_week_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: for every user, weeks-since-first-activity
+    offsets of their active weeks; per offset, how many users were
+    active and what fraction of the user base that is (the classic
+    product-retention curve, cohort-aligned).
+
+    One-pass shape: per-user (first week, active-week set) falls out
+    of a single groupBy(user) with min + collect_set (map-side
+    combinable); offsets explode from the bounded per-user week set
+    (≤ the observation horizon in weeks) and the rollup touches
+    (user, offset) rows, never raw events twice. The denominator is
+    one driver-bounded scalar (the user count off the already-grouped
+    frame), not a second scan of the events."""
+    from overturelink_data_pipeline_spark.session import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000000000 div 604800").alias("week")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("week").alias("cohort"),
+        F.collect_set("week").alias("weeks"),
+    )
+    total = per_user.count()
+    offsets = per_user.select(
+        "user_id", F.explode("weeks").alias("week"), F.col("cohort")
+    ).select("user_id", (F.col("week") - F.col("cohort")).alias("offset_weeks"))
+    return (
+        offsets.groupBy("offset_weeks")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .select(
+            "offset_weeks",
+            "n_users",
+            F.round(F.col("n_users") * 1.0 / F.lit(total), 4).alias("retention"),
+        )
+        .orderBy("offset_weeks")
+    )

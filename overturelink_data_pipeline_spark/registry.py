@@ -108,6 +108,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "graph_pagerank_dupes",
     "stream_join_enrichment",
     "funnel_view_click_purchase",
+    "retention_week_offsets",
     # Remaining driver-green families, most complex first.
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -60,6 +60,7 @@ NEW_IN_ROUND_3 = {
     "graph_pagerank_dupes",
     "stream_join_enrichment",
     "funnel_view_click_purchase",
+    "retention_week_offsets",
 }
 
 
