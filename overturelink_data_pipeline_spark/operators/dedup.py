@@ -803,39 +803,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitions before the iteration: scanning a 32/64-partition cache
     # of a ~40 k-row frame 32-threads-wide every round costs more in
     # task scheduling than the join itself (measured 9.8 s → 1.3 s per
-    # round at sf1). A cluster run would size this by |edges| / a
+    # round at sf1). repartition, NOT coalesce — coalesce propagates
+    # its width up the narrow stage and would run the candidate-verify
+    # scan 8-wide. A cluster run would size this by |edges| / a
     # per-partition row target instead of a constant.
-    edges = _fresh_persist("cc_edges", edges.coalesce(8))
+    edges = _fresh_persist("cc_edges", edges.repartition(8))
     # materialize the edge cache BEFORE anything branches on it: the
     # first round's action would otherwise run the whole minhash pair
     # pipeline once per downstream branch racing the not-yet-populated
     # cache
     edges.count()
     labels = edges.select(F.col("s").alias("n"), F.col("s").alias("lbl")).distinct()
-    # Round i persists under an ALTERNATING key so eviction hits round
-    # i-2's state (dead) — a single rotating key would unpersist the
-    # very frame the current round still reads, silently re-running the
-    # whole upstream pair pipeline every round (measured: 5 s/round of
-    # pure lineage recomputation at sf0.1 before this fix).
-    #
     # One join + one agg per round: new_label(n) = min over the labels
     # of n's in-neighbors ∪ n itself — the self term rides in as a
-    # union of the (tiny, cached) label frame rather than self-loop
-    # edges, which would double-run the pair lineage while building the
-    # edge cache. Convergence: min-label propagation is monotone
-    # non-increasing, so the label SUM is a fixed-point witness —
-    # unchanged sum ⟺ no label moved — one agg on the cached frame
-    # instead of a changed-flag join against the previous round.
+    # union of the (tiny) label frame rather than self-loop edges,
+    # which would double-run the pair lineage while building the edge
+    # cache. Each round ends in an EAGER localCheckpoint: it both
+    # materializes the round (so the next one never re-runs upstream)
+    # and truncates the logical plan — persist alone leaves round i
+    # re-analyzing minhash-lineage + i rounds of plan (the
+    # graph_pagerank_dupes profile measured that compile growth at
+    # 1.3 → 4.0 s/round). Convergence: min-label propagation is
+    # monotone non-increasing, so the label SUM is a fixed-point
+    # witness — unchanged sum ⟺ no label moved — one agg on the
+    # checkpointed frame instead of a changed-flag join against the
+    # previous round.
     prev_sum: int | None = None
-    for i in range(20):  # diameter guard; near-dup components are shallow
+    for _ in range(20):  # diameter guard; near-dup components are shallow
         nxt = (
             labels.join(edges, labels["n"] == edges["s"])
             .select(F.col("d").alias("n"), "lbl")
             .unionByName(labels)
             .groupBy("n")
             .agg(F.min("lbl").alias("lbl"))
-        )
-        nxt = _fresh_persist(f"cc_labels_{i % 2}", nxt)
+        ).localCheckpoint(True)
         cur_sum = nxt.agg(F.sum("lbl")).collect()[0][0]
         labels = nxt
         if cur_sum == prev_sum:
@@ -910,8 +911,17 @@ def graph_pagerank_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.s", "e.d")
-    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    e = _fresh_persist("pr_edges", edges.join(deg, "s").coalesce(8))
+    # persist the DIRECTED edges before deriving degrees: deg is a
+    # second branch of the same pair lineage, and joining two lazy
+    # branches runs the whole minhash pipeline twice (measured 15.2 s
+    # vs 5.8 s for one run at sf1 — the dedup_clusters trap). Pack the
+    # bounded edge set with repartition, NOT coalesce: coalesce
+    # propagates its width UP the narrow stage and would run the
+    # candidate-verify scan 8-wide instead of 32-wide.
+    raw = _fresh_persist("pr_edges_raw", edges.repartition(8))
+    raw.count()
+    deg = raw.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    e = _fresh_persist("pr_edges", raw.join(deg, "s"))
     e.count()  # materialize before branching (r0 + every round read it)
     ranks = e.select(F.col("s").alias("n")).distinct().select(
         "n", F.lit(1.0).alias("r")
@@ -928,8 +938,13 @@ def graph_pagerank_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r")
             )
         )
-        ranks = _fresh_persist(f"pr_ranks_{i % 2}", ranks)
-        ranks.count()
+        # localCheckpoint (eager) TRUNCATES the logical plan: with
+        # persist alone, round i still re-analyzes a plan containing
+        # the whole minhash lineage plus i rounds — measured rounds
+        # growing 1.3 → 4.0 s from plan compilation alone; truncated,
+        # they shrink to 0.4-1.1 s. (A cluster deployment would use a
+        # reliable checkpoint dir for fault tolerance.)
+        ranks = ranks.localCheckpoint(True)
     return (
         ranks.join(e.select("s", "deg").distinct(), ranks["n"] == F.col("s"))
         .select(
