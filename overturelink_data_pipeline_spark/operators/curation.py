@@ -731,6 +731,18 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     corpus = _with_planted_copies(docs, PRETRAIN_DUP_MODULUS, mangle={})
+    # Scan 1: the raw/kept stage counters in ONE conditional agg (a
+    # separate count per stage would rescan the corpus per counter —
+    # the plan audit caught exactly that: 4 parquet scans before this
+    # collapse, 2 after).
+    flagged = corpus.select(
+        "source", gopher_keep(F.col("text")).cast("long").alias("keep")
+    )
+    stage_counts = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+    )
+    # Scan 2: the surviving-docs path (dedup + packing audit).
     kept = corpus.filter(gopher_keep(F.col("text"))).select(
         "doc_id",
         "source",
@@ -745,25 +757,16 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = canon.groupBy(
         "source",
         (F.col("doc_id") / PACK_SUBSTREAM_DOCS).cast("bigint").alias("substream"),
-    ).agg(F.sum("n_tokens").alias("sub_tokens"))
+    ).agg(F.sum("n_tokens").alias("sub_tokens"), F.count(F.lit(1)).alias("n_sub"))
     packed = sub.groupBy("source").agg(
         F.sum("sub_tokens").cast("bigint").alias("total_tokens"),
         F.sum(F.ceil(F.col("sub_tokens") * 1.0 / PACK_SEQ_LEN))
         .cast("bigint")
         .alias("n_sequences"),
-    )
-    raw = corpus.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_raw")
-    )
-    filt = kept.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_kept")
-    )
-    ded = canon.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_canonical")
+        F.sum("n_sub").cast("bigint").alias("n_canonical"),
     )
     return (
-        raw.join(filt, "source")
-        .join(ded, "source")
+        stage_counts
         .join(packed, "source")
         .select(
             "source",
