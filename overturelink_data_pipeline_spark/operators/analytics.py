@@ -587,8 +587,11 @@ def retention_week_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable); offsets explode from the bounded per-user week set
     (≤ the observation horizon in weeks) and the rollup touches
     (user, offset) rows, never raw events twice. The denominator is
-    one driver-bounded scalar (the user count off the already-grouped
-    frame), not a second scan of the events."""
+    the offset-0 bucket (every user is active in their own cohort
+    week by definition), read back out of the bounded aggregate with
+    a window — no second scan, no driver action on the lineage."""
+    from pyspark.sql.window import Window
+
     from overturelink_data_pipeline_spark.session import read_events
 
     ev = read_events(spark, sf_dir).select(
@@ -598,17 +601,20 @@ def retention_week_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("week").alias("cohort"),
         F.collect_set("week").alias("weeks"),
     )
-    total = per_user.count()
     offsets = per_user.select(
         "user_id", F.explode("weeks").alias("week"), F.col("cohort")
     ).select("user_id", (F.col("week") - F.col("cohort")).alias("offset_weeks"))
+    agg = offsets.groupBy("offset_weeks").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    total = F.max(
+        F.when(F.col("offset_weeks") == 0, F.col("n_users"))
+    ).over(Window.partitionBy())
     return (
-        offsets.groupBy("offset_weeks")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
-        .select(
+        agg.select(
             "offset_weeks",
             "n_users",
-            F.round(F.col("n_users") * 1.0 / F.lit(total), 4).alias("retention"),
+            F.round(F.col("n_users") * 1.0 / total, 4).alias("retention"),
         )
         .orderBy("offset_weeks")
     )

@@ -31,6 +31,9 @@ the synthetic data).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -793,6 +796,15 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: at the test SFs; a real run sizes this to ~a few hundred MB).
 SHARD_MAX_ROWS = 16
 
+#: Fixed per-process output dataset. A mkdtemp per invocation would
+#: LEAK a full corpus copy every run (bench = warm-up + 3 timed runs);
+#: a fixed path + mode("overwrite") reuses the same disk footprint,
+#: and tests read the path from here instead of reverse-engineering
+#: tempdir names.
+SHARD_OUT_DIR = os.path.join(
+    tempfile.gettempdir(), f"train_shards_{os.getpid()}", "docs"
+)
+
 
 @spark_query(
     "sink_training_shards",
@@ -823,11 +835,9 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plan writes bucketed/sorted shards a downstream tokenizer
     can map one-task-per-file."""
     import glob
-    import os
-    import tempfile
 
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
-    out = os.path.join(tempfile.mkdtemp(prefix="train_shards_"), "docs")
+    out = SHARD_OUT_DIR
     (
         docs.repartition("source")
         .sortWithinPartitions("source", "doc_id")

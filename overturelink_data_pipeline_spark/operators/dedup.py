@@ -779,8 +779,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     label per node (map-side combinable), and stops when no label
     changed — rounds ∝ component diameter, and near-dup components are
     shallow (duplicates of a common source), so convergence is 2-3
-    rounds here. Each round persists IDs-only state and unpersists the
-    previous round. For adversarially long chains the known fix is the
+    rounds here. Each round eagerly localCheckpoints its IDs-only
+    state (materializes the round AND truncates the logical plan —
+    see the in-loop comment). For adversarially long chains the known fix is the
     alternating large-star/small-star contraction (O(log n) rounds,
     same join-agg primitives); diameter-bounded propagation keeps this
     implementation transparent against the recursive-CTE oracle, which
@@ -856,13 +857,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PR_ITERS = 5
-PR_DAMPING = 0.85
+#: Damping in parts-per-million (ranks are BIGINT micro-units: float
+#: PageRank would feed order-dependent sum drift forward through the
+#: rounds — the same cross-engine round-half hazard _qc_weights
+#: documents — so the whole recurrence is exact integer arithmetic).
+PR_DAMP_PPM = 850_000
+PR_SCALE = 1_000_000
 
 
 def _pr_round_sql(t: int) -> str:
     return (
         f"r{t + 1} AS (SELECT e.d AS n, "
-        f"ROUND({1 - PR_DAMPING} + {PR_DAMPING} * SUM(r.r / e.deg), 6) AS r "
+        f"CAST({PR_SCALE - PR_DAMP_PPM} + ({PR_DAMP_PPM} * SUM(r.r // e.deg)) // {PR_SCALE} AS BIGINT) AS r "
         f"FROM r{t} r JOIN e ON e.s = r.n GROUP BY e.d)"
     )
 
@@ -881,9 +887,9 @@ def _pr_round_sql(t: int) -> str:
     ),
     deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
     e AS (SELECT edges.s, edges.d, deg.deg FROM edges JOIN deg USING (s)),
-    r0 AS (SELECT DISTINCT s AS n, 1.0 AS r FROM edges),
+    r0 AS (SELECT DISTINCT s AS n, CAST({PR_SCALE} AS BIGINT) AS r FROM edges),
     {", ".join(_pr_round_sql(t) for t in range(PR_ITERS))}
-    SELECT r{PR_ITERS}.n AS doc_id, r{PR_ITERS}.r AS rank,
+    SELECT r{PR_ITERS}.n AS doc_id, r{PR_ITERS}.r AS rank_micro,
            CAST(deg.deg AS BIGINT) AS degree
     FROM r{PR_ITERS} JOIN deg ON deg.s = r{PR_ITERS}.n
     ORDER BY doc_id
@@ -897,11 +903,18 @@ def graph_pagerank_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same iterative discipline as dedup_clusters/k-means: the edge list
     (bounded by the duplicate population) is cached once, packed into
-    few partitions; each of the {PR_ITERS} fixed rounds is ONE
-    join + map-side-combinable sum; ranks round to 1e-6 per round in
-    BOTH engines so cross-engine float summation order cannot drift
-    the fixed point. Bidirected edges mean no dangling nodes, so no
-    teleport-mass correction term is needed."""
+    few partitions; each of the PR_ITERS fixed rounds is ONE
+    join + map-side-combinable sum. Ranks are BIGINT micro-units and
+    the whole recurrence (floor-divide contributions, ppm damping) is
+    integer-exact — float PageRank would let order-dependent sum
+    drift feed forward through the rounds (the cross-engine
+    round-half hazard measured on _qc_weights), while the integer fix
+    makes the fixed point bit-identical in any engine. Bidirected
+    edges mean no dangling nodes, so no teleport-mass correction term
+    is needed. Magnitude bound: per-node Σ contrib × PR_DAMP_PPM
+    stays under 2^63 while deg_max × rank_max < 1e13 — comfortably
+    true for near-dup graphs (rank mass concentrates only as far as
+    component sizes allow)."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
     edges = pairs.select(
         F.explode(
@@ -916,7 +929,7 @@ def graph_pagerank_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches runs the whole minhash pipeline twice (measured 15.2 s
     # vs 5.8 s for one run at sf1 — the dedup_clusters trap). Pack the
     # bounded edge set with repartition, NOT coalesce: coalesce
-    # propagates its width UP the narrow stage and would run the
+    # propagates its width up the narrow stage and would run the
     # candidate-verify scan 8-wide instead of 32-wide.
     raw = _fresh_persist("pr_edges_raw", edges.repartition(8))
     raw.count()
@@ -924,18 +937,22 @@ def graph_pagerank_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _fresh_persist("pr_edges", raw.join(deg, "s"))
     e.count()  # materialize before branching (r0 + every round read it)
     ranks = e.select(F.col("s").alias("n")).distinct().select(
-        "n", F.lit(1.0).alias("r")
+        "n", F.lit(PR_SCALE).cast("bigint").alias("r")
     )
-    for i in range(PR_ITERS):
+    for _ in range(PR_ITERS):
         ranks = (
             ranks.join(e, ranks["n"] == e["s"])
+            # `div` = exact BIGINT floor division (floor(r/deg) on
+            # doubles mis-floors once quotients leave 2^53)
+            .select(F.col("d"), F.expr("r div deg").alias("contrib"))
             .groupBy(F.col("d").alias("n"))
-            .agg(
-                F.round(
-                    F.lit(1 - PR_DAMPING)
-                    + F.lit(PR_DAMPING) * F.sum(F.col("r") / F.col("deg")),
-                    6,
-                ).alias("r")
+            .agg(F.sum("contrib").alias("sc"))
+            .select(
+                "n",
+                (
+                    F.lit(PR_SCALE - PR_DAMP_PPM)
+                    + F.expr(f"({PR_DAMP_PPM} * sc) div {PR_SCALE}")
+                ).alias("r"),
             )
         )
         # localCheckpoint (eager) TRUNCATES the logical plan: with
@@ -949,7 +966,7 @@ def graph_pagerank_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.join(e.select("s", "deg").distinct(), ranks["n"] == F.col("s"))
         .select(
             F.col("n").alias("doc_id"),
-            F.col("r").alias("rank"),
+            F.col("r").alias("rank_micro"),
             F.col("deg").cast("bigint").alias("degree"),
         )
         .orderBy("doc_id")

@@ -224,8 +224,8 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS last_seen_s,
-           arg_max(event_type, CAST(floor(epoch(ts)) AS BIGINT) * 100000000 + event_id) AS last_event_type,
-           ROUND(arg_max(value, CAST(floor(epoch(ts)) AS BIGINT) * 100000000 + event_id), 2) AS last_value,
+           arg_max(event_type, CAST(floor(epoch(ts)) AS BIGINT) * 4294967296 + event_id) AS last_event_type,
+           ROUND(arg_max(value, CAST(floor(epoch(ts)) AS BIGINT) * 4294967296 + event_id), 2) AS last_value,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events
     GROUP BY user_id
@@ -240,13 +240,18 @@ def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plan over the static file must equal the batch arg_max,
     the incremental ≡ batch property. Ties (same second) break to the
     highest event_id, pinned identically in the oracle's composite
-    arg_max key."""
+    arg_max key: (second << 32) + event_id, exact in BIGINT for
+    second < 2^31 (pre-2038 data) and event_id < 2^32 — both asserted
+    bounds of this schema; an open-ended id space would use
+    max_by(struct) on the Spark side and a two-pass oracle instead."""
     read_table(spark, sf_dir, "events")  # sets nanosAsLong defensively
     stream = read_event_stream(spark, sf_dir)
     sec = F.expr("ts div 1000000000")
-    # composite tie-break key as ONE integer (second * 1e8 + event_id,
-    # exact in BIGINT) — DuckDB's arg_max takes no struct key
-    key = sec * F.lit(100_000_000) + F.col("event_id")
+    # composite tie-break key as ONE integer — DuckDB's arg_max takes
+    # no struct key; the 2^32 shift keeps (sec, event_id) ordering
+    # exact for the documented id bound (a 1e8 multiplier would
+    # silently misrank events once event_id reaches 1e8)
+    key = sec * F.lit(4_294_967_296) + F.col("event_id")
     agg = stream.groupBy("user_id").agg(
         F.max(sec).cast("bigint").alias("last_seen_s"),
         F.max_by("event_type", key).alias("last_event_type"),

@@ -328,11 +328,11 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def gopher_keep(text: Column) -> Column:
-    """The Gopher rule conjunction as a single boolean expression —
-    shared by text_gopher_quality and the pipeline_pretrain_corpus
-    lifecycle so the two can never drift. SQL mirror:
-    :data:`GOPHER_KEEP_SQL` (same literals, same rules)."""
+def gopher_metrics(text: Column) -> dict[str, Column]:
+    """The five Gopher rule metrics as named expressions — the ONE
+    definition both text_gopher_quality (which also reports them) and
+    gopher_keep / pipeline_pretrain_corpus consume, so rule semantics
+    cannot drift between the report and the lifecycle filter."""
     tok = tokens(text)
     ltok = tokens(F.lower(text))
     n_words = F.size(tok)
@@ -344,15 +344,28 @@ def gopher_keep(text: Column) -> Column:
         * 1.0
         / denom
     )
-    alpha_frac = F.size(F.filter(tok, lambda w: w.rlike("[a-zA-Z]"))) * 1.0 / denom
-    n_stop = F.size(F.filter(ltok, lambda w: w.isin(*STOPWORDS)))
-    uniq_frac = F.size(F.array_distinct(tok)) * 1.0 / denom
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "alpha_frac": F.size(F.filter(tok, lambda w: w.rlike("[a-zA-Z]")))
+        * 1.0
+        / denom,
+        "n_stop": F.size(F.filter(ltok, lambda w: w.isin(*STOPWORDS))),
+        "uniq_frac": F.size(F.array_distinct(tok)) * 1.0 / denom,
+    }
+
+
+def gopher_keep(text: Column) -> Column:
+    """The Gopher rule conjunction over :func:`gopher_metrics` — the
+    thresholds live here and nowhere else. SQL mirror:
+    :data:`GOPHER_KEEP_SQL` (same literals, same rules)."""
+    m = gopher_metrics(text)
     return (
-        n_words.between(30, 100000)
-        & mean_word_len.between(3, 10)
-        & (alpha_frac >= 0.8)
-        & (n_stop >= 2)
-        & (uniq_frac >= 0.2)
+        m["n_words"].between(30, 100000)
+        & m["mean_word_len"].between(3, 10)
+        & (m["alpha_frac"] >= 0.8)
+        & (m["n_stop"] >= 2)
+        & (m["uniq_frac"] >= 0.2)
     )
 
 
@@ -420,35 +433,15 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     this corpus's scale (30-word floor instead of 50 — the synthetic
     docs average ~50 tokens)."""
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
-    tok = tokens(F.col("text"))
-    ltok = tokens(F.lower(F.col("text")))
-    n_words = F.size(tok)
-    denom = F.greatest(n_words, F.lit(1))
-    mean_word_len = (
-        F.aggregate(
-            F.transform(tok, lambda w: F.length(w)), F.lit(0), lambda s, x: s + x
-        )
-        * 1.0
-        / denom
-    )
-    alpha_frac = F.size(F.filter(tok, lambda w: w.rlike("[a-zA-Z]"))) * 1.0 / denom
-    n_stop = F.size(F.filter(ltok, lambda w: w.isin(*STOPWORDS)))
-    uniq_frac = F.size(F.array_distinct(tok)) * 1.0 / denom
-    keep = (
-        n_words.between(30, 100000)
-        & mean_word_len.between(3, 10)
-        & (alpha_frac >= 0.8)
-        & (n_stop >= 2)
-        & (uniq_frac >= 0.2)
-    )
+    m = gopher_metrics(F.col("text"))
     return docs.select(
         "doc_id",
-        n_words.cast("bigint").alias("n_words"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(alpha_frac, 4).alias("alpha_frac"),
-        n_stop.cast("bigint").alias("n_stop"),
-        F.round(uniq_frac, 4).alias("uniq_frac"),
-        keep.cast("int").alias("keep"),
+        m["n_words"].cast("bigint").alias("n_words"),
+        F.round(m["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(m["alpha_frac"], 4).alias("alpha_frac"),
+        m["n_stop"].cast("bigint").alias("n_stop"),
+        F.round(m["uniq_frac"], 4).alias("uniq_frac"),
+        gopher_keep(F.col("text")).cast("int").alias("keep"),
     ).orderBy("doc_id")
 
 

@@ -23,7 +23,16 @@ FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
 
 @pytest.mark.parametrize("name", sorted(registry.QUERIES))
-def test_no_slow_path_operators(spark, sf_dir, name):
+def test_no_slow_path_operators(spark, sf_dir, name, monkeypatch):
+    # localCheckpoint TRUNCATES the logical plan (that is its job in
+    # the iterative ops), which would blind this lint to everything
+    # upstream of the checkpoint — no-op it so the full lineage of
+    # dedup_clusters / graph_pagerank_dupes is linted too.
+    from pyspark.sql import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
     df = registry.QUERIES[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     hits = [k for k in FORBIDDEN if k in plan]

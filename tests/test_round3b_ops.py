@@ -183,16 +183,11 @@ def test_shard_writer_splits_files_and_sorts(spark, sf_dir):
 
     from overturelink_data_pipeline_spark.operators.curation import SHARD_MAX_ROWS
 
+    from overturelink_data_pipeline_spark.operators.curation import SHARD_OUT_DIR
+
     rows = registry.QUERIES["sink_training_shards"](spark, sf_dir).collect()
     assert rows and all(r["n_files"] >= 2 for r in rows), "split path unexercised"
-    # find the most recent shard dir this run produced
-    import tempfile
-
-    roots = sorted(
-        glob.glob(os.path.join(tempfile.gettempdir(), "train_shards_*")),
-        key=os.path.getmtime,
-    )
-    parts = glob.glob(os.path.join(roots[-1], "docs", "source=*", "*.parquet"))
+    parts = glob.glob(os.path.join(SHARD_OUT_DIR, "source=*", "*.parquet"))
     assert parts
     for f in parts[:8]:
         t = pq.read_table(f, columns=["doc_id"])
