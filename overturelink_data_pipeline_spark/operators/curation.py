@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from overturelink_data_pipeline_spark.operators.dedup import _with_planted_copies
+from overturelink_data_pipeline_spark.operators.dedup import with_planted_copies
 from overturelink_data_pipeline_spark.operators.text import (
     GOPHER_KEEP_SQL,
     gopher_keep,
@@ -733,7 +733,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
         "doc_id", "source", "text"
     )
-    corpus = _with_planted_copies(docs, PRETRAIN_DUP_MODULUS, mangle={})
+    corpus = with_planted_copies(docs, PRETRAIN_DUP_MODULUS, mangle={})
     # Scan 1: the raw/kept stage counters in ONE conditional agg (a
     # separate count per stage would rescan the corpus per counter —
     # the plan audit caught exactly that: 4 parquet scans before this

@@ -38,7 +38,7 @@ from overturelink_data_pipeline_spark.session import (
     read_table,
 )
 
-def _with_planted_copies(
+def with_planted_copies(
     df: DataFrame,
     modulus: int,
     mangle: dict[str, Column],
@@ -99,7 +99,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group on content hash, keep min-id canonical row.
     One shuffle; the HAVING>1 output is the duplicate report."""
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    corpus = _with_planted_copies(docs, 3, mangle={})
+    corpus = with_planted_copies(docs, 3, mangle={})
     return (
         corpus.groupBy(F.md5("text").alias("content_hash"))
         .agg(
@@ -132,7 +132,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized exact dedup: case/whitespace-mangled copies collapse
     onto their originals under lower+collapse normalization."""
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    corpus = _with_planted_copies(
+    corpus = with_planted_copies(
         docs, 5, mangle={"text": F.concat(F.upper("text"), F.lit("  "))}
     )
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
@@ -205,7 +205,7 @@ def _prefix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = F.substring(
         F.col("text"), 1, F.floor(F.length("text") * 0.8).cast("int")
     )
-    return _with_planted_copies(docs, 7, mangle={"text": prefix})
+    return with_planted_copies(docs, 7, mangle={"text": prefix})
 
 
 def _gram_hashes(toks: str = "toks") -> Column:
@@ -709,7 +709,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.element_at("v", 1) + 0.05),
         F.slice("v", 2, F.size("v") - 1),
     )
-    corpus = _with_planted_copies(
+    corpus = with_planted_copies(
         emb, 11, mangle={"v": perturbed}, id_col="vec_id"
     )
 
@@ -830,6 +830,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed frame instead of a changed-flag join against the
     # previous round.
     prev_sum: int | None = None
+    converged = False
     for _ in range(20):  # diameter guard; near-dup components are shallow
         nxt = (
             labels.join(edges, labels["n"] == edges["s"])
@@ -841,8 +842,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur_sum = nxt.agg(F.sum("lbl")).collect()[0][0]
         labels = nxt
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # a silent exit here would REPORT WRONG CLUSTERS (a >20-hop
+        # duplicate chain splits into bogus components with wrong
+        # canonicals); fail loudly — the fix for adversarially deep
+        # components is large-star/small-star contraction, not more
+        # quiet rounds
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not converge in 20 "
+            "rounds (component diameter > 20); switch to star-contraction"
+        )
     return (
         labels.groupBy("lbl")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))

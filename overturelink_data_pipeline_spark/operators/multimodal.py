@@ -340,11 +340,11 @@ def _fake_phash(payload: bytes) -> list[int]:
 def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """media (+ planted re-encodings) → mapInPandas pHash kernel →
     one row of 8 band bytes per media item."""
-    from overturelink_data_pipeline_spark.operators.dedup import _with_planted_copies
+    from overturelink_data_pipeline_spark.operators.dedup import with_planted_copies
 
     media = media_fixture(spark, sf_dir).select("media_id", "payload")
     reenc = F.concat(F.col("payload"), F.encode(F.lit(MM_REENC_MARKER), "UTF-8"))
-    corpus = _with_planted_copies(
+    corpus = with_planted_copies(
         media, MM_DUP_MODULUS, mangle={"payload": reenc}, id_col="media_id"
     )
 

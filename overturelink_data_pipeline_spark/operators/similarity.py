@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from overturelink_data_pipeline_spark.operators.dedup import (
-    _with_planted_copies,
+    with_planted_copies,
     cosine,
 )
 from overturelink_data_pipeline_spark.registry import spark_query
@@ -35,6 +35,20 @@ from overturelink_data_pipeline_spark.session import (
 
 TOP_K = 20
 QUERY_VEC_ID = 0  # fixed, deterministic query point
+
+
+
+def _round_half_away(x: float, n: int) -> float:
+    """DuckDB-ROUND-compatible rounding (half away from zero) for
+    DRIVER-side floats: Python's round() is half-to-even and would
+    disagree with the oracle exactly on a .5 boundary — the same
+    cross-engine hazard the registry conventions pin with F.round/
+    ROUND pairs on the executor side. Decimal(x) is the binary-exact
+    value, matching what DuckDB rounds."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-n)
+    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def _query_vec(df: DataFrame) -> DataFrame:
@@ -272,15 +286,20 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval-leak sweeps: "for every eval prompt, its nearest training
     docs").
 
-    Scale shape: the query side broadcasts (it is small by contract),
-    scoring is one embarrassingly parallel pass over the base set, and
-    top-k-per-query runs in TWO phases — a per-partition window (any
-    partitioning serves: the global top-k is a subset of every local
-    top-k union) cuts candidates to ≤ k·partitions BEFORE the only
-    data-dependent shuffle, so the per-qid exchange moves k·P rows,
-    never the scored corpus. A single window over qid alone would
-    funnel the whole base set through |queries| reducer partitions —
-    the classic top-k skew trap."""
+    Scale shape: the query side broadcasts (it is small by contract)
+    and scoring is one embarrassingly parallel pass over the base set.
+    Top-k-per-query then runs in TWO window phases. Phase 1 partitions
+    by (qid, spark_partition_id) — an exchange Spark still inserts,
+    but what crosses it is the NARROW score triple (qid, vec_id,
+    cos_sim), never the embedding vectors, and its key space has
+    |queries|·P partitions so no reducer is hot; it cuts candidates to
+    ≤ k·P per query. Phase 2's per-qid exchange then moves only those
+    k·P survivors. The single-phase alternative (one window over qid)
+    would funnel ALL n·|queries| triples through |queries| reducer
+    partitions — the classic top-k skew trap this shape exists to
+    avoid. (A truly exchange-free local prune is not expressible in
+    DataFrame ops without an imperative mapPartitions, which would
+    leave codegen for marginal gain at this row width.)"""
     from pyspark.sql.window import Window
 
     emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
@@ -427,7 +446,8 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cls = sorted(cents)
     l2 = {
-        c: round(math.sqrt(sum(x * x for x in cents[c])), 4) for c in cls
+        c: _round_half_away(math.sqrt(sum(x * x for x in cents[c])), 4)
+        for c in cls
     }
     l2_lookup = F.map_from_arrays(
         F.array(*[F.lit(c).cast("bigint") for c in cls]),
@@ -602,7 +622,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qs = q[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
         partial.append(
             {
-                cl: round(sum((a - b) * (a - b) for a, b in zip(qs, c)), 6)
+                cl: _round_half_away(sum((a - b) * (a - b) for a, b in zip(qs, c)), 6)
                 for cl, c in cents[s].items()
             }
         )
@@ -704,7 +724,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.element_at("v", 1) + 0.05),
         F.slice("v", 2, F.size("v") - 1),
     )
-    corpus = _with_planted_copies(
+    corpus = with_planted_copies(
         emb, SEMDEDUP_MODULUS, mangle={"v": perturbed}, id_col="vec_id"
     )
     assigned = _lloyd_assign(corpus, _lloyd_fit(corpus))

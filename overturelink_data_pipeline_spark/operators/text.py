@@ -578,9 +578,13 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("w").alias("v")
     ).collect()[0]["v"]
     nll = -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(int(vocab))))
+    # no broadcast HINT: the count tables are vocabulary-bounded, not
+    # constant-bounded — AQE broadcasts them while they fit and falls
+    # back to a shuffled join on an open vocabulary (a forced hint
+    # would override the size check and OOM the driver instead)
     agg = (
-        pairs.join(F.broadcast(c2), ["w1", "w2"])
-        .join(F.broadcast(c1), ["w1"])
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
         .select("doc_id", nll.alias("nll"))
         .groupBy("doc_id")
         .agg(

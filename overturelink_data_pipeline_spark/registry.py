@@ -136,7 +136,11 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "join_range_price_band",
     "events_hourly_rollup",
     "union_layer_tag",
-    # ---- slot 51+ below: twice-driver-proven (r1+r2) simple queries ----
+    # Twice-driver-proven (r1+r2) simple queries. NOTE: the 50-query
+    # window boundary FLOATS as entries are added above — names below
+    # any fixed comment position may still be inside or outside the
+    # window; tests/test_registry_order.py pins the set that must be
+    # inside, which is the contract that matters.
     "geo_clip_bbox",
     "geo_centroid_utm",
     "geo_grid_partition_stats",

@@ -85,6 +85,10 @@ def s3a_conf(base_url: str = DEFAULT_OVERTURE_BASE_URL) -> dict[str, str]:
     }
 
 
+_OPEN_COST_DEFAULT = 4 * 1024 * 1024
+_OPEN_COST_SMALL = 128 * 1024
+
+
 def get_spark(
     app_name: str = "overturelink-spark",
     cpus: int | str | None = None,
@@ -108,6 +112,13 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # low file-open cost floor from session start: the
+        # ensure_parallelism rescue would otherwise lower it lazily on
+        # the first starved scan, making later scans' split planning
+        # depend on which query ran first (order-dependent plans);
+        # setting it here makes engine sessions deterministic — the
+        # lazy rescue remains only for FOREIGN sessions (the driver's)
+        .config("spark.sql.files.openCostInBytes", str(_OPEN_COST_SMALL))
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as epoch-nanos long and convert explicitly
         # (tz-free) in the plan — see functions/timeparts.py.
@@ -198,8 +209,6 @@ def read_events(spark: SparkSession, sf_dir: str):
 #: and without one, Catalyst pushing an expression-heavy filter below
 #: the rescue ``repartition()`` silently re-serializes the CPU work
 #: onto the starved scan stage (observed on the JSON-parse query).
-_OPEN_COST_DEFAULT = 4 * 1024 * 1024
-_OPEN_COST_SMALL = 128 * 1024
 
 #: Above this many leaf files the layout is a real lake — splits are
 #: plentiful, AQE owns sizing, and footer-stat'ing every file from the
@@ -315,6 +324,11 @@ def ensure_parallelism(df, min_fraction: float = 0.5):
         # enough row groups, but would Spark's byte-range carve reach
         # them? maxSplitBytes floors at openCostInBytes — lower it so
         # bytesPerCore (the scale-correct term) owns the split size.
+        # NOTE this mutates the SESSION conf once (guarded, monotone:
+        # default -> _OPEN_COST_SMALL, never back) — under a foreign
+        # session, scans before the first starved one keep the default
+        # floor; engine sessions set the low floor at startup
+        # (get_spark) so their plans are order-independent.
         bytes_per_core = (total_bytes + n_files * open_cost) / max(1, target)
         if max(open_cost, bytes_per_core) == open_cost:
             spark.conf.set(

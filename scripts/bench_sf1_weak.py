@@ -10,7 +10,6 @@ Usage: python scripts/bench_sf1_weak.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import json
-import statistics
 import subprocess
 import sys
 import time
@@ -81,7 +80,6 @@ def duck_time(name: str) -> float | None:
 
 def main() -> None:
     sys.path.insert(0, "/root/repo")
-    rows = []
     for name in QUERIES:
         out = subprocess.run(
             [sys.executable, "-c", _CHILD, name, SF],
@@ -99,7 +97,6 @@ def main() -> None:
         td = duck_time(name)
         ratio = f"{spark_s / td:5.2f}x" if td else "  n/a"
         td_s = f"{td:6.2f}" if td is not None else "   n/a"
-        rows.append((name, spark_s, td, ratio))
         print(f"{name:28s} spark {spark_s:6.2f}s  duckdb {td_s}s  {ratio}", flush=True)
 
 
