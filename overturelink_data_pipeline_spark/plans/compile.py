@@ -43,6 +43,23 @@ def read_theme(
     return spark.read.parquet(theme_path(base_dir, theme, type_))
 
 
+#: (iso2, base_dir) → country polygon WKB. The polygon is immutable
+#: per (country, source snapshot) and collecting it runs a Spark job
+#: over division_area — without the memo a multilayer query re-ran
+#: that identical job per layer, and every retry attempt repeated it.
+_POLYGON_MEMO: dict[tuple[str, str], bytes] = {}
+
+
+def _country_polygon_cached(
+    spark: SparkSession, base_dir: str, iso2: str
+) -> bytes:
+    key = (iso2, base_dir)
+    if key not in _POLYGON_MEMO:
+        divisions = read_theme(spark, base_dir, "divisions", "division_area")
+        _POLYGON_MEMO[key] = country_polygon(divisions, iso2)
+    return _POLYGON_MEMO[key]
+
+
 def _clip(
     df: DataFrame,
     spark: SparkSession,
@@ -53,8 +70,7 @@ def _clip(
     if strategy == ClipStrategy.BBOX:
         xmin, ymin, xmax, ymax = country.bbox
         return clip_bbox(df, xmin, ymin, xmax, ymax)
-    divisions = read_theme(spark, base_dir, "divisions", "division_area")
-    wkb = country_polygon(divisions, country.iso2)
+    wkb = _country_polygon_cached(spark, base_dir, country.iso2)
     return clip_divisions(df, wkb, country.bbox)
 
 

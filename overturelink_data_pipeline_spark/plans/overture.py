@@ -38,9 +38,21 @@ PROJECTIONS: dict[str, list[str]] = {
     "place": [
         "id",
         "names.primary as name",
+        # full names struct too: normalize_places' X1 common-name
+        # flatten reads names.common — projecting only the alias would
+        # silently kill name_common in every compiled pipeline
+        "names",
         "categories",
         "categories.primary as category",
         "confidence",
+        # X3/X4 roots — without these the address/contact flatteners
+        # are dead code on every compiled pipeline (they only fired on
+        # raw un-projected frames) and address_full/locality/country,
+        # website, email, phone silently vanish from place exports
+        "addresses",
+        "websites",
+        "emails",
+        "phones",
         "version",
         "geometry",
     ],

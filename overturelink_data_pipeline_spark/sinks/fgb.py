@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from overturelink_data_pipeline_spark.geo import wkb as W
+from overturelink_data_pipeline_spark.sinks.shapefile import _is_empty
 
 _GEOM_COL = "geometry"
 
@@ -345,6 +346,14 @@ def write_fgb(
         geom = None
         if wkb_bytes is not None:
             geom = W.loads(bytes(wkb_bytes))
+            if _is_empty(geom):
+                # EMPTY geometries (POINT EMPTY → ('Point', None), empty
+                # coordinate lists) carry no coordinates to flatten or
+                # bound — write them as geometry-less features, the same
+                # treatment as SQL NULL (the coordinate flattener and
+                # bbox fold would crash on the empty bodies)
+                geom = None
+        if geom is not None:
             geom_types.add(_GEOM_TYPES[geom[0]])
             gx0, gy0, gx1, gy1 = _geom_bbox(geom)
             box[0] = gx0 if box[0] is None else min(box[0], gx0)

@@ -133,13 +133,42 @@ def write_geojson(
                 first = False
                 n += 1
         f.write("]}")
-    validate_geojson(path, n)
+    validate_geojson(path, n, stream=stream)
     return n
 
 
-def validate_geojson(path: str, expected_features: int) -> None:
+def validate_geojson(
+    path: str, expected_features: int, stream: bool = False
+) -> None:
     """Post-write check (reference export.py:439-465): parseable and
-    feature count matches."""
+    feature count matches. ``stream=True`` validates with a chunked
+    scan instead of ``json.load`` — materializing the whole document
+    as Python objects would OOM the driver on exactly the inputs
+    ``write_geojson(stream=True)`` exists for."""
+    if stream:
+        # chunked structural check: header token + feature count by
+        # counting top-level '{"type":"Feature"' openings (every
+        # feature_line starts with this exact prefix; chunk overlap
+        # keeps boundary-straddling matches)
+        needle = '{"type":"Feature"'
+        got = 0
+        tail = ""
+        with open(path) as f:
+            head = f.read(64)
+            if not head.startswith('{"type":"FeatureCollection"'):
+                raise ValueError(f"{path}: not a FeatureCollection")
+            buf = head
+            while buf:
+                got += buf.count(needle)
+                tail = buf[-(len(needle) - 1):]
+                buf = tail + f.read(1 << 20)
+                if buf == tail:
+                    break
+        if got != expected_features:
+            raise ValueError(
+                f"{path}: wrote {expected_features} features, file has {got}"
+            )
+        return
     with open(path) as f:
         doc = json.load(f)
     if doc.get("type") != "FeatureCollection":

@@ -51,9 +51,12 @@ def write_geoparquet(
             F.count(F.lit(1)).alias("n"),
         )
         row = b.collect()[0]
+        # rows may exist with every geometry NULL — the min/max then
+        # aggregate to None and a [null]*4 bbox is invalid sidecar
+        # metadata (same guard as sources/cache.py)
         bbox = (
             [row["xmin"], row["ymin"], row["xmax"], row["ymax"]]
-            if row["n"]
+            if row["n"] and row["xmin"] is not None
             else None
         )
         count = int(row["n"])

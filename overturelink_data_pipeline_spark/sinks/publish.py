@@ -108,11 +108,17 @@ def _stream_batches(df: DataFrame, batch_size: int, stream: bool = False):
 
 
 def _append_adaptive(
-    service: FeatureService, batch: list[dict], floor: int
+    service: FeatureService,
+    batch: list[dict],
+    floor: int,
+    start_size: int | None = None,
 ) -> int:
     """Append with halving-on-413 (reference publish.py:603-641).
-    Returns the batch size that finally succeeded."""
-    size = len(batch)
+    Returns the chunk size that finally succeeded; pass it back in as
+    ``start_size`` for the next batch so the halving is learned once
+    per publish, not re-probed per batch."""
+    size = len(batch) if start_size is None else min(len(batch), start_size)
+    size = max(size, 1)
     start = 0
     while start < len(batch):
         chunk = batch[start : start + size]
@@ -186,8 +192,14 @@ def publish(
     elif mode != "append":
         raise ValueError(f"unknown publish mode {mode!r}")
 
+    # carry the learned upload size FORWARD: _append_adaptive returns
+    # the chunk size that finally fit, and restarting every streamed
+    # batch at the configured maximum would replay the same failed
+    # oversized uploads (~log2(max/working) rejected round-trips per
+    # batch) against the live endpoint
+    learned: int | None = None
     for batch in _stream_batches(df, batch_size, stream):
-        _append_adaptive(service, batch, batch_floor)
+        learned = _append_adaptive(service, batch, batch_floor, start_size=learned)
         total += len(batch)
     return total
 

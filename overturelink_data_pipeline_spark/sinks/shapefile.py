@@ -28,11 +28,13 @@ from __future__ import annotations
 
 import os
 import struct
+from datetime import date
 from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from overturelink_data_pipeline_spark.geo import geom as G
 from overturelink_data_pipeline_spark.geo import wkb as W
 
 _GEOM_COL = "geometry"
@@ -108,6 +110,20 @@ def _fmt_cell(v: Any, spec: tuple[str, int, int]) -> bytes:
     # C: text, UTF-8, space-padded / truncated at byte boundary
     s = b"" if v is None else str(v).encode("utf-8")[:w]
     return s.ljust(w)
+
+
+def _is_empty(geom: W.Geom) -> bool:
+    """EMPTY geometries (POINT EMPTY parses to ('Point', None); empty
+    coordinate lists for the others) — representable only as Null
+    Shape records; the coordinate encoders would crash on them."""
+    kind, data = geom
+    if kind == "Point":
+        return data is None
+    if not data:
+        return True
+    if kind in ("LineString", "Polygon"):
+        return all(not part for part in data) if kind == "Polygon" else False
+    return all(_is_empty(child) for child in data)
 
 
 # -- geometry encoders (all little-endian after the int32 type code) ----
@@ -240,10 +256,12 @@ def write_shapefile(
     rows = df.toLocalIterator() if stream else df.collect()
     for row in rows:
         wkb_bytes = row[_GEOM_COL]
-        if wkb_bytes is None:
-            shp_records.append(struct.pack("<i", 0))  # Null Shape
+        geom = None if wkb_bytes is None else W.loads(bytes(wkb_bytes))
+        if geom is None or _is_empty(geom):
+            # SQL NULL and EMPTY geometries both write as Null Shape
+            # (the coordinate encoders would crash on empty bodies)
+            shp_records.append(struct.pack("<i", 0))
         else:
-            geom = W.loads(bytes(wkb_bytes))
             st = _SHAPE_TYPES.get(geom[0])
             if st is None:
                 raise ValueError(
@@ -258,8 +276,6 @@ def write_shapefile(
                     "reference's geometry_split flow)"
                 )
             shp_records.append(_encode_shape(geom, st))
-            from overturelink_data_pipeline_spark.geo import geom as G
-
             xmin, xmax, ymin, ymax = G.bbox(geom)
             ext_box[0] = xmin if ext_box[0] is None else min(ext_box[0], xmin)
             ext_box[1] = ymin if ext_box[1] is None else min(ext_box[1], ymin)
@@ -294,11 +310,21 @@ def write_shapefile(
         f.write(shx_body)
 
     # .dbf (dBASE III)
+    _today = date.today()
     rec_size = 1 + sum(specs[f.name][1] for f in fields)
     hdr_size = 32 + 32 * len(fields) + 1
     dbf = bytearray()
     dbf += struct.pack(
-        "<4B i 2H 20x", 3, 26, 8, 13, n, hdr_size, rec_size
+        "<4B i 2H 20x",
+        3,
+        # dBASE last-update stamp: YY is years since 1900 (so 2026 →
+        # 126); a fixed (26, 8, 13) would decode as 1926-08-13
+        max(0, min(255, _today.year - 1900)),
+        _today.month,
+        _today.day,
+        n,
+        hdr_size,
+        rec_size
     )
     for f in fields:
         t, w, d = specs[f.name]

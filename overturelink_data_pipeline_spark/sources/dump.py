@@ -76,6 +76,13 @@ def ensure_dump(
         if "geometry" not in df.columns:
             raise ValueError(f"{theme}/{type_}: missing geometry column")
         frames[type_] = df
+    # Invalidate the OLD sidecar before the first overwrite: a hard
+    # kill (SIGKILL/OOM) mid-rewrite skips the except-cleanup below,
+    # and a surviving stale sidecar would claim the prior release is
+    # complete over mixed/partial data. With the sidecar gone first,
+    # a torn rewrite is correctly seen as an invalid dump.
+    if os.path.exists(side):
+        os.remove(side)
     try:
         rows_per_type: dict[str, int] = {}
         for type_ in types:

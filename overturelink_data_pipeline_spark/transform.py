@@ -221,11 +221,20 @@ def normalize_roads(df: DataFrame) -> DataFrame:
         name_col = F.lit(None).cast("string").alias("name")
     from overturelink_data_pipeline_spark.geo.functions import st_clean_geometry
 
+    # class/subtype guarded like name: plans/overture.project()
+    # deliberately SKIPS specs whose source root is missing (schema
+    # drift tolerance) — an unguarded F.col would turn that tolerated
+    # drift into an AnalysisException one stage later
+    def _opt(col: str, alias: str):
+        if col in df.columns:
+            return clip_str(F.col(col)).alias(alias)
+        return F.lit(None).cast("string").alias(alias)
+
     out = df.select(
         F.col("id"),
         name_col,
-        clip_str(F.col("class")).alias("road_class"),
-        clip_str(F.col("subtype")).alias("road_type"),
+        _opt("class", "road_class"),
+        _opt("subtype", "road_type"),
         F.col("geometry"),
     )
     # fused F9-F11 hygiene: one WKB decode instead of three UDF passes
@@ -258,11 +267,18 @@ def normalize_buildings(df: DataFrame) -> DataFrame:
         if floors_src in df.columns
         else F.lit(None).cast("int")
     )
+    # class/subtype guarded for the same drift-tolerance reason as
+    # normalize_roads (projection skips missing source roots)
+    def _opt(col: str, alias: str):
+        if col in df.columns:
+            return clip_str(F.col(col)).alias(alias)
+        return F.lit(None).cast("string").alias(alias)
+
     out = df.select(
         F.col("id"),
         name_col,
-        clip_str(F.col("class")).alias("building_class"),
-        clip_str(F.col("subtype")).alias("building_type"),
+        _opt("class", "building_class"),
+        _opt("subtype", "building_type"),
         height.alias("height_m"),
         floors.alias("floors"),
         F.col("geometry"),

@@ -89,9 +89,13 @@ def test_cache_filter_root_miss_falls_through(spark, tmp_path):
     base_q = builtin_queries()["places"]
     reader.cache_country(base_q, country)
     # filter on a RAW-schema root the projected cache does not carry
+    # (bbox is scan metadata the place projection deliberately drops;
+    # names/addresses/contacts ARE projected since the round-3 fix).
+    # Dialect-shaped (=) so filter_roots covers it — generic
+    # expressions are documented as outside the guard's contract.
     raw_q = Query(
         name=base_q.name, theme=base_q.theme, type=base_q.type,
-        filter="names.primary = 'nope'",
+        filter="bbox.xmin = 'nope'",
     )
     from overturelink_data_pipeline_spark.plans.models import RunOptions
 
@@ -224,3 +228,69 @@ def test_drop_bad_geometry_agrees_with_fused_path(spark):
     ).filter(F.col("geometry").isNotNull())
     kept_fused = {r.id for r in fused.select("id").collect()}
     assert kept_multi == kept_fused and kept_multi
+
+
+def test_empty_geometry_writes_as_null_shape(spark, tmp_path):
+    """Round-3 review: POINT EMPTY / empty parts crashed the shapefile
+    and FGB coordinate encoders; both now treat them as null/absent
+    geometry (the SQL-NULL path)."""
+    from overturelink_data_pipeline_spark.sinks.fgb import read_fgb, write_fgb
+    from overturelink_data_pipeline_spark.sinks.shapefile import write_shapefile
+
+    empty_pt = W.dumps(("Point", None))
+    pt = W.dumps(("Point", (1.0, 2.0)))
+    df = spark.createDataFrame(
+        [Row(id="a", geometry=bytearray(pt)),
+         Row(id="b", geometry=bytearray(empty_pt)),
+         Row(id="c", geometry=None)],
+        "id string, geometry binary",
+    )
+    n = write_shapefile(df, str(tmp_path / "t.shp"))
+    assert n == 3
+    n2 = write_fgb(df, str(tmp_path / "t.fgb"))
+    assert n2 == 3
+    doc = read_fgb(str(tmp_path / "t.fgb"))
+    assert doc["features_count"] == 3 and len(doc["features"]) == 3
+
+
+def test_place_projection_keeps_flatten_roots(spark):
+    """Round-3 review: the place projection dropped addresses/contact/
+    names roots, silently killing X1/X3/X4 flattening in every
+    compiled pipeline."""
+    from overturelink_data_pipeline_spark.plans.overture import PROJECTIONS, project
+    from overturelink_data_pipeline_spark.transform import normalize_places
+
+    for root in ("names", "addresses", "websites", "emails", "phones"):
+        assert any(spec.split(" ")[0] == root for spec in PROJECTIONS["place"]), root
+    raw = spark.read.parquet("/root/repo/fixtures/places_place")
+    flat = normalize_places(project(raw, "place"))
+    for col in ("address_full", "website", "email", "phone", "name_common"):
+        assert col in flat.columns, col
+
+
+def test_streaming_geojson_validation_counts_without_full_parse(spark, tmp_path):
+    from overturelink_data_pipeline_spark.sinks.geojson import write_geojson
+
+    pt = W.dumps(("Point", (1.0, 2.0)))
+    df = spark.createDataFrame(
+        [Row(id=str(i), geometry=bytearray(pt)) for i in range(7)],
+        "id string, geometry binary",
+    )
+    out = str(tmp_path / "s.geojson")
+    n = write_geojson(df, out, stream=True)  # validates via chunked scan
+    assert n == 7
+
+
+def test_roads_normalizer_tolerates_projected_drift(spark):
+    """Schema drift the projection tolerates (missing class/subtype)
+    must not crash the normalizer one stage later."""
+    from overturelink_data_pipeline_spark.transform import normalize_roads
+
+    pt = W.dumps(("LineString", [(0.0, 0.0), (1.0, 1.0)]))
+    df = spark.createDataFrame(
+        [Row(id="x", name="r", geometry=bytearray(pt))],
+        "id string, name string, geometry binary",
+    )
+    out = normalize_roads(df)
+    rows = out.collect()
+    assert rows and rows[0]["road_class"] is None and rows[0]["road_type"] is None
