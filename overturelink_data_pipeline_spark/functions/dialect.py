@@ -76,10 +76,13 @@ def apply_sql_filter(df: DataFrame, filter_str: str | None) -> DataFrame:
     parsed = parse_filter(filter_str)
     if parsed is not None:
         root = parsed[0].split(".")[0]
-        if root not in df.columns:
+        # case-INsensitive, matching how F.expr/F.col resolve under the
+        # default spark.sql.caseSensitive=false — a case-sensitive check
+        # here would empty a filter the generic-expression path accepts
+        if root.lower() not in {c.lower() for c in df.columns}:
             log.warning("filter references unknown column %r → empty result", root)
             return df.limit(0)
-    from pyspark.errors import ParseException
+    from pyspark.errors import AnalysisException, ParseException
 
     try:
         cond = F.expr(filter_str)
@@ -87,13 +90,15 @@ def apply_sql_filter(df: DataFrame, filter_str: str | None) -> DataFrame:
         # force analysis NOW: Spark parses F.expr lazily, so both error
         # classes surface here — ParseException must be caught before
         # AnalysisException (its superclass) to keep the two contracts
-        # distinct
+        # distinct. Only ANALYSIS failures map to the empty contract; a
+        # transient infrastructure error (Py4J drop, OOM) must
+        # propagate, not masquerade as a filtered-to-zero result.
         out.schema
         return out
     except ParseException:
         log.warning("unparseable filter %r → passthrough", filter_str)
         return df
-    except Exception:
+    except AnalysisException:
         log.warning("filter %r does not resolve on this frame → empty", filter_str)
         return df.limit(0)
 
@@ -105,10 +110,22 @@ def apply_dict_filter(df: DataFrame, filters: dict | None) -> DataFrame:
     F5's empty-frame contract. Dotted keys reach struct fields."""
     if not filters:
         return df
+    from pyspark.errors import AnalysisException
+
+    cols_lower = {c.lower() for c in df.columns}
     for key, value in filters.items():
         root = key.split(".")[0]
-        if root not in df.columns:
+        if root.lower() not in cols_lower:
             log.warning("dict filter references unknown column %r → empty", key)
             return df.limit(0)
-        df = df.filter(F.col(key) == F.lit(value))
+        try:
+            out = df.filter(F.col(key) == F.lit(value))
+            # force analysis so a missing NESTED struct field lands in
+            # the empty contract here, exactly like apply_sql_filter —
+            # the two filter surfaces must agree on the same input
+            out.schema
+            df = out
+        except AnalysisException:
+            log.warning("dict filter field %r does not resolve → empty", key)
+            return df.limit(0)
     return df

@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from overturelink_data_pipeline_spark.functions.timeparts import epoch_seconds
+from overturelink_data_pipeline_spark.functions.timeparts import (
+    _idiv,
+    epoch_seconds,
+)
 from overturelink_data_pipeline_spark.registry import spark_query
 from overturelink_data_pipeline_spark.session import read_table
 
@@ -509,7 +512,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from overturelink_data_pipeline_spark.session import read_events
 
     ev = read_events(spark, sf_dir).select(
-        "user_id", "event_type", F.expr("ts div 1000000000").alias("sec")
+        "user_id", "event_type", epoch_seconds(F.col("ts")).alias("sec")
     )
     arr = F.array_sort(
         F.collect_list(F.struct(F.col("sec"), F.col("event_type").alias("t")))
@@ -595,7 +598,7 @@ def retention_week_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from overturelink_data_pipeline_spark.session import read_events
 
     ev = read_events(spark, sf_dir).select(
-        "user_id", F.expr("ts div 1000000000 div 604800").alias("week")
+        "user_id", _idiv(epoch_seconds(F.col("ts")), 604_800).alias("week")
     )
     per_user = ev.groupBy("user_id").agg(
         F.min("week").alias("cohort"),

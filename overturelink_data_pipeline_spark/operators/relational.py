@@ -553,7 +553,7 @@ def semi_join_customers_with_urgent_orders(
     WITH parts AS (
       SELECT p_partkey, p_name FROM part
       UNION ALL
-      SELECT p_partkey + 10000000, 'planted_' || p_name
+      SELECT -(p_partkey + 1), 'planted_' || p_name
       FROM part WHERE p_partkey % 97 = 0
     )
     SELECT p_partkey, p_name
@@ -568,14 +568,18 @@ def anti_join_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame
     """Anti join with PLANTED never-ordered parts: at small SFs every
     real part appears in lineitem, which made the original oracle pass
     vacuously with 0 rows on both sides. An id-shifted slice of `part`
-    (keys offset past the key space, so they cannot match lineitem) is
-    unioned in on BOTH sides, the same way the dedup queries plant
-    duplicates — the anti join now provably returns those rows."""
+    is unioned in on BOTH sides, the same way the dedup queries plant
+    duplicates — the anti join now provably returns those rows. The
+    planted keys are NEGATIVE (-(key+1)): a fixed positive offset
+    (+1e7) collides with real part keys once |part| > 1e7 (~SF 50)
+    and would silently void the cannot-match guarantee at exactly the
+    scales this module designs for; TPC-H keys are non-negative at
+    every SF, so the negative range can never match lineitem."""
     part = read_table(spark, sf_dir, "part")
     planted = (
         part.filter(F.col("p_partkey") % 97 == 0)
         .select(
-            (F.col("p_partkey") + 10_000_000).alias("p_partkey"),
+            (-(F.col("p_partkey") + 1)).alias("p_partkey"),
             F.concat(F.lit("planted_"), F.col("p_name")).alias("p_name"),
         )
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from overturelink_data_pipeline_spark.functions.timeparts import epoch_seconds
 from overturelink_data_pipeline_spark.registry import spark_query
 from overturelink_data_pipeline_spark.session import read_table
 from overturelink_data_pipeline_spark.streaming.events import (
@@ -246,7 +247,7 @@ def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by(struct) on the Spark side and a two-pass oracle instead."""
     read_table(spark, sf_dir, "events")  # sets nanosAsLong defensively
     stream = read_event_stream(spark, sf_dir)
-    sec = F.expr("ts div 1000000000")
+    sec = epoch_seconds(F.col("ts"))
     # composite tie-break key as ONE integer — DuckDB's arg_max takes
     # no struct key; the 2^32 shift keeps (sec, event_id) ordering
     # exact for the documented id bound (a 1e8 multiplier would

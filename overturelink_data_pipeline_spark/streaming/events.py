@@ -97,25 +97,10 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def windowed_event_counts(stream: DataFrame, minutes: int = 60) -> DataFrame:
     """Watermarked tumbling-window rollup: count + value sum per
-    (window, event_type). Late data beyond 2 windows is dropped."""
-    return (
-        stream.withWatermark("event_time", f"{2 * minutes} minutes")
-        .groupBy(
-            F.window("event_time", f"{minutes} minutes").alias("w"),
-            F.col("event_type"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            # tz-free label: window start as epoch seconds
-            (F.unix_timestamp("w.start")).cast("bigint").alias("bucket_start_s"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
+    (window, event_type). Late data beyond 2 windows is dropped.
+    A tumbling window IS the slide == length special case, so this
+    delegates — the two paths can no longer drift."""
+    return sliding_event_counts(stream, minutes=minutes, slide_minutes=minutes)
 
 
 def sliding_event_counts(
@@ -277,27 +262,41 @@ def sessionize_stream(stream: DataFrame) -> DataFrame:
                 closed.append((user_id, start_s, end_s, n, total))
                 state.remove()
         else:
-            if state.exists:
-                start_s, end_s, n, total = state.get
-            else:
-                start_s = end_s = n = 0
-                total = 0.0
             secs: list[int] = []
             vals: list[float] = []
             for pdf in pdfs:
                 secs.extend((pdf["ts"] // NS_PER_SEC).astype("int64").tolist())
                 vals.extend(pdf["value"].tolist())
-            order = sorted(range(len(secs)), key=secs.__getitem__)
-            for i in order:
+            # sessionize the BATCH first, then coalesce the open-state
+            # interval into the sequence: a watermark-accepted late
+            # event can precede the open session's start (or bridge
+            # it to an earlier run), and the old fold — which only
+            # ever extended end_s forward — reported a too-late
+            # start_s for exactly those merges
+            ivs: list[list] = []  # [start, end, n, total] ascending
+            for i in sorted(range(len(secs)), key=secs.__getitem__):
                 s, v = secs[i], vals[i]
-                if n == 0:
-                    start_s, end_s, n, total = s, s, 1, v
-                elif s - end_s > gap_s:
-                    closed.append((user_id, start_s, end_s, n, total))
-                    start_s, end_s, n, total = s, s, 1, v
+                if ivs and s - ivs[-1][1] <= gap_s:
+                    ivs[-1][1] = max(ivs[-1][1], s)
+                    ivs[-1][2] += 1
+                    ivs[-1][3] += v
                 else:
-                    end_s, n, total = max(end_s, s), n + 1, total + v
-            if n:
+                    ivs.append([s, s, 1, v])
+            if state.exists:
+                st = list(state.get)
+                merged: list[list] = []
+                for iv in sorted(ivs + [st], key=lambda x: x[0]):
+                    if merged and iv[0] - merged[-1][1] <= gap_s:
+                        merged[-1][1] = max(merged[-1][1], iv[1])
+                        merged[-1][2] += iv[2]
+                        merged[-1][3] += iv[3]
+                    else:
+                        merged.append(iv)
+                ivs = merged
+            if ivs:
+                for st_, en_, n_, tot_ in ivs[:-1]:
+                    closed.append((user_id, st_, en_, n_, tot_))
+                start_s, end_s, n, total = ivs[-1]
                 state.update((start_s, end_s, n, total))
                 state.setTimeoutTimestamp((end_s + gap_s) * 1000)
         if closed:
