@@ -135,3 +135,70 @@ def test_timeparts_boundary_exactness(spark):
     for (ns, want_s, want_b), row in zip(cases, got):
         assert row.s == ns // TP.NS_PER_SEC == want_s, (ns, row.s)
         assert row.b == (ns // HOUR_NS) * HOUR_NS, (ns, row.b)
+
+
+def test_late_event_extends_session_backward(spark, tmp_path):
+    """Round-3 review: a watermark-accepted late event OLDER than the
+    open session's start must extend session_start_s backward (the old
+    fold only moved end_s forward). Two real micro-batches via
+    maxFilesPerTrigger=1: file 1 opens user 1's session at 10000-10600;
+    file 2 delivers a late in-gap event at 9500 plus user-2 traffic
+    that advances the watermark until the session times out."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from overturelink_data_pipeline_spark.session import _normalize_ts
+    from overturelink_data_pipeline_spark.streaming.events import sessionize_stream
+
+    ns = 1_000_000_000
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] * ns for r in rows], pa.int64()),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array(["click"] * len(rows)),
+                    "value": pa.array([1.0] * len(rows)),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            path,
+        )
+
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    write(os.path.join(d, "a_first.parquet"), [(1, 10000, 1), (2, 10600, 1)])
+    write(
+        os.path.join(d, "b_second.parquet"),
+        [(3, 9500, 1), (4, 20000, 2), (5, 30000, 2), (6, 40000, 2)],
+    )
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    stream = _normalize_ts(stream).withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    name = "tb" + uuid.uuid4().hex[:8]
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    u1 = [
+        (r["session_start_s"], r["session_end_s"], r["n_events"])
+        for r in spark.table(name).collect()
+        if r["user_id"] == 1
+    ]
+    assert u1 == [(9500, 10600, 3)]
