@@ -108,24 +108,47 @@ def main() -> None:
         spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+        "notes": {
+            "agg_percentiles_exact": (
+                "oracle-checkable exact variant; the 100TB path is "
+                "agg_approx_sketches (approx_percentile/HLL)"
+            ),
+            "stream_*": (
+                "each timing includes a full micro-batch lifecycle "
+                "(checkpoint + state store) by design — it IS the operator"
+            ),
+        },
+    }
+    # Full per-query timings go to a file: the 90-query JSON line
+    # exceeded the driver's stdout capture in rounds 1-3 (BENCH_rN.json
+    # recorded "parsed": null with a truncated tail). Stdout carries a
+    # compact (<2 KB) line — same schema, `queries` limited to the
+    # slowest 10 — that the driver can parse whole.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    with open(local_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
                 "sf": sf_num,
-                "notes": {
-                    "agg_percentiles_exact": (
-                        "oracle-checkable exact variant; the 100TB path is "
-                        "agg_approx_sketches (approx_percentile/HLL)"
-                    ),
-                    "stream_*": (
-                        "each timing includes a full micro-batch lifecycle "
-                        "(checkpoint + state store) by design — it IS the operator"
-                    ),
-                },
+                "n_queries": len(timings),
+                "full_timings": "BENCH_LOCAL.json",
             }
         )
     )

@@ -57,8 +57,13 @@ def is_empty(geom: Geom) -> bool:
         return True
     if name in ("Point",):
         return False
-    if name in ("LineString", "Polygon"):
+    if name == "LineString":
         return len(body) == 0
+    if name == "Polygon":
+        # a Polygon whose rings are ALL empty has no coordinates — it is
+        # EMPTY (OGC); sinks rely on this to emit Null Shape records
+        # instead of zero-point rings
+        return len(body) == 0 or all(len(r) == 0 for r in body)
     return len(body) == 0 or all(is_empty(c) for c in body)
 
 

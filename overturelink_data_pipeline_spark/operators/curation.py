@@ -796,6 +796,13 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: at the test SFs; a real run sizes this to ~a few hundred MB).
 SHARD_MAX_ROWS = 16
 
+#: Rows per salt bucket — the unit of writer parallelism. Each
+#: (source, doc_id div SHARD_SALT_ROWS) group is one write task, so a
+#: dominant source gets rows/SHARD_SALT_ROWS writers instead of ONE;
+#: small at test scale so several salt buckets exist per source, sized
+#: to a few file-multiples in production.
+SHARD_SALT_ROWS = 64
+
 #: Fixed per-process output dataset. A mkdtemp per invocation would
 #: LEAK a full corpus copy every run (bench = warm-up + 3 timed runs);
 #: a fixed path + mode("overwrite") reuses the same disk footprint,
@@ -809,45 +816,66 @@ SHARD_OUT_DIR = os.path.join(
 @spark_query(
     "sink_training_shards",
     oracle=f"""
+    WITH buckets AS (
+      SELECT source,
+             doc_id // {SHARD_SALT_ROWS} AS salt,
+             COUNT(*) AS cnt,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+             SUM(n_chars) AS chars
+      FROM documents GROUP BY source, salt
+    )
     SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(ceil(COUNT(*) * 1.0 / {SHARD_MAX_ROWS}) AS BIGINT) AS n_files,
-           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
-           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents GROUP BY source ORDER BY source
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(SUM(ceil(cnt * 1.0 / {SHARD_MAX_ROWS})) AS BIGINT) AS n_files,
+           CAST(MIN(min_doc) AS BIGINT) AS min_doc,
+           CAST(MAX(max_doc) AS BIGINT) AS max_doc,
+           CAST(SUM(chars) AS BIGINT) AS total_chars
+    FROM buckets GROUP BY source ORDER BY source
     """,
 )
 def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard writer + read-back audit: documents are written as a
-    hive-partitioned parquet dataset (partitionBy(source), rows sorted
-    by doc_id within partitions, ``maxRecordsPerFile`` bounding every
-    shard), then the DATASET — not the input — is read back and
+    hive-partitioned parquet dataset (partitionBy(source, salt), rows
+    sorted by doc_id within partitions, ``maxRecordsPerFile`` bounding
+    every shard), then the DATASET — not the input — is read back and
     audited per source: row/char totals prove write-read integrity,
-    and the on-disk file count must equal ceil(rows / max), which the
-    oracle predicts from the raw table alone.
+    and the on-disk file count must equal the per-salt-bucket
+    ceil(rows / max) sum, which the oracle predicts from the raw table
+    alone.
 
-    Scale shape: ``repartition(source)`` gives each source exactly one
-    writing task (collisions just mean a task writes several partition
-    dirs), so file splitting is deterministic; sortWithinPartitions
-    costs a per-task sort, no extra shuffle; the manifest listing is
-    driver-side but bounded by the FILE count, never rows. At 100 TB
-    the same plan writes bucketed/sorted shards a downstream tokenizer
-    can map one-task-per-file."""
+    Scale shape: the write is salted — ``salt = doc_id div
+    SHARD_SALT_ROWS`` joins ``source`` in both the repartition AND the
+    directory layout, so a dominant source (the common-crawl case that
+    made the unsalted r3 version a single-task straggler) fans out over
+    rows/SHARD_SALT_ROWS writers. Making salt a PARTITION COLUMN is
+    what keeps file counts deterministic: all rows of one (source,
+    salt) group hash to one task, and a task holding several groups
+    still writes each to its own directory, so every dir's file count
+    is exactly ceil(group_rows / max) regardless of task packing.
+    sortWithinPartitions costs a per-task sort, no extra shuffle; the
+    manifest listing is driver-side but bounded by the FILE count,
+    never rows. At 100 TB the same plan writes bucketed/sorted shards a
+    downstream tokenizer can map one-task-per-file."""
     import glob
 
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     out = SHARD_OUT_DIR
+    salted = docs.withColumn(
+        "salt", (F.col("doc_id") / SHARD_SALT_ROWS).cast("long")
+    )
     (
-        docs.repartition("source")
-        .sortWithinPartitions("source", "doc_id")
+        salted.repartition("source", "salt")
+        .sortWithinPartitions("source", "salt", "doc_id")
         .write.option("maxRecordsPerFile", SHARD_MAX_ROWS)
-        .partitionBy("source")
+        .partitionBy("source", "salt")
         .mode("overwrite")
         .parquet(out)
     )
     counts = [
-        (os.path.basename(d).split("=", 1)[1], len(glob.glob(os.path.join(d, "*.parquet"))))
+        (
+            os.path.basename(d).split("=", 1)[1],
+            len(glob.glob(os.path.join(d, "salt=*", "*.parquet"))),
+        )
         for d in glob.glob(os.path.join(out, "source=*"))
     ]
     manifest = spark.createDataFrame(counts, "source string, n_files long")

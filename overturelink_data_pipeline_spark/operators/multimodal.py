@@ -17,6 +17,7 @@ materializing the whole partition; feature vectors come back as
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -405,41 +406,89 @@ def _mm_phash_oracle() -> str:
     """
 
 
+#: Band-bucket cap for the pHash candidate join, mirroring
+#: dedup.BAND_BUCKET_CAP. Natural (md5-derived) 16-bit buckets at test
+#: scale hold 0-2 members, so the default never fires on the oracle'd
+#: corpora — it exists for the ubiquitous-asset case (default
+#: thumbnail, blank frame) where one payload cluster would otherwise
+#: emit d(d-1)/2 candidate pairs.
+MM_BAND_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_MM_BUCKET_CAP", "256"))
+
+#: The 28 unordered byte-pairs (j, k), j < k, of the 8 pHash bytes.
+_PHASH_BAND_PAIRS = [(j, k) for j in range(8) for k in range(j + 1, 8)]
+
+
 @spark_query("mm_dedup_phash", oracle=_mm_phash_oracle())
 def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup over media payloads: pHash kernel in
     mapInPandas (stubbed — deterministic md5-derived hash with
-    re-encoding noise bits; see _fake_phash), then 8-band x 8-bit LSH
+    re-encoding noise bits; see _fake_phash), then byte-PAIR LSH
     candidate generation and exact hamming verification at <= 6 bits.
 
+    Banding is the 28 byte-pairs (16-bit buckets), not the 8 single
+    bytes: recall stays EXACT by pigeonhole — hamming <= 6 corrupts at
+    most 6 of the 8 bytes, leaving >= 2 intact bytes and therefore >= 1
+    intact byte-pair — while natural bucket occupancy drops from n/256
+    (single bytes have only 256 possible values, so single-byte buckets
+    grow linearly with the corpus) to n/65536. That is what lets a
+    fixed MM_BAND_BUCKET_CAP separate natural collisions from genuinely
+    hot content at 100 TB.
+
+    Hot-bucket path (the skew guard dedup_ngram/minhash/simhash already
+    have): buckets over MM_BAND_BUCKET_CAP are not self-joined —
+    instead each over-cap bucket emits STAR pairs (bucket-min member,
+    other member), so a ubiquitous asset contributes O(d) candidates
+    instead of O(d^2) and downstream connected components
+    (dedup_clusters) still recovers the full duplicate cluster from the
+    star. The cap never fires on md5-derived natural corpora (measured:
+    max 16-bit bucket size 2 at sf0.1), so the oracle's brute-force
+    all-pairs scan stays bit-identical; scripts/bench_skew.py plants a
+    hot identical asset to demonstrate the bounded-candidate behavior.
+
     Scale mechanics mirror dedup_simhash: only (media_id, band_idx,
-    band_value) crosses the candidate shuffle — never payloads or
-    decoded pixels — and band-bucket sizes bound candidate cost. The
-    8x8 banding is chosen so pigeonhole makes recall EXACT for the
-    declared threshold (hamming <= 7 leaves >= 1 of 8 bands intact),
-    which is why the banded plan hash-matches the oracle's brute-force
-    all-pairs scan."""
+    band_val) crosses the candidate shuffle — never payloads or decoded
+    pixels."""
     ph = _fresh_persist_dedup("mm_phash", _phash_table(spark, sf_dir))
     ph.count()  # materialize before the plan branches (bands + two rejoins)
+    band_vals = [
+        (F.col(f"b{j}") * 256 + F.col(f"b{k}")).cast("int")
+        for j, k in _PHASH_BAND_PAIRS
+    ]
     bands = ph.select(
         "media_id",
-        F.posexplode(F.array(*[F.col(f"b{j}") for j in range(8)])).alias(
-            "band_idx", "band_val"
-        ),
+        F.posexplode(F.array(*band_vals)).alias("band_idx", "band_val"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
+    # map-side-combined bucket census; the over-cap list is bounded by
+    # the hot-asset population, never the corpus — broadcastable
+    stats = bands.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("n"), F.min("media_id").alias("min_id")
+    )
+    big = stats.filter(F.col("n") > MM_BAND_BUCKET_CAP).select(
+        "band_idx", "band_val", "min_id"
+    )
+    cold = bands.join(
+        F.broadcast(big.select("band_idx", "band_val")),
+        ["band_idx", "band_val"],
+        "left_anti",
+    )
+    a, b = cold.alias("a"), cold.alias("b")
+    cand_cold = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.media_id") < F.col("b.media_id")),
+    ).select(
+        F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+    )
+    # star pairs for over-cap buckets: O(membership), not O(membership²)
+    cand_hot = (
+        bands.join(F.broadcast(big), ["band_idx", "band_val"])
+        .filter(F.col("media_id") != F.col("min_id"))
         .select(
-            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+            F.col("min_id").alias("id_a"), F.col("media_id").alias("id_b")
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    cand = cand_cold.unionByName(cand_hot).dropDuplicates(["id_a", "id_b"])
     pa = ph.select(F.col("media_id").alias("id_a"), *[F.col(f"b{j}").alias(f"a{j}") for j in range(8)])
     pb = ph.select(F.col("media_id").alias("id_b"), *[F.col(f"b{j}").alias(f"pb{j}") for j in range(8)])
     ham = sum(

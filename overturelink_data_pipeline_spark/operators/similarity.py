@@ -120,12 +120,56 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("ann_ivf_topk")
+IVF_PROBES = 3
+
+
+def _ivf_oracle() -> str:
+    """DuckDB replica of the IVF plan: per-label centroids (1e-6
+    rounded, pinning cell ranking against summation-order drift — the
+    embedding_kmeans recipe), probe the IVF_PROBES nearest cells,
+    exact-score the probed cells only."""
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, list(cx ORDER BY dim) AS centroid
+      FROM (SELECT label, dim, ROUND(AVG(x), 6) AS cx
+            FROM (SELECT label, generate_subscripts(v, 1) AS dim,
+                         unnest(v) AS x FROM emb)
+            GROUP BY label, dim) t
+      GROUP BY label
+    ),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = {QUERY_VEC_ID}),
+    probed AS (
+      SELECT label
+      FROM cent CROSS JOIN q
+      ORDER BY ROUND(list_cosine_similarity(centroid, qv), 6) DESC, label
+      LIMIT {IVF_PROBES}
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(e.v, q.qv), 5) AS cos_sim
+    FROM emb e JOIN probed USING (label) CROSS JOIN q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@spark_query("ann_ivf_topk", oracle=_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse cells = per-label centroids (posexplode →
-    avg per (label, dim) → collect to array), probe the 3 nearest
-    cells, exact-score only vectors in probed cells. Rows-only;
-    recall vs the brute-force baseline is pinned in tests."""
+    avg per (label, dim) → collect to array), probe the IVF_PROBES
+    nearest cells, exact-score only vectors in probed cells.
+
+    Oracle'd since round 4 (was rows-only): centroids round to 1e-6 in
+    both engines (the embedding_kmeans recipe) and the probe ranking
+    orders by 1e-6-rounded cell similarity with a label tie-break, so
+    cell selection — the only place cross-engine float drift could
+    change the RESULT SET rather than a display digit — is pinned.
+    Recall vs the brute-force baseline additionally pinned in tests."""
     emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
@@ -135,7 +179,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         emb.select("label", F.posexplode("v").alias("dim", "x"))
         .groupBy("label", "dim")
-        .agg(F.avg("x").alias("cx"))
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
         .select("label", F.transform("pairs", lambda p: p["cx"]).alias("centroid"))
@@ -143,9 +187,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
     probed = (
         cent.crossJoin(F.broadcast(q))
-        .select("label", cosine(F.col("centroid"), F.col("qv")).alias("cell_sim"))
+        .select(
+            "label",
+            F.round(cosine(F.col("centroid"), F.col("qv")), 6).alias("cell_sim"),
+        )
         .orderBy(F.col("cell_sim").desc(), F.col("label"))
-        .limit(3)
+        .limit(IVF_PROBES)
         .select("label")
     )
     candidates = emb.join(F.broadcast(probed), "label").filter(
@@ -161,35 +208,92 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_PLANES = 16
 
+#: Fixed-point scale for the integer-lattice LSH: vector components
+#: quantize to round(x * 1000) as BIGINT before the plane dot product,
+#: so every signature bit is decided by EXACT integer arithmetic —
+#: no summation-order float drift can flip a near-zero dot product
+#: between engines, which is what makes the DuckDB oracle possible.
+LSH_SCALE = 1000
 
-def _plane(dim: int, seed: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component j of plane
-    `seed` = sin(seed*10007 + j*97) — cheap, seedable, JVM-side."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.sin(F.lit(seed * 10007) + j * 97),
-    )
+_LSH_DIM = 64  # embedding dim across all test SFs (PQ_M x PQ_SUBDIM)
+
+
+def _lattice_sign(i: int, j: int) -> int:
+    """±1 component (i=plane, j=dim) from a pure-integer LCG — the
+    same closed form the DuckDB oracle evaluates in SQL."""
+    c = (1103515245 * (i * 4096 + j) + 12345) % 2147483648
+    return 1 - 2 * ((c >> 15) & 1)
 
 
 def lsh_signature(v: Column, dim: int, n_planes: int = N_PLANES) -> Column:
-    """Random-hyperplane (SimHash-for-vectors) signature: bit i =
-    sign(v · plane_i)."""
-    sig = F.lit(0)
+    """Random-hyperplane (SimHash-for-vectors) signature over the
+    1e-3-quantized integer lattice: bit i = sign(q(v) · plane_i) with
+    plane components ±1 from _lattice_sign. Planes are plan-time
+    literal arrays (driver-computed constants, not per-row trig)."""
+    qv = F.transform(
+        v, lambda x: F.round(x * LSH_SCALE, 0).cast("long")
+    )
+    sig = F.lit(0).cast("long")
     for i in range(n_planes):
+        plane = F.array(
+            *[F.lit(_lattice_sign(i, j)).cast("long") for j in range(dim)]
+        )
         dot = F.aggregate(
-            F.zip_with(v, _plane(dim, i), lambda x, p: x * p),
-            F.lit(0.0),
+            F.zip_with(qv, plane, lambda x, p: x * p),
+            F.lit(0).cast("long"),
             lambda s, x: s + x,
         )
         sig = sig + F.when(dot > 0, F.shiftleft(F.lit(1), i)).otherwise(0)
     return sig
 
 
-@spark_query("ann_lsh_buckets")
+def _lsh_oracle() -> str:
+    """SQL replica: same quantization, same LCG planes, exact BIGINT
+    dot products — bit-identical signatures by construction."""
+    return f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * {LSH_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, generate_subscripts(qv, 1) - 1 AS j, unnest(qv) AS x
+      FROM emb
+    ),
+    planes AS (
+      SELECT i, j,
+             1 - 2 * ((((1103515245 * (i * 4096 + j) + 12345) % 2147483648)
+                       // 32768) % 2) AS s
+      FROM (SELECT unnest(range(0, {N_PLANES})) AS i)
+      CROSS JOIN (SELECT unnest(range(0, {_LSH_DIM})) AS j)
+    ),
+    dots AS (
+      SELECT vec_id, i, SUM(x * s) AS dot
+      FROM ex JOIN planes USING (j)
+      GROUP BY vec_id, i
+    ),
+    sigs AS (
+      SELECT vec_id,
+             SUM(CASE WHEN dot > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sig
+      FROM dots GROUP BY vec_id
+    )
+    SELECT sig, CAST(COUNT(*) AS BIGINT) AS n
+    FROM sigs GROUP BY sig HAVING COUNT(*) > 1 ORDER BY sig
+    """
+
+
+@spark_query("ann_lsh_buckets", oracle=_lsh_oracle())
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing: 16-bit signatures, bucket-size
     histogram (the data layout a bucketed ANN join would shuffle on).
-    Rows-only; signature determinism + bucket-join recall in tests."""
+
+    Oracle'd since round 4 (was rows-only): the planes are an INTEGER
+    lattice (±1 components from a shared LCG closed form) over
+    1e-3-quantized vectors, so the sign of every dot product is exact
+    integer arithmetic in both engines — the float-drift escape the
+    old sin-based planes couldn't offer. Signature determinism +
+    bucket-join recall additionally pinned in tests."""
     raw = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
     emb = raw.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -202,7 +306,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = emb.select("vec_id", lsh_signature(F.col("v"), dim).alias("sig"))
     return (
         sigs.groupBy("sig")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .filter(F.col("n") > 1)
         .orderBy("sig")
     )

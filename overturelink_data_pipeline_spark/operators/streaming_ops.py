@@ -92,17 +92,71 @@ def sessions_30min_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(events).orderBy("user_id", "session_start_s")
 
 
-@spark_query("stream_user_sessions")
+@spark_query(
+    "stream_user_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             value,
+             CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT))
+    ),
+    sessions AS (
+      SELECT user_id, sec, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(MIN(sec) AS BIGINT) AS session_start_s,
+             CAST(MAX(sec) AS BIGINT) AS session_end_s,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 2)     AS total_value
+      FROM sessions
+      GROUP BY user_id, session_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY session_start_s DESC) AS rn
+      FROM agg
+    ),
+    wm AS (SELECT MAX(epoch_ms(ts)) - 1800000 AS w_ms FROM events)
+    SELECT user_id, session_start_s, session_end_s, n_events, total_value
+    FROM ranked CROSS JOIN wm
+    WHERE rn > 1 OR w_ms > (session_end_s + 1800) * 1000
+    ORDER BY user_id, session_start_s
+    """,
+)
 def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming sessionization (applyInPandasWithState):
     emits CLOSED sessions only — per-user state is the open session.
-    Rows-only; subset-of-batch is pinned in tests/test_streaming.py."""
+
+    Oracle'd since round 4 (was rows-only): the closed-session set is
+    DERIVABLE from the batch sessionization — every non-last session
+    per user is closed by the later event that opened the next one,
+    and a user's LAST session is closed iff its event-time timeout
+    fired under the replay's final watermark, i.e. max_event_ms -
+    30min > (session_end_s + 30min) * 1000. Subset-of-batch and the
+    two-micro-batch backward-extension case stay pinned in
+    tests/test_streaming.py."""
     read_table(spark, sf_dir, "events")
     stream = read_event_stream(spark, sf_dir)
     result = run_to_completion(
         sessionize_stream(stream), spark, output_mode="append", shuffle_partitions=8
     )
-    return result.orderBy("user_id", "session_start_s")
+    return result.select(
+        "user_id",
+        "session_start_s",
+        "session_end_s",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    ).orderBy("user_id", "session_start_s")
 
 
 @spark_query(

@@ -17,6 +17,9 @@ single layer.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,17 +46,38 @@ def read_theme(
     return spark.read.parquet(theme_path(base_dir, theme, type_))
 
 
-#: (iso2, base_dir) → country polygon WKB. The polygon is immutable
-#: per (country, source snapshot) and collecting it runs a Spark job
-#: over division_area — without the memo a multilayer query re-ran
-#: that identical job per layer, and every retry attempt repeated it.
-_POLYGON_MEMO: dict[tuple[str, str], bytes] = {}
+#: (iso2, base_dir, snapshot) → country polygon WKB. The polygon is
+#: immutable per (country, source snapshot) and collecting it runs a
+#: Spark job over division_area — without the memo a multilayer query
+#: re-ran that identical job per layer, and every retry attempt
+#: repeated it. ``snapshot`` is the divisions dump sidecar's
+#: (release, mtime) when one exists, so ensure_dump() rewriting the
+#: same base_dir in-process (a new release) invalidates the memo
+#: instead of silently serving the stale polygon.
+_POLYGON_MEMO: dict[tuple[str, str, tuple | None], bytes] = {}
+
+
+def _divisions_snapshot(base_dir: str) -> tuple | None:
+    """(release, mtime_ns) of the divisions dump sidecar, or None when
+    base_dir is not a dump mirror (raw source paths are immutable per
+    release by construction)."""
+    side = os.path.join(base_dir, "theme=divisions", "_dump_metadata.json")
+    try:
+        st = os.stat(side)
+    except OSError:
+        return None
+    try:
+        with open(side) as f:
+            release = json.load(f).get("release")
+    except (OSError, ValueError):
+        release = None
+    return (release, st.st_mtime_ns)
 
 
 def _country_polygon_cached(
     spark: SparkSession, base_dir: str, iso2: str
 ) -> bytes:
-    key = (iso2, base_dir)
+    key = (iso2, base_dir, _divisions_snapshot(base_dir))
     if key not in _POLYGON_MEMO:
         divisions = read_theme(spark, base_dir, "divisions", "division_area")
         _POLYGON_MEMO[key] = country_polygon(divisions, iso2)

@@ -61,29 +61,76 @@ def spark_query(name: str, oracle: str | None = None) -> Callable[[QueryFn], Que
 # Names not listed keep their module-registration order after the listed
 # prefix (defensive: a new query is never silently dropped).
 _PRIORITY_ORDER: tuple[str, ...] = (
-    # Never driver-checked before round 3 (registry slots 51-65 in r1/r2).
+    # --- Round-4 driver window (first 50) -------------------------------
+    # Standing two-round rotation policy (VERDICT r3 ask #1): every
+    # query's most recent driver row must never be more than one round
+    # old. These 40 were last driver-checked in r1/r2 — before the
+    # round-3 commits touched compile/overture/dialect/relational/sinks —
+    # so they lead the r4 window; the 47 r3-green queries rotate to the
+    # tail and come back in r5. tests/test_registry_order.py derives
+    # staleness from the CORRECTNESS_r*.json files and enforces this.
+    "geo_clip_bbox",
+    "geo_centroid_utm",
+    "geo_grid_partition_stats",
+    "geo_bbox_struct",
+    "geo_buildings_normalize",
+    "geo_places_flatten",
+    "geo_places_json_drift",
+    "geo_clip_divisions",
+    "geo_split_families",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "agg_rollup_nation_region",
+    "agg_cube_status_flag",
+    "agg_grouping_sets",
+    "agg_percentiles_exact",
+    "agg_approx_sketches",
+    "agg_bounds",
+    "window_rank_suppliers_per_nation",
+    "window_top_event_per_user",
+    "subquery_cheapest_order",
+    "join_asof_last_signup",
+    "join_range_price_band",
+    "events_hourly_rollup",
+    "set_intersect_except",
+    "filter_in_dialect",
+    "distinct_sort",
+    "group_count_by_type",
+    "substring_clip",
+    "element_at_first",
+    "regexp_extract_discovery",
+    "case_when_bucket",
+    "semi_join_customers_with_urgent_orders",
+    "mm_decode_features",
+    "mm_metadata_rollup",
+    "mm_frame_sample",
+    "pipeline_education_multilayer",
+    "pipeline_roads_geojsonseq",
+    "pipeline_places_combined",
+    "union_layer_tag",
+    # r3 rows-only queries whose oracles are new this round — fresh
+    # oracle-backed driver rows needed (VERDICT r3 ask #4).
+    "ann_ivf_topk",
+    "ann_lsh_buckets",
+    "stream_user_sessions",
+    # --- Tail: r3-green queries, rotate back into the r5 window ---------
     "anti_join_parts_never_ordered",
     "ann_cosine_topk",
     "embedding_norms",
-    "ann_ivf_topk",
-    "ann_lsh_buckets",
     "ann_range_search",
     "stream_hourly_rollup",
     "sessions_30min_gap",
-    "stream_user_sessions",
     "text_token_count",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
     "text_winnowing_fingerprint",
     "text_repetition_filter",
-    # Driver-green in r2 but touched this round (oracle/plan rewrites) —
-    # keep in the checked window so the rewrites get fresh driver rows.
     "pipeline_cache_roundtrip",
     "pipeline_power_split_publish",
     "json_try_cast",
     "dedup_exact_normalized",
-    # New in round 3 — must sit inside the driver's 50-query window.
     "knn_join",
     "embedding_kmeans",
     "dedup_clusters",
@@ -109,58 +156,12 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "stream_join_enrichment",
     "funnel_view_click_purchase",
     "retention_week_offsets",
-    # Remaining driver-green families, most complex first.
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "geo_roads_normalize",
-    "geo_buildings_normalize",
-    "geo_places_flatten",
-    "geo_places_json_drift",
-    "geo_clip_divisions",
-    "geo_split_families",
-    "mm_decode_features",
-    "mm_metadata_rollup",
-    "mm_frame_sample",
-    "pipeline_education_multilayer",
-    "pipeline_roads_geojsonseq",
-    "pipeline_places_combined",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "agg_percentiles_exact",
-    "agg_approx_sketches",
-    "join_asof_last_signup",
-    "join_range_price_band",
-    "events_hourly_rollup",
-    "union_layer_tag",
-    # Twice-driver-proven (r1+r2) simple queries. NOTE: the 50-query
-    # window boundary FLOATS as entries are added above — names below
-    # any fixed comment position may still be inside or outside the
-    # window; tests/test_registry_order.py pins the set that must be
-    # inside, which is the contract that matters.
-    "geo_clip_bbox",
-    "geo_centroid_utm",
-    "geo_grid_partition_stats",
-    "geo_bbox_struct",
-    "agg_rollup_nation_region",
-    "agg_cube_status_flag",
-    "agg_grouping_sets",
-    "set_intersect_except",
-    "window_rank_suppliers_per_nation",
-    "subquery_cheapest_order",
-    "filter_in_dialect",
-    "distinct_sort",
-    "agg_bounds",
-    "group_count_by_type",
-    "substring_clip",
-    "element_at_first",
-    "regexp_extract_discovery",
-    "window_top_event_per_user",
-    "case_when_bucket",
-    "semi_join_customers_with_urgent_orders",
 )
 
 

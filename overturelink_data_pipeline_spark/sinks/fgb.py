@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from overturelink_data_pipeline_spark.geo import wkb as W
-from overturelink_data_pipeline_spark.sinks.shapefile import _is_empty
+from overturelink_data_pipeline_spark.geo.geom import is_empty as _is_empty
 
 _GEOM_COL = "geometry"
 

@@ -146,24 +146,7 @@ def validate_geojson(
     as Python objects would OOM the driver on exactly the inputs
     ``write_geojson(stream=True)`` exists for."""
     if stream:
-        # chunked structural check: header token + feature count by
-        # counting top-level '{"type":"Feature"' openings (every
-        # feature_line starts with this exact prefix; chunk overlap
-        # keeps boundary-straddling matches)
-        needle = '{"type":"Feature"'
-        got = 0
-        tail = ""
-        with open(path) as f:
-            head = f.read(64)
-            if not head.startswith('{"type":"FeatureCollection"'):
-                raise ValueError(f"{path}: not a FeatureCollection")
-            buf = head
-            while buf:
-                got += buf.count(needle)
-                tail = buf[-(len(needle) - 1):]
-                buf = tail + f.read(1 << 20)
-                if buf == tail:
-                    break
+        got = _count_features_streaming(path)
         if got != expected_features:
             raise ValueError(
                 f"{path}: wrote {expected_features} features, file has {got}"
@@ -176,3 +159,110 @@ def validate_geojson(
     got = len(doc.get("features", []))
     if got != expected_features:
         raise ValueError(f"{path}: wrote {expected_features} features, file has {got}")
+
+
+class _ChunkReader:
+    """Buffered forward scanner over a text file for the streaming
+    validator: O(largest single feature) memory, never the whole file."""
+
+    CHUNK = 1 << 20
+
+    def __init__(self, f) -> None:
+        self._f = f
+        self._buf = ""
+        self._pos = 0
+
+    def _fill(self) -> bool:
+        chunk = self._f.read(self.CHUNK)
+        self._buf = self._buf[self._pos :] + chunk
+        self._pos = 0
+        return bool(chunk)
+
+    def _ensure(self, n: int) -> None:
+        while len(self._buf) - self._pos < n:
+            if not self._fill():
+                return
+
+    def expect(self, literal: str, what: str) -> None:
+        self._ensure(len(literal))
+        if not self._buf.startswith(literal, self._pos):
+            got = self._buf[self._pos : self._pos + len(literal) + 16]
+            raise ValueError(f"malformed GeoJSON: expected {what}, got {got!r}")
+        self._pos += len(literal)
+
+    def peek(self, n: int = 1) -> str:
+        self._ensure(n)
+        return self._buf[self._pos : self._pos + n]
+
+    def skip(self, n: int = 1) -> None:
+        self._pos += n
+
+    def decode_value(self, decoder: json.JSONDecoder):
+        """raw_decode one JSON value, growing the buffer until it
+        parses whole (features are bounded — one geometry each)."""
+        while True:
+            try:
+                val, end = decoder.raw_decode(self._buf, self._pos)
+            except ValueError:
+                if not self._fill():
+                    raise ValueError(
+                        "malformed GeoJSON: truncated value at offset "
+                        f"{self._pos}"
+                    ) from None
+                continue
+            # a bare number at the buffer edge could continue into the
+            # next chunk; our values are objects, but guard anyway
+            if end == len(self._buf) and self._fill():
+                continue
+            self._pos = end
+            return val
+
+    def at_eof(self) -> bool:
+        self._ensure(1)
+        return self._pos >= len(self._buf)
+
+
+def _count_features_streaming(path: str) -> int:
+    """Streaming well-formedness check + exact top-level feature count.
+
+    Parses the document incrementally against the exact layout
+    ``write_geojson`` produces (root keys in order: type, optional
+    metadata, features), fully JSON-decoding the metadata value and
+    every element of the top-level ``features`` array — so a property
+    struct that *serializes* to ``{"type":"Feature"...`` nested inside
+    a feature can never be over-counted, and truncation/corruption
+    anywhere in the file raises instead of passing a substring tally.
+    """
+    decoder = json.JSONDecoder()
+    with open(path) as f:
+        r = _ChunkReader(f)
+        r.expect('{"type":"FeatureCollection",', "FeatureCollection header")
+        if r.peek(len('"metadata":')) == '"metadata":':
+            r.skip(len('"metadata":'))
+            r.decode_value(decoder)
+            r.expect(",", "comma after metadata")
+        r.expect('"features":[', "features array")
+        count = 0
+        if r.peek() == "]":
+            r.skip()
+        else:
+            while True:
+                feature = r.decode_value(decoder)
+                if not isinstance(feature, dict) or feature.get("type") != "Feature":
+                    raise ValueError(
+                        f"malformed GeoJSON: element {count} is not a Feature"
+                    )
+                count += 1
+                sep = r.peek()
+                r.skip()
+                if sep == "]":
+                    break
+                if sep != ",":
+                    raise ValueError(
+                        f"malformed GeoJSON: expected ',' or ']' after "
+                        f"feature {count - 1}, got {sep!r}"
+                    )
+        r.expect("}", "closing brace")
+        if not r.at_eof() and r.peek().strip():
+            raise ValueError("malformed GeoJSON: trailing content after document")
+        return count

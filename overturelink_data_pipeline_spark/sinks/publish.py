@@ -107,28 +107,46 @@ def _stream_batches(df: DataFrame, batch_size: int, stream: bool = False):
         yield rows[i : i + batch_size]
 
 
+#: Consecutive successful appends at a reduced size before probing the
+#: size back up (doubling). Guards against one anomalous 413 — e.g. a
+#: single batch of unusually large features — permanently halving
+#: throughput for the rest of the publish.
+_PROBE_UP_AFTER = 4
+
+
 def _append_adaptive(
     service: FeatureService,
     batch: list[dict],
     floor: int,
     start_size: int | None = None,
+    ceiling: int | None = None,
 ) -> int:
     """Append with halving-on-413 (reference publish.py:603-641).
     Returns the chunk size that finally succeeded; pass it back in as
     ``start_size`` for the next batch so the halving is learned once
-    per publish, not re-probed per batch."""
+    per publish, not re-probed per batch. After ``_PROBE_UP_AFTER``
+    consecutive successes at a reduced size the size doubles (capped
+    at ``ceiling``, default the configured batch size), so a one-off
+    oversized batch doesn't lock the whole publish at half speed."""
+    cap = ceiling if ceiling is not None else len(batch)
     size = len(batch) if start_size is None else min(len(batch), start_size)
     size = max(size, 1)
     start = 0
+    streak = 0
     while start < len(batch):
         chunk = batch[start : start + size]
         try:
             service.append(chunk)
             start += len(chunk)
+            streak += 1
+            if size < cap and streak >= _PROBE_UP_AFTER:
+                size = min(size * 2, cap)
+                streak = 0
         except PayloadTooLarge:
             if size <= floor:
                 raise
             size = max(size // 2, floor)
+            streak = 0
     return size
 
 
@@ -199,7 +217,9 @@ def publish(
     # batch) against the live endpoint
     learned: int | None = None
     for batch in _stream_batches(df, batch_size, stream):
-        learned = _append_adaptive(service, batch, batch_floor, start_size=learned)
+        learned = _append_adaptive(
+            service, batch, batch_floor, start_size=learned, ceiling=batch_size
+        )
         total += len(batch)
     return total
 

@@ -112,18 +112,14 @@ def _fmt_cell(v: Any, spec: tuple[str, int, int]) -> bytes:
     return s.ljust(w)
 
 
-def _is_empty(geom: W.Geom) -> bool:
-    """EMPTY geometries (POINT EMPTY parses to ('Point', None); empty
-    coordinate lists for the others) — representable only as Null
-    Shape records; the coordinate encoders would crash on them."""
-    kind, data = geom
-    if kind == "Point":
-        return data is None
-    if not data:
-        return True
-    if kind in ("LineString", "Polygon"):
-        return all(not part for part in data) if kind == "Polygon" else False
-    return all(_is_empty(child) for child in data)
+# EMPTY geometries (POINT EMPTY parses to ('Point', None); empty
+# coordinate lists for the others) are representable only as Null
+# Shape records — the coordinate encoders would crash on them. The
+# predicate lives in geo.geom.is_empty (shared with the FlatGeobuf
+# sink). A geometry that is non-empty overall may still CONTAIN empty
+# parts (a Polygon with one real ring and one zero-point ring); those
+# parts are filtered below rather than emitted as malformed
+# zero-point rings/paths.
 
 
 # -- geometry encoders (all little-endian after the int32 type code) ----
@@ -138,16 +134,8 @@ def _paths_of(geom: W.Geom) -> list[list[tuple[float, float]]]:
     kind, data = geom
     if kind == "LineString":
         return [data]
-    return [child[1] for child in data]  # MultiLineString children
-
-
-def _rings_of(geom: W.Geom) -> list[list[tuple[float, float]]]:
-    kind, data = geom
-    if kind == "Polygon":
-        rings = data
-    else:  # MultiPolygon: flatten all rings of all polygons
-        rings = [r for child in data for r in child[1]]
-    return rings
+    # MultiLineString children; drop EMPTY members (no coordinates)
+    return [child[1] for child in data if child[1]]
 
 
 def _ring_cw(ring: list[tuple[float, float]], outer: bool) -> list[tuple[float, float]]:
@@ -185,7 +173,8 @@ def _enc_multipart(shape_type: int, parts: list[list[tuple[float, float]]]) -> b
 
 
 def _enc_multipoint(geom: W.Geom) -> bytes:
-    pts = [child[1] for child in geom[1]]
+    # drop POINT EMPTY members (body None) — no coordinates to emit
+    pts = [child[1] for child in geom[1] if child[1] is not None]
     xs = [p[0] for p in pts]
     ys = [p[1] for p in pts]
     out = bytearray(
@@ -203,16 +192,18 @@ def _encode_shape(geom: W.Geom, shape_type: int) -> bytes:
     if shape_type == 3:
         return _enc_multipart(3, _paths_of(geom))
     if shape_type == 5:
+        # drop empty rings before orientation/encoding: a zero-point
+        # ring is malformed per the whitepaper (and _ring_cw would
+        # mis-index which ring counts as the outer one after it)
         if kind == "Polygon":
-            rings = [
-                _ring_cw(r, outer=(i == 0)) for i, r in enumerate(geom[1])
-            ]
+            polys = [geom[1]]
         else:
-            rings = [
-                _ring_cw(r, outer=(i == 0))
-                for child in geom[1]
-                for i, r in enumerate(child[1])
-            ]
+            polys = [child[1] for child in geom[1]]
+        rings = [
+            _ring_cw(r, outer=(i == 0))
+            for poly in polys
+            for i, r in enumerate([ring for ring in poly if ring])
+        ]
         return _enc_multipart(5, rings)
     if shape_type == 8:
         return _enc_multipoint(geom)
@@ -257,7 +248,7 @@ def write_shapefile(
     for row in rows:
         wkb_bytes = row[_GEOM_COL]
         geom = None if wkb_bytes is None else W.loads(bytes(wkb_bytes))
-        if geom is None or _is_empty(geom):
+        if geom is None or G.is_empty(geom):
             # SQL NULL and EMPTY geometries both write as Null Shape
             # (the coordinate encoders would crash on empty bodies)
             shp_records.append(struct.pack("<i", 0))

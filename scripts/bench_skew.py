@@ -88,7 +88,7 @@ def main() -> None:
     )
     base = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
-    from overturelink_data_pipeline_spark.operators import dedup
+    from overturelink_data_pipeline_spark.operators import dedup, multimodal
 
     print(
         json.dumps(
@@ -96,6 +96,7 @@ def main() -> None:
                 "corpus": sf_dir,
                 "ngram_df_cap": dedup.NGRAM_DF_CAP,
                 "band_bucket_cap": dedup.BAND_BUCKET_CAP,
+                "mm_band_bucket_cap": multimodal.MM_BAND_BUCKET_CAP,
             }
         ),
         flush=True,
@@ -104,15 +105,25 @@ def main() -> None:
     registry.QUERIES["dedup_exact"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    for name in QUERIES:
+    runs = [(name, sf_dir) for name in QUERIES]
+    # mm_dedup_phash skew leg: the companion hot-asset corpus
+    # (gen_skew_corpus.py writes <skew_dir>_asset) plants one
+    # byte-identical payload cluster; capped (star path) candidate
+    # volume is O(cluster), uncapped is O(cluster²). Tune with
+    # SPARK_GRAFT_MM_BUCKET_CAP the way the text caps are tuned.
+    asset_dir = sf_dir.rstrip("/") + "_asset"
+    if os.path.exists(os.path.join(asset_dir, "documents.parquet")):
+        runs.append(("mm_dedup_phash", asset_dir))
+    for name, data_dir in runs:
         t0 = time.time()
-        df = registry.QUERIES[name](spark, sf_dir)
+        df = registry.QUERIES[name](spark, data_dir)
         n = df.count()
         wall = time.time() - t0
         print(
             json.dumps(
                 {
                     "query": name,
+                    "corpus": data_dir,
                     "wall_s": round(wall, 1),
                     "pairs": n,
                     "top_stages": _stage_report(base, app_id, t0 * 1000),

@@ -90,6 +90,28 @@ def main() -> None:
     ).fetchone()
     print(f"documents: {n} rows ({hot} hot boilerplate docs) -> {dst}")
 
+    # Companion HOT-ASSET corpus for the mm_dedup_phash skew leg: every
+    # hot doc's text is EXACTLY the boilerplate (no unique tail), so the
+    # derived media payloads are byte-identical — one ubiquitous asset
+    # (default-thumbnail analogue) whose pHash collapses every band
+    # bucket it touches. An uncapped band join emits hot²/2 candidate
+    # pairs; the capped star path emits hot-1.
+    asset_out = out.rstrip("/") + "_asset"
+    os.makedirs(asset_out, exist_ok=True)
+    asset_dst = f"{asset_out}/documents.parquet"
+    con.sql(
+        f"""COPY (
+        SELECT doc_id,
+               CASE WHEN doc_id % {hot_every} = 0 THEN '{BOILER}' ELSE text END AS text,
+               lang, source,
+               CAST(length(CASE WHEN doc_id % {hot_every} = 0 THEN '{BOILER}'
+                           ELSE text END) AS BIGINT) AS n_chars
+        FROM read_parquet('{dst}')
+        ) TO '{asset_dst}'
+        (FORMAT PARQUET, COMPRESSION ZSTD, ROW_GROUP_SIZE 4096)"""
+    )
+    print(f"hot-asset corpus ({hot} identical payloads) -> {asset_dst}")
+
 
 if __name__ == "__main__":
     main()

@@ -1,73 +1,61 @@
-"""Registration-order contract.
+"""Registration-order contract — the standing two-round rotation policy.
 
 The driver's correctness snapshot covers exactly the first 50 registered
-queries, so ordering is part of verification: every query that had never
-received a driver row through round 2 (registry slots 51-65 in both
-CORRECTNESS_r01 and _r02) must sit inside the first-50 window, and the
-canonical order must stay total (no query outside _PRIORITY_ORDER, no
-stale name inside it).
+queries, so ordering is part of verification. With 90 registered queries
+and a 50-row window, the policy (VERDICT r3 ask #1) is: no query's most
+recent driver row may ever be more than one round old. This test derives
+staleness directly from the CORRECTNESS_r*.json artifacts, so it
+re-enforces the policy automatically as new rounds land: after the
+driver writes CORRECTNESS_r04.json, the r3-green queries become the
+stale set and _PRIORITY_ORDER must rotate them back in for r5.
 """
 
 from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
 
 from overturelink_data_pipeline_spark import registry
 
 registry.load_all()
 
-NEVER_DRIVER_CHECKED_THROUGH_R2 = {
-    "anti_join_parts_never_ordered",
-    "ann_cosine_topk",
-    "embedding_norms",
-    "ann_ivf_topk",
-    "ann_lsh_buckets",
-    "ann_range_search",
-    "stream_hourly_rollup",
-    "sessions_30min_gap",
-    "stream_user_sessions",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_winnowing_fingerprint",
-    "text_repetition_filter",
-}
+REPO = Path(__file__).resolve().parent.parent
+
+DRIVER_WINDOW = 50
 
 
-#: Queries added in round 3 — no driver row exists yet, so they must
-#: also occupy the checked window.
-NEW_IN_ROUND_3 = {
-    "knn_join",
-    "embedding_kmeans",
-    "dedup_clusters",
-    "text_gopher_quality",
-    "stream_dedup_hourly",
-    "text_decontaminate",
-    "text_pack_sequences",
-    "text_pii_redact",
-    "sample_stratified",
-    "ann_pq_topk",
-    "domain_mix_report",
-    "dedup_semantic",
-    "text_lm_perplexity",
-    "text_length_histogram",
-    "stream_topk_trending",
-    "text_quality_classifier",
-    "sample_weighted",
-    "pipeline_pretrain_corpus",
-    "mm_dedup_phash",
-    "sink_training_shards",
-    "stream_latest_state",
-    "graph_pagerank_dupes",
-    "stream_join_enrichment",
-    "funnel_view_click_purchase",
-    "retention_week_offsets",
-}
+def _latest_driver_round() -> dict[str, int]:
+    """Map each query name to the latest round it received a driver row."""
+    latest: dict[str, int] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        for name in json.loads(path.read_text()):
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
-def test_never_checked_queries_inside_driver_window():
-    top50 = set(list(registry.QUERIES)[:50])
-    missing = (NEVER_DRIVER_CHECKED_THROUGH_R2 | NEW_IN_ROUND_3) - top50
-    assert not missing, f"outside driver's first-50 window: {sorted(missing)}"
+def test_stale_queries_inside_driver_window():
+    """Every query whose latest driver row predates the most recent round
+    (or that has never been checked) must sit inside the first-50 window."""
+    latest = _latest_driver_round()
+    assert latest, "no CORRECTNESS_r*.json artifacts found"
+    current = max(latest.values())
+    stale = {n for n in registry.QUERIES if latest.get(n, 0) < current}
+    window = set(list(registry.QUERIES)[:DRIVER_WINDOW])
+    overflow = stale - window
+    # The policy is feasible only while |stale| <= window size; if a
+    # round ever adds so many queries that the stale set exceeds 50,
+    # fail loudly so the rotation is re-planned rather than silently
+    # dropping names.
+    assert len(stale) <= DRIVER_WINDOW, (
+        f"stale set ({len(stale)}) exceeds the driver window; "
+        "two-round rotation is no longer feasible — re-plan"
+    )
+    assert not overflow, f"stale queries outside driver's first-50 window: {sorted(overflow)}"
 
 
 def test_priority_order_is_total_and_exact():

@@ -187,7 +187,9 @@ def test_shard_writer_splits_files_and_sorts(spark, sf_dir):
 
     rows = registry.QUERIES["sink_training_shards"](spark, sf_dir).collect()
     assert rows and all(r["n_files"] >= 2 for r in rows), "split path unexercised"
-    parts = glob.glob(os.path.join(SHARD_OUT_DIR, "source=*", "*.parquet"))
+    salt_dirs = glob.glob(os.path.join(SHARD_OUT_DIR, "source=*", "salt=*"))
+    assert len(salt_dirs) >= 2, "salted writer fan-out unexercised"
+    parts = glob.glob(os.path.join(SHARD_OUT_DIR, "source=*", "salt=*", "*.parquet"))
     assert parts
     for f in parts[:8]:
         t = pq.read_table(f, columns=["doc_id"])
