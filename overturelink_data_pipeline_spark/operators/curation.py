@@ -663,6 +663,63 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fixed-size per-group reservoir (deterministic grouped top-k by hash)
+# ---------------------------------------------------------------------------
+
+#: Reservoir size per source.
+RESERVOIR_K = 25
+
+
+@spark_query(
+    "sample_reservoir",
+    oracle=f"""
+    SELECT source, doc_id, rk FROM (
+      SELECT source, doc_id,
+             CAST(ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      FROM documents) t
+    WHERE rk <= {RESERVOIR_K}
+    ORDER BY source, rk
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE uniform sample per source (the eyeball-QA /
+    held-out-audit primitive: "give me exactly K docs from every
+    source, stable across runs"), complementing sample_stratified's
+    fixed-RATE sampling: rank documents by md5(doc_id) within each
+    source and keep the K smallest — a deterministic reservoir, since
+    a uniform hash's K smallest values are a uniform K-subset.
+
+    100 TB plan shape: grouped top-k via the knn_join two-phase window
+    — a single window over ``source`` would funnel each source's whole
+    partition through ONE reducer (exactly the dominant-source
+    straggler sink_training_shards had). Phase 1 ranks within
+    (source, input partition) — the shuffle key is salted by partition
+    id, so no reducer sees more than one partition's share — and keeps
+    at most K rows per (source, partition); phase 2 ranks the
+    surviving ≤ K × P rows per source, a frame bounded by K × shuffle
+    width, not by the corpus."""
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    h = F.md5(F.col("doc_id").cast("string"))
+    local = Window.partitionBy("source", F.spark_partition_id()).orderBy(
+        "h", "doc_id"
+    )
+    survivors = (
+        docs.select("source", "doc_id", h.alias("h"))
+        .withColumn("lrk", F.row_number().over(local))
+        .filter(F.col("lrk") <= RESERVOIR_K)
+    )
+    final = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(final).cast("bigint"))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end pretraining-corpus build: rule-filter → exact-dedup →
 # concat-and-chunk packing, reported as the per-source build audit.
 # ---------------------------------------------------------------------------

@@ -377,6 +377,132 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact-substring dedup (verbatim-run detection, the Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" protocol:
+# any two documents sharing a long-enough VERBATIM token run are
+# near-dups regardless of how different the rest of their text is —
+# the case Jaccard misses when one document merely quotes another).
+# ---------------------------------------------------------------------------
+
+#: Verbatim-run window width in tokens (the paper uses 50 BPE tokens;
+#: 15 whitespace tokens fits the ~60-token synthetic docs).
+SUBSTR_W = 15
+#: Every SUBSTR_MODULUS-th doc donates a QUOTING copy: unique filler
+#: around a 20-token verbatim slice of the original.
+SUBSTR_MODULUS = 11
+#: Windows whose doc-frequency exceeds this are dropped from candidate
+#: generation (the NGRAM_DF_CAP recipe): natural 15-token runs are
+#: near-unique (df 1-2), so the cap only fires on pathological
+#: boilerplate, where a shared window IS non-discriminative.
+SUBSTR_DF_CAP = int(os.environ.get("SPARK_GRAFT_SUBSTR_DF_CAP", "64"))
+
+_SUBSTR_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           'zq' || CAST(doc_id AS VARCHAR) || 'pre ' ||
+           array_to_string(string_split_regex(trim(text), '\\s+')[6:25], ' ') ||
+           ' zq' || CAST(doc_id AS VARCHAR) || 'post'
+    FROM documents WHERE doc_id % {SUBSTR_MODULUS} = 0
+"""
+
+
+@spark_query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH corpus AS ({_SUBSTR_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus
+    ),
+    wins AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(t) - {SUBSTR_W - 1}, 0)),
+                 i -> md5(array_to_string(t[i:i + {SUBSTR_W - 1}], ' ')))) AS h
+        FROM toks) u
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring near-dup: any pair of documents sharing a
+    verbatim SUBSTR_W-token run, found via an inverted index over
+    rolling window hashes — md5 of the space-joined window, the one
+    hash both engines compute identically.
+
+    Scale mechanics are dedup_ngram_jaccard's: window hashes come from
+    a transform over the token array's index range (no window function,
+    no per-doc shuffle), candidates from an equi-join on the hash —
+    pair volume tracks actual window CO-OCCURRENCE — and n_shared falls
+    out of groupBy(id_a, id_b).count() because per-doc windows are
+    DISTINCT'd first. The df-cap drops postings shared by more than
+    SUBSTR_DF_CAP docs (quadratic-candidate boilerplate); natural
+    15-token windows are near-unique, so the cap never fires on the
+    oracle'd corpora and the uncapped oracle matches bit-for-bit.
+
+    Vs the suffix-array formulation of the original protocol: a
+    distributed suffix array costs a full sort of the corpus per
+    byte-offset; rolling windows at stride 1 find exactly the runs of
+    length >= SUBSTR_W at inverted-index cost, which is the standard
+    large-scale approximation (every run of length >= W contains a
+    W-window, so recall at the declared threshold is exact)."""
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    quoted = F.concat(
+        F.lit("zq"),
+        F.col("doc_id").cast("string"),
+        F.lit("pre "),
+        F.array_join(F.slice(toks, 6, 20), " "),
+        F.lit(" zq"),
+        F.col("doc_id").cast("string"),
+        F.lit("post"),
+    )
+    corpus = with_planted_copies(docs, SUBSTR_MODULUS, mangle={"text": quoted})
+    t = corpus.select(
+        "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("t")
+    )
+    wins_expr = F.expr(
+        f"CASE WHEN size(t) >= {SUBSTR_W} THEN "
+        f"transform(sequence(1, size(t) - {SUBSTR_W - 1}), "
+        f"i -> md5(array_join(slice(t, i, {SUBSTR_W}), ' '))) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    wins = _fresh_persist(
+        "substr_wins",
+        t.select("doc_id", F.explode(wins_expr).alias("h")).dropDuplicates(
+            ["doc_id", "h"]
+        ),
+    )
+    big = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > SUBSTR_DF_CAP)
+        .select("h")
+    )
+    cold = wins.join(F.broadcast(big), "h", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -788,8 +914,48 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     freezes BOTH the pair derivation (golden minhash pairs, computed
     by the independent replica) and the component semantics."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    labels = cluster_labels(pairs)
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .select(F.col("lbl").alias("cluster_id"), "n_members")
+        .orderBy("cluster_id")
+    )
+
+
+#: Plain min-label propagation rounds before switching to pointer
+#: doubling; near-dup components are shallow, so this is almost always
+#: the only phase that runs.
+CC_PROPAGATE_ROUNDS = 20
+#: Pointer-doubling continuation rounds — each one at least halves the
+#: unresolved path length, so 16 covers diameters up to ~2^16 beyond
+#: the propagation phase.
+CC_DOUBLE_ROUNDS = 16
+
+
+def cluster_labels(pairs: DataFrame) -> DataFrame:
+    """Connected components over an (id_a, id_b) pair frame → one row
+    per node: (n, lbl = component minimum).
+
+    Physical strategy: labels start as each node's own id; each round
+    joins labels across the (bidirectional) edge list, takes the min
+    label per node (map-side combinable), and stops when no label
+    changed — rounds ∝ component diameter, and near-dup components are
+    shallow (duplicates of a common source), so convergence is 2-3
+    rounds on natural corpora. If propagation hasn't converged after
+    CC_PROPAGATE_ROUNDS (an adversarially deep duplicate chain), the
+    loop SWITCHES to pointer doubling (the Shiloach-Vishkin shortcut,
+    round 4 — replaces the r3 loud RuntimeError): each continuation
+    round follows one propagation hop with lbl ← label(lbl), at least
+    halving every unresolved path, so a 64-deep chain closes in
+    ~log₂(64) extra rounds. Both phases are the same join-agg
+    primitives and share the sum fixed-point witness, and the fixed
+    point itself is phase-independent (labels are monotone
+    non-increasing, bounded by the component min, and stable only when
+    constant per component) — so the recursive-CTE oracle needs no
+    knowledge of which phase finished the job."""
     # bidirect the edge list with ONE explode, not union(pairs, swap):
-    # a union duplicates the whole minhash-pair lineage into both
+    # a union duplicates the whole upstream pair lineage into both
     # branches, running that pipeline twice per materialization
     edges = pairs.select(
         F.explode(
@@ -810,35 +976,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-partition row target instead of a constant.
     edges = _fresh_persist("cc_edges", edges.repartition(8))
     # materialize the edge cache BEFORE anything branches on it: the
-    # first round's action would otherwise run the whole minhash pair
+    # first round's action would otherwise run the whole upstream pair
     # pipeline once per downstream branch racing the not-yet-populated
     # cache
     edges.count()
     labels = edges.select(F.col("s").alias("n"), F.col("s").alias("lbl")).distinct()
-    # One join + one agg per round: new_label(n) = min over the labels
-    # of n's in-neighbors ∪ n itself — the self term rides in as a
-    # union of the (tiny) label frame rather than self-loop edges,
-    # which would double-run the pair lineage while building the edge
-    # cache. Each round ends in an EAGER localCheckpoint: it both
-    # materializes the round (so the next one never re-runs upstream)
-    # and truncates the logical plan — persist alone leaves round i
-    # re-analyzing minhash-lineage + i rounds of plan (the
-    # graph_pagerank_dupes profile measured that compile growth at
-    # 1.3 → 4.0 s/round). Convergence: min-label propagation is
-    # monotone non-increasing, so the label SUM is a fixed-point
-    # witness — unchanged sum ⟺ no label moved — one agg on the
-    # checkpointed frame instead of a changed-flag join against the
-    # previous round.
-    prev_sum: int | None = None
-    converged = False
-    for _ in range(20):  # diameter guard; near-dup components are shallow
-        nxt = (
-            labels.join(edges, labels["n"] == edges["s"])
+
+    def propagate(lbls: DataFrame) -> DataFrame:
+        # One join + one agg: new_label(n) = min over the labels of
+        # n's in-neighbors ∪ n itself — the self term rides in as a
+        # union of the (tiny) label frame rather than self-loop edges,
+        # which would double-run the pair lineage while building the
+        # edge cache.
+        return (
+            lbls.join(edges, lbls["n"] == edges["s"])
             .select(F.col("d").alias("n"), "lbl")
-            .unionByName(labels)
+            .unionByName(lbls)
             .groupBy("n")
             .agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(True)
+        )
+
+    # Each round ends in an EAGER localCheckpoint: it both materializes
+    # the round (so the next one never re-runs upstream) and truncates
+    # the logical plan — persist alone leaves round i re-analyzing
+    # pair-lineage + i rounds of plan (the graph_pagerank_dupes profile
+    # measured that compile growth at 1.3 → 4.0 s/round). Convergence:
+    # min-label propagation is monotone non-increasing, so the label
+    # SUM is a fixed-point witness — unchanged sum ⟺ no label moved —
+    # one agg on the checkpointed frame instead of a changed-flag join
+    # against the previous round.
+    prev_sum: int | None = None
+    converged = False
+    for _ in range(CC_PROPAGATE_ROUNDS):
+        nxt = propagate(labels).localCheckpoint(True)
         cur_sum = nxt.agg(F.sum("lbl")).collect()[0][0]
         labels = nxt
         if cur_sum == prev_sum:
@@ -846,21 +1016,41 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     if not converged:
-        # a silent exit here would REPORT WRONG CLUSTERS (a >20-hop
-        # duplicate chain splits into bogus components with wrong
-        # canonicals); fail loudly — the fix for adversarially deep
-        # components is large-star/small-star contraction, not more
-        # quiet rounds
+        for _ in range(CC_DOUBLE_ROUNDS):
+            hop = propagate(labels).localCheckpoint(True)
+            # pointer doubling: lbl ← label(lbl). Every lbl value is a
+            # node id present in the label frame (labels start as own
+            # ids and only ever take mins of other labels), so the
+            # self-join always resolves; left join + coalesce guards
+            # the invariant anyway rather than dropping rows if it
+            # were ever violated.
+            l2 = hop.select(F.col("n").alias("n2"), F.col("lbl").alias("lbl2"))
+            nxt = (
+                hop.join(l2, hop["lbl"] == l2["n2"], "left")
+                .select(
+                    "n",
+                    F.least(
+                        F.col("lbl"), F.coalesce("lbl2", F.col("lbl"))
+                    ).alias("lbl"),
+                )
+                .localCheckpoint(True)
+            )
+            cur_sum = nxt.agg(F.sum("lbl")).collect()[0][0]
+            labels = nxt
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+    if not converged:
+        # monotone labels + doubling make this unreachable for any
+        # graph that fits the round budgets (diameter ~2^16); if it
+        # ever fires, failing loudly still beats reporting wrong
+        # clusters with wrong canonicals
         raise RuntimeError(
-            "dedup_clusters: min-label propagation did not converge in 20 "
-            "rounds (component diameter > 20); switch to star-contraction"
+            "cluster_labels: did not converge after "
+            f"{CC_PROPAGATE_ROUNDS}+{CC_DOUBLE_ROUNDS} rounds"
         )
-    return (
-        labels.groupBy("lbl")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
-        .select(F.col("lbl").alias("cluster_id"), "n_members")
-        .orderBy("cluster_id")
-    )
+    return labels
 
 
 # ---------------------------------------------------------------------------

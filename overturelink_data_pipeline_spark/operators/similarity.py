@@ -571,6 +571,117 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Principal component by power iteration — the embedding-hygiene
+# primitive (dominant-direction removal / ABTT "all-but-the-top",
+# whitening diagnostics) and the simplest member of the distributed
+# iterative linear-algebra family.
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    """Baked power-iteration CTEs (the embedding_kmeans recipe): v0 is
+    the exact literal 1/sqrt(64), every iterate renormalizes and rounds
+    to 1e-6 in both engines, so cross-engine summation drift cannot
+    compound across iterations."""
+    v0 = "[" + ", ".join(["0.125"] * _LSH_DIM) + "]"
+    parts = [
+        "WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
+        f"    v0 AS (SELECT {v0} AS vv)",
+    ]
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        parts.append(
+            f""",
+    s{t} AS (SELECT e.vec_id,
+                    list_dot_product(e.v, (SELECT vv FROM {prev})) AS s
+             FROM emb e),
+    w{t} AS (SELECT dim, SUM(s * x) AS w
+             FROM (SELECT s{t}.s, generate_subscripts(e.v, 1) AS dim,
+                          unnest(e.v) AS x
+                   FROM emb e JOIN s{t} USING (vec_id)) u
+             GROUP BY dim),
+    n{t} AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w{t}),
+    v{t} AS (SELECT list(ROUND(w / nrm, 6) ORDER BY dim) AS vv
+             FROM w{t} CROSS JOIN n{t})"""
+        )
+        prev = f"v{t}"
+    last = PCA_ITERS
+    parts.append(
+        f"""
+    SELECT CAST(dim AS BIGINT) AS dim,
+           ROUND(w / nrm, 6) AS component,
+           ROUND(nrm, 2) AS eigenvalue
+    FROM w{last} CROSS JOIN n{last}
+    ORDER BY dim"""
+    )
+    return "".join(parts)
+
+
+@spark_query("embedding_pca_power", oracle=_pca_oracle())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram
+    matrix by PCA_ITERS power iterations: v ← normalize(XᵀX v),
+    reported per dimension with the Rayleigh eigenvalue estimate
+    (‖XᵀX v‖ for unit v).
+
+    Iterative-algorithm discipline (the embedding_kmeans pattern): the
+    iterate v is DRIVER state bounded by d doubles, broadcast into each
+    pass as a literal array; one pass computes sᵢ = xᵢ·v in codegen and
+    reduces w = Σ sᵢ xᵢ with a posexplode → groupBy(dim) sum — map-side
+    combinable with exactly d groups, so each iteration is ONE scan +
+    one bounded d-row shuffle, never a d×d matrix materialization
+    (XᵀX itself is d² and never built — the iteration only ever needs
+    XᵀX·v, which is two passes fused into one). Renormalized iterates
+    round to 1e-6 in both engines, pinning the per-iteration state
+    against summation-order drift exactly like the k-means centroids.
+    The LAST iteration stays in-plan (w as a DataFrame, 1-row norm
+    broadcast) so the result is distributed, not driver-built."""
+    emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    import math
+
+    dim = len(emb.select("v").first()["v"])
+    v = [0.125] * dim  # exact literal 1/sqrt(64), matching the oracle
+
+    def pass_frames(vec: list[float]):
+        vlit = F.array(*[F.lit(x) for x in vec])
+        s = F.aggregate(
+            F.zip_with("v", vlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            emb.withColumn("s", s)
+            .select("s", F.posexplode("v").alias("dim0", "x"))
+            .groupBy("dim0")
+            .agg(F.sum(F.col("s") * F.col("x")).alias("w"))
+        )
+
+    for _ in range(PCA_ITERS - 1):
+        rows = pass_frames(v).collect()
+        w = {int(r["dim0"]): float(r["w"]) for r in rows}
+        nrm = math.sqrt(sum(x * x for x in w.values()))
+        v = [_round_half_away(w[j] / nrm, 6) for j in range(dim)]
+
+    wdf = pass_frames(v)
+    nrm_df = wdf.agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    return (
+        wdf.crossJoin(F.broadcast(nrm_df))
+        .select(
+            (F.col("dim0") + 1).cast("bigint").alias("dim"),
+            F.round(F.col("w") / F.col("nrm"), 6).alias("component"),
+            F.round("nrm", 2).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product quantization + asymmetric distance computation (ADC) — the
 # billion-scale ANN memory plan (Jégou et al., "Product Quantization
 # for Nearest Neighbor Search", TPAMI 2011).
@@ -813,14 +924,29 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor. One row per PRUNED vector — the drop-list a curation
     pipeline feeds back as an anti-join.
 
+    k is pinned at KMEANS_K=8 HERE because the oracle bakes the
+    centroid CTEs; the scale path is ``semantic_prune(k=...)`` with
+    k ∝ n — scripts/bench_semantic_scale.py demonstrates per-cell pair
+    counts staying flat as the corpus grows (BENCH_SF1.md round-4
+    section)."""
+    return semantic_prune(spark, sf_dir)
+
+
+def semantic_prune(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K
+) -> DataFrame:
+    """Parameterized SemDeDup core (see dedup_semantic).
+
     Why this survives 100 TB where all-pairs cosine cannot: the k-means
     cells bound the O(n²) — pair enumeration runs per cluster inside
     ``applyInPandas`` as a blocked unit-normalized GEMM (the
     dedup_embedding_cosine strategy, dedup.py:687), centroids are
     driver state (k x dim), and the only corpus-wide movement is the
-    one groupBy(cl) exchange. The threshold compares the ROUNDED
-    cosine in both engines so numpy-vs-DuckDB last-bit drift cannot
-    flip a boundary pair."""
+    one groupBy(cl) exchange. With k ∝ n (bounded mean cell size) the
+    per-cell GEMM is O(cell²·d) at CONSTANT cell, i.e. total work
+    linear in n — the honest closure of the r3 fixed-k caveat. The
+    threshold compares the ROUNDED cosine in both engines so
+    numpy-vs-DuckDB last-bit drift cannot flip a boundary pair."""
     emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -831,7 +957,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = with_planted_copies(
         emb, SEMDEDUP_MODULUS, mangle={"v": perturbed}, id_col="vec_id"
     )
-    assigned = _lloyd_assign(corpus, _lloyd_fit(corpus))
+    assigned = _lloyd_assign(corpus, _lloyd_fit(corpus, k=k))
 
     out_schema = "cluster long, vec_id long, keeper_id long, cos_sim double"
 

@@ -574,17 +574,23 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    # V rides the SAME job as the scoring plan: a broadcast 1-row frame
+    # instead of a driver collect (the r3 version paid a whole separate
+    # job + scheduling floor for this one scalar — measured 3.95x the
+    # DuckDB oracle at sf1, mostly floor)
     vocab = docs.select(F.explode("t").alias("w")).agg(
-        F.countDistinct("w").alias("v")
-    ).collect()[0]["v"]
-    nll = -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(int(vocab))))
-    # no broadcast HINT: the count tables are vocabulary-bounded, not
-    # constant-bounded — AQE broadcasts them while they fit and falls
-    # back to a shuffled join on an open vocabulary (a forced hint
-    # would override the size check and OOM the driver instead)
+        F.countDistinct("w").cast("bigint").alias("v")
+    )
+    nll = -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+    # no broadcast HINT on the count tables: they are vocabulary-
+    # bounded, not constant-bounded — AQE broadcasts them while they
+    # fit and falls back to a shuffled join on an open vocabulary (a
+    # forced hint would override the size check and OOM the driver
+    # instead). The 1-row vocab frame is always broadcast.
     agg = (
         pairs.join(c2, ["w1", "w2"])
         .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
         .select("doc_id", nll.alias("nll"))
         .groupBy("doc_id")
         .agg(

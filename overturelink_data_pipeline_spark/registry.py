@@ -114,6 +114,10 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "ann_ivf_topk",
     "ann_lsh_buckets",
     "stream_user_sessions",
+    # New in round 4 — must sit inside the driver's 50-query window.
+    "sample_reservoir",
+    "dedup_exact_substring",
+    "embedding_pca_power",
     # --- Tail: r3-green queries, rotate back into the r5 window ---------
     "anti_join_parts_never_ordered",
     "ann_cosine_topk",

@@ -1,0 +1,102 @@
+"""Property tests for the round-4 operators (sample_reservoir,
+dedup_exact_substring, embedding_pca_power) beyond their DuckDB
+oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from overturelink_data_pipeline_spark import registry
+from overturelink_data_pipeline_spark.session import read_table
+
+registry.load_all()
+
+
+def test_sample_reservoir_exact_k_per_source(spark, sf_dir):
+    from overturelink_data_pipeline_spark.operators.curation import RESERVOIR_K
+
+    out = registry.QUERIES["sample_reservoir"](spark, sf_dir).toPandas()
+    pop = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .count()
+        .toPandas()
+        .set_index("source")["count"]
+    )
+    got = out.groupby("source").size()
+    for source, n in got.items():
+        assert n == min(RESERVOIR_K, pop[source]), source
+    # ranks are 1..k dense per source
+    assert (out.groupby("source")["rk"].max() == got).all()
+    # deterministic: a second run returns the identical sample
+    again = registry.QUERIES["sample_reservoir"](spark, sf_dir).toPandas()
+    assert out.equals(again)
+
+
+def test_exact_substring_finds_every_planted_quote(spark, sf_dir):
+    from overturelink_data_pipeline_spark.operators.dedup import (
+        SUBSTR_MODULUS,
+        SUBSTR_W,
+    )
+
+    rows = registry.QUERIES["dedup_exact_substring"](spark, sf_dir).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in rows}
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expected = 0
+    for r in docs:
+        if r["doc_id"] % SUBSTR_MODULUS != 0:
+            continue
+        toks = r["text"].split()
+        quoted = toks[5:25]  # the 20-token slice the plant embeds
+        if len(quoted) >= SUBSTR_W:
+            expected += 1
+            key = (r["doc_id"], r["doc_id"] + 1_000_000)
+            assert key in pairs, f"planted quote not found for {key}"
+            # 20-token run shares 20 - W + 1 windows (when all distinct)
+            assert pairs[key] <= len(quoted) - SUBSTR_W + 1
+    assert expected > 0, "fixture too small: no plantable quotes"
+
+
+def test_exact_substring_df_cap_bounds_boilerplate(spark, tmp_path, monkeypatch):
+    """A 15-token run shared by MANY docs (footer boilerplate) must not
+    generate quadratic candidates once over the cap."""
+    from tests.test_round4_fixes import _write_docs
+
+    from overturelink_data_pipeline_spark.operators import dedup
+
+    boiler = " ".join(f"w{i}" for i in range(20))
+    rows = [(i, f"u{i}a u{i}b " + boiler + f" u{i}c", "en", "web") for i in range(30)]
+    rows += [(100 + i, f"unique text {i} " + " ".join(f"z{i}{j}" for j in range(20)), "en", "web") for i in range(5)]
+    d = _write_docs(tmp_path, rows)
+    monkeypatch.setattr(dedup, "SUBSTR_DF_CAP", 8)
+    out = registry.QUERIES["dedup_exact_substring"](spark, d).collect()
+    # the 30-doc boilerplate clique (435 pairs uncapped) is suppressed
+    boiler_pairs = [r for r in out if r["id_a"] < 30 and r["id_b"] < 30]
+    assert len(boiler_pairs) == 0
+
+
+def test_pca_power_component_is_dominant_direction(spark, sf_dir):
+    import math
+
+    out = registry.QUERIES["embedding_pca_power"](spark, sf_dir).collect()
+    comp = [r["component"] for r in sorted(out, key=lambda r: r["dim"])]
+    eig = out[0]["eigenvalue"]
+    assert eig > 0
+    # unit norm (up to the 1e-6 rounding of components)
+    assert abs(math.sqrt(sum(c * c for c in comp)) - 1.0) < 1e-4
+    # Rayleigh quotient of the returned direction beats a fixed
+    # arbitrary direction by a clear margin (dominance sanity)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def rayleigh(direction):
+        d = F.array(*[F.lit(float(x)) for x in direction])
+        s = F.aggregate(
+            F.zip_with("v", d, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        )
+        return emb.select(F.sum(s * s).alias("q")).collect()[0]["q"]
+
+    alt = [0.0] * len(comp)
+    alt[0] = 1.0
+    assert rayleigh(comp) > rayleigh(alt)
