@@ -855,10 +855,14 @@ SHARD_MAX_ROWS = 16
 
 #: Rows per salt bucket — the unit of writer parallelism. Each
 #: (source, doc_id div SHARD_SALT_ROWS) group is one write task, so a
-#: dominant source gets rows/SHARD_SALT_ROWS writers instead of ONE;
-#: small at test scale so several salt buckets exist per source, sized
-#: to a few file-multiples in production.
-SHARD_SALT_ROWS = 64
+#: dominant source gets rows/SHARD_SALT_ROWS writers instead of ONE.
+#: Sizing rule: MANY shard files per salt bucket (here 1024 rows = up
+#: to 64 files of SHARD_MAX_ROWS) — the first cut of 64 rows/bucket
+#: produced one DIRECTORY per file and the dynamic-partition commit's
+#: per-dir overhead tripled the write (25 s vs 8 s at sf0.1, 1 568
+#: dirs); production sizes this to ~writer-task granularity (e.g. 1M
+#: rows), never file granularity.
+SHARD_SALT_ROWS = 1024
 
 #: Fixed per-process output dataset. A mkdtemp per invocation would
 #: LEAK a full corpus copy every run (bench = warm-up + 3 timed runs);

@@ -283,6 +283,36 @@ def _lsh_oracle() -> str:
     """
 
 
+def _lsh_signature_udf(dim: int, n_planes: int = N_PLANES):
+    """Arrow-batched numpy replica of ``lsh_signature``: int64 matmul
+    against the ±1 plane matrix — EXACT integer arithmetic, so it is
+    bit-identical to the Catalyst version (pinned by
+    test_llm_ops.test_ann_lsh_udf_matches_catalyst) and to the DuckDB
+    oracle. Exists for the same measured reason as ann_pq_topk's
+    codes_udf: 16 planes × dim interpreted zip_with/aggregate lambdas
+    cost ~0.5 ms/row (3.7 s at sf0.1) vs microseconds for the numpy
+    batch (~0.6 s)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(
+        [[_lattice_sign(i, j) for j in range(dim)] for i in range(n_planes)],
+        dtype=np.int64,
+    )
+    weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("long")
+    def sig(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64) * LSH_SCALE
+        # ROUND-half-away-from-zero, matching Spark/DuckDB round() —
+        # np.round is half-to-even and would diverge on exact .5s
+        Q = np.copysign(np.floor(np.abs(X) + 0.5), X).astype(np.int64)
+        dots = Q @ P.T  # exact int64
+        return pd.Series(((dots > 0) * weights).sum(axis=1))
+
+    return sig
+
+
 @spark_query("ann_lsh_buckets", oracle=_lsh_oracle())
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing: 16-bit signatures, bucket-size
@@ -292,18 +322,22 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lattice (±1 components from a shared LCG closed form) over
     1e-3-quantized vectors, so the sign of every dot product is exact
     integer arithmetic in both engines — the float-drift escape the
-    old sin-based planes couldn't offer. Signature determinism +
-    bucket-join recall additionally pinned in tests."""
+    old sin-based planes couldn't offer. The hot path runs the Arrow
+    numpy kernel (_lsh_signature_udf); ``lsh_signature`` is the
+    Catalyst reference the kernel is equality-pinned against.
+    Signature determinism + bucket-join recall additionally pinned in
+    tests."""
     raw = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
     emb = raw.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     # plane constants are built per dimension at plan time — DERIVE the
     # dim from the data (one footer-cheap row) instead of hardcoding:
-    # with a wrong dim, zip_with pads with nulls, every dot product
-    # goes NULL, and all vectors silently collapse into bucket 0
+    # with a wrong dim, the matmul would raise (the Catalyst zip_with
+    # version silently NULL-padded instead)
     dim = len(raw.select("embedding").first()["embedding"])
-    sigs = emb.select("vec_id", lsh_signature(F.col("v"), dim).alias("sig"))
+    sig = _lsh_signature_udf(dim)
+    sigs = emb.select("vec_id", sig(F.col("v")).alias("sig"))
     return (
         sigs.groupBy("sig")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))

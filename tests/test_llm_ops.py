@@ -108,6 +108,31 @@ def test_ann_lsh_bucket_determinism(spark, sf_dir, q):
     assert (a.n > 1).all()
 
 
+def test_ann_lsh_udf_matches_catalyst(spark, sf_dir):
+    """The Arrow numpy signature kernel must be BIT-identical to the
+    Catalyst reference formulation on every vector (both are exact
+    integer arithmetic by construction — this pins it)."""
+    import pyspark.sql.functions as F
+
+    from overturelink_data_pipeline_spark.operators.similarity import (
+        _lsh_signature_udf,
+        lsh_signature,
+    )
+    from overturelink_data_pipeline_spark.session import read_table
+
+    raw = read_table(spark, sf_dir, "embeddings")
+    dim = len(raw.select("embedding").first()["embedding"])
+    emb = raw.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    both = emb.select(
+        "vec_id",
+        lsh_signature(F.col("v"), dim).alias("ref"),
+        _lsh_signature_udf(dim)(F.col("v")).alias("fast"),
+    )
+    assert both.filter(F.col("ref") != F.col("fast")).count() == 0
+
+
 def test_multimodal_decode_plumbing(spark, sf_dir, q):
     out = q["mm_decode_features"](spark, sf_dir).toPandas()
     assert set(out.kind) == {"image", "audio", "video"}

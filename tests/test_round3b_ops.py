@@ -185,10 +185,18 @@ def test_shard_writer_splits_files_and_sorts(spark, sf_dir):
 
     from overturelink_data_pipeline_spark.operators.curation import SHARD_OUT_DIR
 
+    from overturelink_data_pipeline_spark.operators.curation import SHARD_SALT_ROWS
+
     rows = registry.QUERIES["sink_training_shards"](spark, sf_dir).collect()
     assert rows and all(r["n_files"] >= 2 for r in rows), "split path unexercised"
     salt_dirs = glob.glob(os.path.join(SHARD_OUT_DIR, "source=*", "salt=*"))
-    assert len(salt_dirs) >= 2, "salted writer fan-out unexercised"
+    expected_groups = (
+        read_table(spark, sf_dir, "documents")
+        .select("source", (F.col("doc_id") / SHARD_SALT_ROWS).cast("long").alias("salt"))
+        .distinct()
+        .count()
+    )
+    assert len(salt_dirs) == expected_groups, "salted layout != (source, salt) groups"
     parts = glob.glob(os.path.join(SHARD_OUT_DIR, "source=*", "salt=*", "*.parquet"))
     assert parts
     for f in parts[:8]:
