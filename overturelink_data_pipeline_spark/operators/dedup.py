@@ -468,36 +468,189 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = corpus.select(
         "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("t")
     )
-    wins_expr = F.expr(
-        f"CASE WHEN size(t) >= {SUBSTR_W} THEN "
-        f"transform(sequence(1, size(t) - {SUBSTR_W - 1}), "
-        f"i -> md5(array_join(slice(t, i, {SUBSTR_W}), ' '))) "
-        "ELSE CAST(array() AS array<string>) END"
+    # explode the index range FIRST, hash AFTER: md5 inside a
+    # transform() lambda is interpreted per element (measured 4.1 s at
+    # sf1); as a post-explode projection it runs in whole-stage
+    # codegen (1.6 s). Same trick as the ngram posting build.
+    idx = F.expr(
+        f"CASE WHEN size(t) >= {SUBSTR_W} "
+        f"THEN sequence(1, size(t) - {SUBSTR_W - 1}) "
+        "ELSE CAST(array() AS array<int>) END"
     )
     wins = _fresh_persist(
         "substr_wins",
-        t.select("doc_id", F.explode(wins_expr).alias("h")).dropDuplicates(
-            ["doc_id", "h"]
-        ),
+        t.select("doc_id", "t", F.explode(idx).alias("i"))
+        .select(
+            "doc_id",
+            F.expr(f"md5(array_join(slice(t, i, {SUBSTR_W}), ' '))").alias("h"),
+        )
+        .dropDuplicates(["doc_id", "h"]),
     )
+    # census FIRST (map-side-combined count, fixed state per key — the
+    # dedup.py rule: never collect a hot bucket), THEN a bounded
+    # collect_list over the surviving ≤-cap postings. Emitting pairs
+    # from posting LISTS instead of a self-join halves the exchanges of
+    # the posting table (measured 3.5 → 1.3 s at sf1: the self-join
+    # re-shuffled both aliases; the list explode is one shuffle and the
+    # per-list pair fan-out is an in-codegen transform over ≤ cap ids).
     big = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > SUBSTR_DF_CAP)
         .select("h")
     )
-    cold = wins.join(F.broadcast(big), "h", "left_anti")
-    a, b = cold.alias("a"), cold.alias("b")
+    posts = (
+        wins.join(F.broadcast(big), "h", "left_anti")
+        .groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.array_sort("ids").alias("a"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(a, (x, i) -> "
+        "transform(slice(a, i + 2, size(a) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        posts.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle CONTAINMENT (asymmetric near-dup: fragment ⊂ document)
+# ---------------------------------------------------------------------------
+
+#: Containment threshold: |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|).
+CONTAIN_TAU = 0.8
+#: Every CONTAIN_MODULUS-th doc donates a FRAGMENT copy (middle 40% of
+#: its tokens, id + 1e6): containment of fragment in original ≈ 1
+#: while Jaccard ≈ 0.4 — under dedup_ngram_jaccard's 0.5 bar, which is
+#: exactly the subsumption case Jaccard misses.
+CONTAIN_MODULUS = 17
+
+_CONTAIN_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           array_to_string(
+             t[CAST(floor(len(t) * 0.3) AS INT) + 1 :
+               CAST(floor(len(t) * 0.3) AS INT) + CAST(floor(len(t) * 0.4) AS INT)],
+             ' ')
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents)
+    WHERE doc_id % {CONTAIN_MODULUS} = 0
+"""
+
+
+@spark_query(
+    "text_minhash_containment",
+    oracle=f"""
+    WITH corpus AS ({_CONTAIN_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(t) - 2, 0)),
+                 i -> md5(array_to_string(t[i:i + 2], ' ')))) AS h
+        FROM toks) u
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(c * 1.0 / LEAST(sa.n, sb.n), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / LEAST(sa.n, sb.n) >= {CONTAIN_TAU}
+    ORDER BY id_a, id_b
+    """,
+)
+def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT dedup: pairs where the smaller
+    document's 3-token shingle set is ≥ CONTAIN_TAU contained in the
+    larger's — the quote/fragment/subsumption case where Jaccard is
+    diluted below its threshold by the size imbalance (Broder's
+    containment measure, the source of the "a tweet quoting an article
+    is a dup of it" rule real curation pipelines apply).
+
+    Same inverted-index mechanics as dedup_ngram_jaccard — candidates
+    from shingle co-occurrence, |A ∩ B| from groupBy().count() over
+    DISTINCT'd per-doc shingles, df-cap guard riding the same
+    NGRAM_DF_CAP — with min-size instead of union-size in the
+    denominator. md5 string shingles (not xxhash64 triples) because
+    this query is oracle'd DIRECTLY against DuckDB rather than through
+    golden parquet."""
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    toks0 = F.split(F.trim(F.col("text")), "\\s+")
+    frag_start = F.floor(F.size(toks0) * 0.3).cast("int") + 1
+    frag_len = F.floor(F.size(toks0) * 0.4).cast("int")
+    fragment = F.array_join(F.slice(toks0, frag_start, frag_len), " ")
+    corpus = with_planted_copies(
+        docs, CONTAIN_MODULUS, mangle={"text": fragment}
+    )
+    t = corpus.select(
+        "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("t")
+    )
+    # explode-then-project (codegen md5), not a transform() lambda —
+    # see dedup_exact_substring for the measured difference
+    idx = F.expr(
+        "CASE WHEN size(t) >= 3 THEN sequence(1, size(t) - 2) "
+        "ELSE CAST(array() AS array<int>) END"
+    )
+    sh = _fresh_persist(
+        "contain_sh",
+        t.select("doc_id", "t", F.explode(idx).alias("i"))
+        .select(
+            "doc_id",
+            F.expr("md5(array_join(slice(t, i, 3), ' '))").alias("h"),
+        )
+        .dropDuplicates(["doc_id", "h"]),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # census → bounded posting lists → in-list pair fan-out (the
+    # dedup_exact_substring shape; see that docstring for the measured
+    # self-join vs posting-list difference)
+    big = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") > NGRAM_DF_CAP)
+        .select("h")
+    )
+    posts = (
+        sh.join(F.broadcast(big), "h", "left_anti")
+        .groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.array_sort("ids").alias("a"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(a, (x, i) -> "
+        "transform(slice(a, i + 2, size(a) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    inter = (
+        posts.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    contain = F.col("c") / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .filter(contain >= CONTAIN_TAU)
+        .select("id_a", "id_b", F.round(contain, 6).alias("containment"))
         .orderBy("id_a", "id_b")
     )
 

@@ -349,3 +349,77 @@ def stream_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_to_completion(agg, spark, shuffle_partitions=8)
     return result.orderBy("segment", "event_type")
+
+
+@spark_query(
+    "stream_session_window",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+    marked AS (
+      SELECT user_id, us, value,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sess AS (
+      SELECT user_id, us, value,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(MIN(us) AS BIGINT) AS session_start_us,
+             CAST(MAX(us) + 1800000000 AS BIGINT) AS session_end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 2)     AS total_value
+      FROM sess GROUP BY user_id, sid
+    ),
+    wm AS (SELECT (MAX(us) // 1000) - 1800000 AS w_ms FROM ev)
+    SELECT user_id, session_start_us, session_end_us, n_events, total_value
+    FROM agg CROSS JOIN wm
+    WHERE w_ms > session_end_us // 1000
+    ORDER BY user_id, session_start_us
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the BUILT-IN ``session_window`` aggregation —
+    the declarative counterpart of stream_user_sessions'
+    applyInPandasWithState: windows [t, t+gap) merge on overlap inside
+    the native state store (no Python worker at all), append mode
+    emits a session once the watermark passes its end.
+
+    Microsecond precision end-to-end: the gap-merge decision happens
+    at the event_time's native µs resolution in Spark, so the oracle
+    sessionizes on ``epoch_us`` (merge iff diff < 30 min exactly in
+    µs) — only the EMISSION cutoff compares in ms, because Spark
+    tracks watermarks in milliseconds: a session is emitted iff
+    final_watermark_ms (= max event ms − 30 min) exceeds the session
+    end floored to ms. Where stream_user_sessions floors events to
+    SECONDS to match the batch-sessionization contract, this operator
+    keeps the engine's native window semantics — the pair demonstrates
+    both ends of the custom-vs-built-in stateful spectrum over the
+    same data."""
+    read_table(spark, sf_dir, "events")
+    stream = read_event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("event_time", "30 minutes")
+        .groupBy(
+            F.session_window("event_time", "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = run_to_completion(agg, spark, output_mode="append", shuffle_partitions=8)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "n_events",
+        "total_value",
+    ).orderBy("user_id", "session_start_us")

@@ -608,3 +608,99 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters — the bounded-state frequency plan
+# for unbounded vocabularies (Cormode & Muthukrishnan 2005). Unlike
+# agg_approx_sketches (engine-native approx_percentile/HLL, rows-only
+# check), the sketch here is built from DETERMINISTIC md5-derived
+# hashes, so DuckDB replicates it cell-for-cell and the driver's
+# hash-match gate applies to an approximate structure.
+# ---------------------------------------------------------------------------
+
+#: Sketch geometry: CMS_D independent rows of CMS_W buckets. Bucket i
+#: of a token = byte i of its md5 — 256 buckets/row keeps planted
+#: collisions realistic at test vocabulary sizes.
+CMS_D = 4
+CMS_W = 256
+
+
+def _cms_bucket(i: int, col: Column) -> Column:
+    """Byte ``i`` of md5(token) as 0-255 (hex pair → int), the exact
+    expression the oracle evaluates with CAST('0x..' AS INTEGER)."""
+    return F.conv(F.substring(F.md5(col), 1 + 2 * i, 2), 16, 10).cast("int")
+
+
+@spark_query(
+    "agg_count_min_tokens",
+    oracle=f"""
+    WITH inst AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+    ),
+    cms AS (
+      SELECT i, CAST('0x' || substr(md5(t), 1 + 2 * i, 2) AS INTEGER) AS b,
+             COUNT(*) AS c
+      FROM inst CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS i) planes
+      GROUP BY 1, 2
+    ),
+    exact AS (SELECT t, COUNT(*) AS exact_n FROM inst GROUP BY t),
+    est AS (
+      SELECT e.t, MIN(c.c) AS est_n
+      FROM exact e JOIN cms c
+        ON c.b = CAST('0x' || substr(md5(e.t), 1 + 2 * c.i, 2) AS INTEGER)
+      GROUP BY e.t
+    )
+    SELECT e.t AS token,
+           CAST(est.est_n AS BIGINT) AS est_count,
+           CAST(e.exact_n AS BIGINT) AS exact_count
+    FROM exact e JOIN est ON est.t = e.t
+    ORDER BY est_count DESC, token
+    LIMIT 20
+    """,
+)
+def agg_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters over the token stream: estimate every
+    token's frequency from a CMS_D × CMS_W counter grid, report the
+    top 20 by estimate next to the exact count (the overestimate
+    audit; CMS guarantees est ≥ exact always).
+
+    100 TB plan shape — why a sketch beats the exact groupBy at scale:
+    the sketch state is CMS_D × CMS_W cells regardless of vocabulary,
+    so the counting pass is map-side-combinable down to ≤ 1024 rows
+    PER PARTITION before the shuffle — the exchange moves
+    O(cells × partitions), never O(vocabulary). The exact side
+    (needed here only for the audit and the top-k join) is the
+    O(vocabulary) shuffle the sketch exists to avoid; a pure
+    production scan would ship the 1 KB grid broadcast-side and probe
+    it per candidate token. Determinism: bucket = md5 byte, identical
+    in both engines, so even COLLISIONS (the approximation error) are
+    bit-reproducible and hash-checked."""
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    inst = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    pairs = inst.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(i, F.col("t")) for i in range(CMS_D)])
+        ).alias("i", "b")
+    )
+    cms = pairs.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+    exact = inst.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    tok_buckets = exact.select(
+        "t",
+        "exact_count",
+        F.posexplode(
+            F.array(*[_cms_bucket(i, F.col("t")) for i in range(CMS_D)])
+        ).alias("i", "b"),
+    )
+    est = (
+        tok_buckets.join(F.broadcast(cms), ["i", "b"])
+        .groupBy("t", "exact_count")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )
+    return (
+        est.select(F.col("t").alias("token"), "est_count", "exact_count")
+        .orderBy(F.col("est_count").desc(), "token")
+        .limit(20)
+    )

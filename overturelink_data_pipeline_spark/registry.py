@@ -118,6 +118,9 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "sample_reservoir",
     "dedup_exact_substring",
     "embedding_pca_power",
+    "text_minhash_containment",
+    "agg_count_min_tokens",
+    "stream_session_window",
     # --- Tail: r3-green queries, rotate back into the r5 window ---------
     "anti_join_parts_never_ordered",
     "ann_cosine_topk",

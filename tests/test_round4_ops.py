@@ -100,3 +100,59 @@ def test_pca_power_component_is_dominant_direction(spark, sf_dir):
     alt = [0.0] * len(comp)
     alt[0] = 1.0
     assert rayleigh(comp) > rayleigh(alt)
+
+
+def test_containment_finds_planted_fragments(spark, sf_dir):
+    from overturelink_data_pipeline_spark.operators.dedup import (
+        CONTAIN_MODULUS,
+        CONTAIN_TAU,
+    )
+
+    rows = registry.QUERIES["text_minhash_containment"](spark, sf_dir).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["containment"] for r in rows}
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    found = 0
+    for r in docs:
+        if r["doc_id"] % CONTAIN_MODULUS != 0:
+            continue
+        n = len(r["text"].split())
+        frag = r["text"].split()[int(n * 0.3) : int(n * 0.3) + int(n * 0.4)]
+        if len(frag) >= 3:  # fragment has shingles at all
+            key = (r["doc_id"], r["doc_id"] + 1_000_000)
+            if key in pairs:
+                found += 1
+                assert pairs[key] >= CONTAIN_TAU
+    assert found > 0, "no planted fragment detected"
+    for c in pairs.values():
+        assert 0 < c <= 1.0 + 1e-9
+
+
+def test_count_min_estimates_dominate_exact(spark, sf_dir):
+    rows = registry.QUERIES["agg_count_min_tokens"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # the CMS invariant: estimates never undercount
+        assert r["est_count"] >= r["exact_count"] > 0
+    # descending by estimate
+    ests = [r["est_count"] for r in rows]
+    assert ests == sorted(ests, reverse=True)
+
+
+def test_session_window_consistent_with_batch_sessions(spark, sf_dir):
+    """Built-in session_window (µs precision) and the batch
+    sessionizer (second-floored) must agree on the session COUNT for
+    users whose gaps are nowhere near the boundary — here just sanity:
+    emitted sessions are disjoint per user and each covers its events."""
+    rows = registry.QUERIES["stream_session_window"](spark, sf_dir).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start_us"], r["session_end_us"], r["n_events"])
+        )
+    for user, sess in by_user.items():
+        sess.sort()
+        for (s1, e1, n1), (s2, e2, n2) in zip(sess, sess[1:]):
+            assert e1 <= s2, f"overlapping sessions for {user}"
+        for s, e, n in sess:
+            assert n >= 1 and e - s >= 30 * 60 * 1_000_000  # end = last + gap
