@@ -227,6 +227,161 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic HyperLogLog replica — the hash-VERIFIABLE cousin of
+# agg_approx_sketches: same register/estimate structure as HLL, but
+# built from md5-derived hashes shared with DuckDB, so the driver's
+# value-hash gate applies to an approximate cardinality sketch
+# (engine-native approx_count_distinct can only ever be rows-only).
+# ---------------------------------------------------------------------------
+
+#: 2^HLL_B registers.
+HLL_B = 8
+HLL_M = 1 << HLL_B
+#: alpha_m * m^2 * 2^61 for m=256 (the estimate numerator, scaled so
+#: the register sum stays exact BIGINT: sum of 2^(61-rank) terms).
+#: Same literal in both engines → same double → same rounded estimate.
+_HLL_NUMER = 0.7182725932495458 * HLL_M * HLL_M * float(1 << 61)
+
+
+@spark_query(
+    "agg_hll_distinct_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, 17) AS hx
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type,
+             CAST('0x' || substr(hx, 1, 2) AS INTEGER) AS bucket,
+             CASE WHEN length(regexp_extract(substr(hx, 3, 15), '^(0*)', 1)) = 15
+                  THEN 61
+                  ELSE 4 * length(regexp_extract(substr(hx, 3, 15), '^(0*)', 1)) + 5
+                       - CASE WHEN CAST('0x' || substr(substr(hx, 3, 15),
+                              length(regexp_extract(substr(hx, 3, 15), '^(0*)', 1)) + 1, 1)
+                              AS INTEGER) >= 8 THEN 4
+                              WHEN CAST('0x' || substr(substr(hx, 3, 15),
+                              length(regexp_extract(substr(hx, 3, 15), '^(0*)', 1)) + 1, 1)
+                              AS INTEGER) >= 4 THEN 3
+                              WHEN CAST('0x' || substr(substr(hx, 3, 15),
+                              length(regexp_extract(substr(hx, 3, 15), '^(0*)', 1)) + 1, 1)
+                              AS INTEGER) >= 2 THEN 2
+                              ELSE 1 END
+             END AS rank
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, bucket, MAX(rank) AS r
+      FROM ranked GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT event_type,
+             SUM(CAST(CAST(1 AS BIGINT) << (61 - r) AS HUGEINT)) AS s,
+             COUNT(*) AS n_regs
+      FROM regs GROUP BY 1
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS x FROM events GROUP BY 1
+    ),
+    raw AS (
+      SELECT event_type, n_regs,
+             {_HLL_NUMER!r} / CAST(est.s
+                 + CAST({HLL_M} - est.n_regs AS HUGEINT)
+                   * CAST(CAST(1 AS BIGINT) << 61 AS HUGEINT) AS DOUBLE) AS r
+      FROM est
+    )
+    SELECT e.event_type,
+           ROUND(CASE WHEN raw.r <= 2.5 * {HLL_M} AND raw.n_regs < {HLL_M}
+                      THEN {HLL_M} * ln({HLL_M} * 1.0 / ({HLL_M} - raw.n_regs))
+                      ELSE raw.r END, 2) AS est_distinct,
+           CAST({HLL_M} - raw.n_regs AS BIGINT) AS zero_registers,
+           CAST(e.x AS BIGINT) AS exact_distinct
+    FROM exact e JOIN raw USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def agg_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type by a DETERMINISTIC HyperLogLog:
+    bucket = md5 byte 0 (256 registers), rank = leading-zero count of
+    the next 60 md5 bits (computed with string/integer ops only — no
+    log2, whose libm rounding differs across engines), estimate =
+    alpha·m²/Σ2^-Mj with the register sum kept EXACT in BIGINT
+    (Σ2^(61-Mj), empty registers contributing 2^61) and one final
+    double division — so even the approximation error is
+    bit-reproducible and hash-checked against DuckDB. The exact
+    distinct count rides along as the accuracy audit.
+
+    100 TB plan shape (the point of HLL): register state is m=256
+    cells per group regardless of cardinality, the aggregation is
+    map-side combinable (MAX per register), and the exchange moves
+    O(groups × m), never O(distinct users). The exact audit side is
+    the O(distinct) shuffle the sketch exists to avoid at scale.
+    Includes the small-range linear-counting branch (m·ln(m/V) when
+    the raw estimate is <= 2.5m), so low-cardinality groups stay
+    accurate too; see the in-code note on why the ln() is safe under
+    the 2-decimal hash contract."""
+    from overturelink_data_pipeline_spark.session import read_events
+
+    ev = read_events(spark, sf_dir)
+    hx = F.substring(F.md5(F.col("user_id").cast("string")), 1, 17)
+    base = ev.select("event_type", hx.alias("hx"))
+    w = F.expr("substr(hx, 3, 15)")
+    z = F.length(F.regexp_extract(w, "^(0*)", 1))
+    nib = F.expr(
+        "CAST(conv(substr(substr(hx, 3, 15), "
+        "length(regexp_extract(substr(hx, 3, 15), '^(0*)', 1)) + 1, 1), 16, 10) AS INT)"
+    )
+    bitlen = (
+        F.when(nib >= 8, 4).when(nib >= 4, 3).when(nib >= 2, 2).otherwise(1)
+    )
+    rank = F.when(z == 15, 61).otherwise(4 * z + 5 - bitlen)
+    ranked = base.select(
+        "event_type",
+        F.conv(F.substring("hx", 1, 2), 16, 10).cast("int").alias("bucket"),
+        rank.alias("rank"),
+    )
+    regs = ranked.groupBy("event_type", "bucket").agg(F.max("rank").alias("r"))
+    # register sum in DECIMAL(38,0): Sigma 2^(61-Mj) + empties*2^61 can
+    # reach m*2^61 = 2^69, past BIGINT; the exact decimal converts to
+    # double ONCE (correctly rounded from the exact integer in both
+    # engines) before the single estimate division
+    est = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - r) AS DECIMAL(38,0))")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    zero_term = (
+        (F.lit(HLL_M) - F.col("n_regs")).cast("decimal(38,0)")
+        * F.lit(1 << 61).cast("decimal(38,0)")
+    )
+    raw = F.lit(_HLL_NUMER) / (F.col("s") + zero_term).cast("double")
+    # small-range linear counting (raw <= 2.5m with empty registers):
+    # m*ln(m/V) — the one transcendental in the plan; both engines'
+    # libm log() is correctly rounded to <=1 ulp, far inside the
+    # 2-decimal ROUND grid, and the BRANCH decision compares doubles
+    # built from identical exact integers, so it can never diverge
+    corrected = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("n_regs") < HLL_M),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / (F.lit(HLL_M) - F.col("n_regs"))),
+    ).otherwise(raw)
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            F.round(corrected, 2).alias("est_distinct"),
+            (F.lit(HLL_M) - F.col("n_regs")).cast("bigint").alias("zero_registers"),
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------
 

@@ -121,6 +121,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "text_minhash_containment",
     "agg_count_min_tokens",
     "stream_session_window",
+    "agg_hll_distinct_users",
     # --- Tail: r3-green queries, rotate back into the r5 window ---------
     "anti_join_parts_never_ordered",
     "ann_cosine_topk",

@@ -156,3 +156,13 @@ def test_session_window_consistent_with_batch_sessions(spark, sf_dir):
             assert e1 <= s2, f"overlapping sessions for {user}"
         for s, e, n in sess:
             assert n >= 1 and e - s >= 30 * 60 * 1_000_000  # end = last + gap
+
+
+def test_hll_estimate_within_sketch_error(spark, sf_dir):
+    """256-register HLL has ~6.5% standard error; allow 3 sigma."""
+    rows = registry.QUERIES["agg_hll_distinct_users"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_distinct"] > 0
+        rel = abs(r["est_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel < 0.2, f"{r['event_type']}: {rel:.3f} relative error"
