@@ -376,6 +376,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _posting_pairs(postings: DataFrame, cap: int) -> DataFrame:
+    """Candidate pairs from an inverted index of (doc_id, h) postings:
+    census FIRST (map-side-combined count, fixed state per key — the
+    dedup.py rule: never collect a hot bucket), broadcast anti-join of
+    over-``cap`` keys, THEN a bounded collect_list and an in-codegen
+    pair fan-out over each sorted posting list. Emitting pairs from
+    posting LISTS instead of a posting self-join halves the exchanges
+    of the posting table (measured 3.5 → 1.3 s at sf1 on
+    dedup_exact_substring: the self-join re-shuffled both aliases; the
+    list explode is one shuffle and the per-list fan-out is a
+    transform over ≤ cap ids). Returns one row per unordered pair
+    (id_a < id_b) per shared posting key — aggregate downstream."""
+    big = (
+        postings.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .select("h")
+    )
+    posts = (
+        postings.join(F.broadcast(big), "h", "left_anti")
+        .groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.array_sort("ids").alias("a"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(a, (x, i) -> "
+        "transform(slice(a, i + 2, size(a) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    return posts.select(F.explode(pair_expr).alias("p")).select(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact-substring dedup (verbatim-run detection, the Lee et al. 2022
 # "Deduplicating Training Data Makes Language Models Better" protocol:
@@ -486,34 +522,9 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_id", "h"]),
     )
-    # census FIRST (map-side-combined count, fixed state per key — the
-    # dedup.py rule: never collect a hot bucket), THEN a bounded
-    # collect_list over the surviving ≤-cap postings. Emitting pairs
-    # from posting LISTS instead of a self-join halves the exchanges of
-    # the posting table (measured 3.5 → 1.3 s at sf1: the self-join
-    # re-shuffled both aliases; the list explode is one shuffle and the
-    # per-list pair fan-out is an in-codegen transform over ≤ cap ids).
-    big = (
-        wins.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > SUBSTR_DF_CAP)
-        .select("h")
-    )
-    posts = (
-        wins.join(F.broadcast(big), "h", "left_anti")
-        .groupBy("h")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(F.array_sort("ids").alias("a"))
-    )
-    pair_expr = F.expr(
-        "flatten(transform(a, (x, i) -> "
-        "transform(slice(a, i + 2, size(a) - i - 1), "
-        "y -> struct(x AS id_a, y AS id_b))))"
-    )
     return (
-        posts.select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        _posting_pairs(wins, SUBSTR_DF_CAP)
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .orderBy("id_a", "id_b")
     )
@@ -619,30 +630,9 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_id", "h"]),
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # census → bounded posting lists → in-list pair fan-out (the
-    # dedup_exact_substring shape; see that docstring for the measured
-    # self-join vs posting-list difference)
-    big = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("dfreq"))
-        .filter(F.col("dfreq") > NGRAM_DF_CAP)
-        .select("h")
-    )
-    posts = (
-        sh.join(F.broadcast(big), "h", "left_anti")
-        .groupBy("h")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(F.array_sort("ids").alias("a"))
-    )
-    pair_expr = F.expr(
-        "flatten(transform(a, (x, i) -> "
-        "transform(slice(a, i + 2, size(a) - i - 1), "
-        "y -> struct(x AS id_a, y AS id_b))))"
-    )
     inter = (
-        posts.select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        _posting_pairs(sh, NGRAM_DF_CAP)
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     contain = F.col("c") / F.least(F.col("na"), F.col("nb"))

@@ -306,10 +306,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_DUP_MODULUS = 9
 #: Marker appended to a re-encoded payload (models codec/container bytes).
 MM_REENC_MARKER = " reencoded:v2"
-#: Pairs at perceptual-hash hamming <= this are duplicates. With 8
-#: bands of 8 bits, pigeonhole guarantees any pair at hamming <= 7
-#: shares at least one full band, so banded candidate generation has
-#: EXACT recall at this threshold.
+#: Pairs at perceptual-hash hamming <= this are duplicates. Banding is
+#: the 28 byte-PAIRS (since round 4): hamming <= 6 corrupts at most 6
+#: of the 8 hash bytes, leaving >= 2 intact bytes and therefore >= 1
+#: intact byte-pair — EXACT recall at this threshold. Do NOT raise to
+#: 7: seven corrupted bytes can leave only one intact byte and zero
+#: intact byte-pairs (the old single-byte banding tolerated 7, but its
+#: 256-value buckets grew linearly with the corpus — see
+#: mm_dedup_phash's docstring).
 MM_HAMMING_T = 6
 
 PHASH_SCHEMA = T.StructType(

@@ -275,7 +275,8 @@ def _lsh_oracle() -> str:
     ),
     sigs AS (
       SELECT vec_id,
-             SUM(CASE WHEN dot > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sig
+             CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                  AS BIGINT) AS sig
       FROM dots GROUP BY vec_id
     )
     SELECT sig, CAST(COUNT(*) AS BIGINT) AS n
@@ -304,9 +305,16 @@ def _lsh_signature_udf(dim: int, n_planes: int = N_PLANES):
     @pandas_udf("long")
     def sig(v: pd.Series) -> pd.Series:
         X = np.stack(v.to_numpy()).astype(np.float64) * LSH_SCALE
-        # ROUND-half-away-from-zero, matching Spark/DuckDB round() —
-        # np.round is half-to-even and would diverge on exact .5s
-        Q = np.copysign(np.floor(np.abs(X) + 0.5), X).astype(np.int64)
+        # ROUND-half-away-from-zero matching Spark/DuckDB round().
+        # NOT floor(abs+0.5): adding 0.5 re-rounds in IEEE (abs(x) =
+        # 0.49999999999999994 + 0.5 == 1.0 exactly), flipping a
+        # boundary quantization the engines' decimal-exact round()
+        # would not. floor + exact-fraction compare has no addition:
+        # a - floor(a) is exact for |a| < 2^52.
+        a = np.abs(X)
+        f = np.floor(a)
+        q = f + (a - f >= 0.5)
+        Q = np.copysign(q, X).astype(np.int64)
         dots = Q @ P.T  # exact int64
         return pd.Series(((dots > 0) * weights).sum(axis=1))
 

@@ -380,7 +380,7 @@ def stream_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm AS (SELECT (MAX(us) // 1000) - 1800000 AS w_ms FROM ev)
     SELECT user_id, session_start_us, session_end_us, n_events, total_value
     FROM agg CROSS JOIN wm
-    WHERE w_ms > session_end_us // 1000
+    WHERE w_ms * 1000 >= session_end_us
     ORDER BY user_id, session_start_us
     """,
 )

@@ -79,6 +79,11 @@ def _country_polygon_cached(
 ) -> bytes:
     key = (iso2, base_dir, _divisions_snapshot(base_dir))
     if key not in _POLYGON_MEMO:
+        # evict superseded snapshots of the same (iso2, base_dir): a
+        # long-lived process re-running ensure_dump per release would
+        # otherwise accumulate one dead polygon WKB per rewrite
+        for k in [k for k in _POLYGON_MEMO if k[:2] == key[:2]]:
+            del _POLYGON_MEMO[k]
         divisions = read_theme(spark, base_dir, "divisions", "division_area")
         _POLYGON_MEMO[key] = country_polygon(divisions, iso2)
     return _POLYGON_MEMO[key]

@@ -120,19 +120,24 @@ def _append_adaptive(
     floor: int,
     start_size: int | None = None,
     ceiling: int | None = None,
-) -> int:
+    start_streak: int = 0,
+) -> tuple[int, int]:
     """Append with halving-on-413 (reference publish.py:603-641).
-    Returns the chunk size that finally succeeded; pass it back in as
-    ``start_size`` for the next batch so the halving is learned once
-    per publish, not re-probed per batch. After ``_PROBE_UP_AFTER``
-    consecutive successes at a reduced size the size doubles (capped
-    at ``ceiling``, default the configured batch size), so a one-off
-    oversized batch doesn't lock the whole publish at half speed."""
+    Returns ``(size, streak)`` — the chunk size that finally succeeded
+    and the consecutive-success count at that size; pass BOTH back in
+    for the next batch so the halving is learned once per publish, not
+    re-probed per batch, AND the probe-up streak keeps accumulating
+    across batches (a reduced size that fits only 1-3 chunks per batch
+    would otherwise never reach _PROBE_UP_AFTER within one call and
+    stay locked at half speed forever — the exact scenario the
+    probe-up exists for). After ``_PROBE_UP_AFTER`` consecutive
+    successes at a reduced size the size doubles (capped at
+    ``ceiling``, default the configured batch size)."""
     cap = ceiling if ceiling is not None else len(batch)
     size = len(batch) if start_size is None else min(len(batch), start_size)
     size = max(size, 1)
     start = 0
-    streak = 0
+    streak = start_streak
     while start < len(batch):
         chunk = batch[start : start + size]
         try:
@@ -147,7 +152,7 @@ def _append_adaptive(
                 raise
             size = max(size // 2, floor)
             streak = 0
-    return size
+    return size, streak
 
 
 def publish(
@@ -182,6 +187,8 @@ def publish(
         # same seed the reference's iloc slice would.
         seeded = False
         seed: list[dict] = []
+        learned: int | None = None
+        streak = 0
         for batch in _stream_batches(df, batch_size, stream):
             if not seeded:
                 need = seed_count - len(seed)
@@ -193,10 +200,18 @@ def publish(
                 total += len(seed)
                 seeded = True
                 if rest:
-                    _append_adaptive(service, rest, batch_floor)
+                    learned, streak = _append_adaptive(
+                        service, rest, batch_floor,
+                        start_size=learned, ceiling=batch_size,
+                        start_streak=streak,
+                    )
                     total += len(rest)
             else:
-                _append_adaptive(service, batch, batch_floor)
+                learned, streak = _append_adaptive(
+                    service, batch, batch_floor,
+                    start_size=learned, ceiling=batch_size,
+                    start_streak=streak,
+                )
                 total += len(batch)
         if not seeded:
             # frame smaller than the seed (or empty): everything seen so
@@ -216,9 +231,15 @@ def publish(
     # oversized uploads (~log2(max/working) rejected round-trips per
     # batch) against the live endpoint
     learned: int | None = None
+    streak = 0
     for batch in _stream_batches(df, batch_size, stream):
-        learned = _append_adaptive(
-            service, batch, batch_floor, start_size=learned, ceiling=batch_size
+        learned, streak = _append_adaptive(
+            service,
+            batch,
+            batch_floor,
+            start_size=learned,
+            ceiling=batch_size,
+            start_streak=streak,
         )
         total += len(batch)
     return total

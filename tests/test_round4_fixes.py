@@ -268,7 +268,9 @@ def test_append_adaptive_probes_back_up():
 
     svc = OneTime413()
     batch = [{"i": i} for i in range(2000)]
-    size = _append_adaptive(svc, batch, floor=10, start_size=100, ceiling=100)
+    size, streak = _append_adaptive(
+        svc, batch, floor=10, start_size=100, ceiling=100
+    )
     # halved to 50 once, then after _PROBE_UP_AFTER successes doubled back
     sizes = [n for op, n in svc.calls if op == "append"]
     assert 50 in sizes
@@ -276,6 +278,41 @@ def test_append_adaptive_probes_back_up():
     assert sizes[-1] == 100 or sizes[-2] == 100
     assert sum(sizes) == 2000
     assert _PROBE_UP_AFTER >= 2  # guard against accidental per-success doubling
+
+
+def test_append_adaptive_streak_carries_across_batches():
+    """The review scenario: batches small enough that a reduced size
+    fits only 2 chunks per batch — the streak must accumulate ACROSS
+    _append_adaptive calls or the size stays halved forever."""
+    from overturelink_data_pipeline_spark.sinks.publish import (
+        _PROBE_UP_AFTER,
+        MockFeatureService,
+        PayloadTooLarge,
+        _append_adaptive,
+    )
+
+    class OneTime413(MockFeatureService):
+        def __init__(self):
+            super().__init__()
+            self.rejected = False
+
+        def append(self, rows):
+            if not self.rejected and len(rows) > 50:
+                self.rejected = True
+                raise PayloadTooLarge("anomaly")
+            super().append(rows)
+
+    svc = OneTime413()
+    size, streak = None, 0
+    batches = [[{"i": i} for i in range(100)] for _ in range(6)]
+    for b in batches:
+        size, streak = _append_adaptive(
+            svc, b, floor=10, start_size=size or 100, ceiling=100,
+            start_streak=streak,
+        )
+    # after the one 413 (size 100 -> 50), 2 chunks/batch accumulate the
+    # streak across calls and the size probes back up to the ceiling
+    assert size == 100, f"size stuck at {size}"
 
 
 # ---------------------------------------------------------------------------
