@@ -442,12 +442,23 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     have): buckets over MM_BAND_BUCKET_CAP are not self-joined —
     instead each over-cap bucket emits STAR pairs (bucket-min member,
     other member), so a ubiquitous asset contributes O(d) candidates
-    instead of O(d^2) and downstream connected components
-    (dedup_clusters) still recovers the full duplicate cluster from the
-    star. The cap never fires on md5-derived natural corpora (measured:
-    max 16-bit bucket size 2 at sf0.1), so the oracle's brute-force
-    all-pairs scan stays bit-identical; scripts/bench_skew.py plants a
-    hot identical asset to demonstrate the bounded-candidate behavior.
+    instead of O(d^2). Recall scope, stated precisely: for the case hot
+    buckets actually represent — one ubiquitous payload, members
+    hamming-close to the bucket minimum — the star pairs pass
+    verification and downstream connected components (dedup_clusters)
+    recovers the full cluster (pinned by the union-find coverage test).
+    For a HETEROGENEOUS over-cap bucket, a pair whose every intact band
+    is hot and which is far from that bucket's minimum can be missed —
+    the same declared trade as the text pipeline's "a pair whose entire
+    overlap is stop-shingles is not reported": an over-cap band value
+    is non-discriminative by definition. The exact closure, if a
+    deployment needs it, is recursive star contraction within the
+    bucket (re-anchor the unverified remainder on its own minimum,
+    O(log d) passes of the same shape). The cap never fires on
+    md5-derived natural corpora (measured: max 16-bit bucket size 2 at
+    sf0.1), so the oracle's brute-force all-pairs scan stays
+    bit-identical; scripts/bench_skew.py plants a hot identical asset
+    to demonstrate the bounded-candidate behavior.
 
     Scale mechanics mirror dedup_simhash: only (media_id, band_idx,
     band_val) crosses the candidate shuffle — never payloads or decoded

@@ -708,7 +708,12 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         nrm = math.sqrt(sum(x * x for x in w.values()))
         v = [_round_half_away(w[j] / nrm, 6) for j in range(dim)]
 
-    wdf = pass_frames(v)
+    # eager localCheckpoint pins the d-row aggregate BEFORE it branches
+    # into the norm job and the component projection — without it the
+    # broadcast(nrm_df) evaluation and the main plan each re-ran the
+    # full corpus pass (2 scans for the final iteration, breaking the
+    # one-scan-per-iteration discipline)
+    wdf = pass_frames(v).localCheckpoint(True)
     nrm_df = wdf.agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )

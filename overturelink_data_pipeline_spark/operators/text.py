@@ -638,13 +638,13 @@ def _cms_bucket(i: int, col: Column) -> Column:
     WITH inst AS (
       SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
     ),
+    exact AS (SELECT t, COUNT(*) AS exact_n FROM inst GROUP BY t),
     cms AS (
       SELECT i, CAST('0x' || substr(md5(t), 1 + 2 * i, 2) AS INTEGER) AS b,
-             COUNT(*) AS c
-      FROM inst CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS i) planes
+             CAST(SUM(exact_n) AS BIGINT) AS c
+      FROM exact CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS i) planes
       GROUP BY 1, 2
     ),
-    exact AS (SELECT t, COUNT(*) AS exact_n FROM inst GROUP BY t),
     est AS (
       SELECT e.t, MIN(c.c) AS est_n
       FROM exact e JOIN cms c
@@ -678,14 +678,25 @@ def agg_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible and hash-checked."""
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     inst = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
-    pairs = inst.select(
-        F.posexplode(
-            F.array(*[_cms_bucket(i, F.col("t")) for i in range(CMS_D)])
-        ).alias("i", "b")
-    )
-    cms = pairs.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
     exact = inst.groupBy("t").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    # the grid derives from the exact counts this query computes anyway
+    # for the audit (counts are additive, so summing per-token totals
+    # into buckets is cell-identical to counting instances — and 4×
+    # vocabulary rows instead of 4× token instances through the
+    # explode). A pure production scan with no audit side builds the
+    # grid straight off the instances: same groupBy, map-side combined
+    # to ≤ CMS_D × CMS_W rows per partition.
+    cms = (
+        exact.select(
+            "exact_count",
+            F.posexplode(
+                F.array(*[_cms_bucket(i, F.col("t")) for i in range(CMS_D)])
+            ).alias("i", "b"),
+        )
+        .groupBy("i", "b")
+        .agg(F.sum("exact_count").cast("bigint").alias("c"))
     )
     tok_buckets = exact.select(
         "t",

@@ -200,10 +200,12 @@ def _flat_parts(geom: W.Geom) -> tuple[list[float], list[int]]:
             xy.extend((x, y))
         return xy, []
     if kind == "MultiPoint":
-        # children are typed ("Point", (x, y)) tuples (geo/wkb.py model)
+        # children are typed ("Point", (x, y)) tuples (geo/wkb.py model);
+        # drop POINT EMPTY members (body None) — no coordinates to emit
         xy = []
         for _, p in body:
-            xy.extend((p[0], p[1]))
+            if p is not None:
+                xy.extend((p[0], p[1]))
         return xy, []
     if kind == "Polygon":
         rings = body
@@ -211,6 +213,10 @@ def _flat_parts(geom: W.Geom) -> tuple[list[float], list[int]]:
         rings = [child[1] for child in body]  # typed LineString children
     else:
         raise ValueError(f"_flat_parts cannot flatten {kind}")
+    # drop empty parts BEFORE computing ends: a zero-vertex part would
+    # emit a duplicated end index (a degenerate part readers can
+    # reject) — same rule the shapefile encoder applies
+    rings = [r for r in rings if r]
     xy = []
     ends: list[int] = []
     n = 0

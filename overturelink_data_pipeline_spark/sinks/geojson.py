@@ -263,6 +263,13 @@ def _count_features_streaming(path: str) -> int:
                         f"feature {count - 1}, got {sep!r}"
                     )
         r.expect("}", "closing brace")
-        if not r.at_eof() and r.peek().strip():
-            raise ValueError("malformed GeoJSON: trailing content after document")
+        # drain to EOF: anything non-whitespace after the document —
+        # even past a newline — is corruption/concatenation
+        while not r.at_eof():
+            rest = r.peek(_ChunkReader.CHUNK)
+            if rest.strip():
+                raise ValueError(
+                    "malformed GeoJSON: trailing content after document"
+                )
+            r.skip(len(rest))
         return count

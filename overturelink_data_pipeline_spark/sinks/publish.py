@@ -114,45 +114,70 @@ def _stream_batches(df: DataFrame, batch_size: int, stream: bool = False):
 _PROBE_UP_AFTER = 4
 
 
+@dataclass
+class _AdaptiveState:
+    """Learned upload state carried across batches of one publish.
+
+    ``limit`` is the largest chunk size currently believed safe — None
+    means no limit has been learned (full batches go up whole; a SHORT
+    batch appending cleanly teaches nothing, which is why the limit is
+    not just "the size that last succeeded": the r4 review found the
+    initial-mode seed remainder — possibly 1 row — being mistaken for
+    a learned limit and throttling every later batch 31-fold with zero
+    413s ever raised). ``streak`` counts consecutive successes at the
+    current limit; at ``threshold`` the limit doubles (probe-up).
+    ``threshold`` itself doubles every time a 413 arrives at or above
+    a size the probe already re-raised to — so when the endpoint's
+    limit is GENUINELY reduced, re-probing backs off geometrically
+    (bounded total rejected probes) instead of paying one rejected
+    request per _PROBE_UP_AFTER successes forever."""
+
+    limit: int | None = None
+    streak: int = 0
+    threshold: int = _PROBE_UP_AFTER
+    probed_to: int | None = None  # size the last probe-up raised to
+
+
 def _append_adaptive(
     service: FeatureService,
     batch: list[dict],
     floor: int,
-    start_size: int | None = None,
+    state: _AdaptiveState | None = None,
     ceiling: int | None = None,
-    start_streak: int = 0,
-) -> tuple[int, int]:
-    """Append with halving-on-413 (reference publish.py:603-641).
-    Returns ``(size, streak)`` — the chunk size that finally succeeded
-    and the consecutive-success count at that size; pass BOTH back in
-    for the next batch so the halving is learned once per publish, not
-    re-probed per batch, AND the probe-up streak keeps accumulating
-    across batches (a reduced size that fits only 1-3 chunks per batch
-    would otherwise never reach _PROBE_UP_AFTER within one call and
-    stay locked at half speed forever — the exact scenario the
-    probe-up exists for). After ``_PROBE_UP_AFTER`` consecutive
-    successes at a reduced size the size doubles (capped at
-    ``ceiling``, default the configured batch size)."""
+) -> _AdaptiveState:
+    """Append with halving-on-413 (reference publish.py:603-641) and
+    backed-off probe-up; mutates and returns ``state`` so the learned
+    limit, streak, and probe backoff all persist across batches (a
+    reduced limit fitting only 1-3 chunks per batch would otherwise
+    never accumulate a probe streak and stay locked at half speed —
+    the r4 review's scenario)."""
+    st = state if state is not None else _AdaptiveState()
     cap = ceiling if ceiling is not None else len(batch)
-    size = len(batch) if start_size is None else min(len(batch), start_size)
-    size = max(size, 1)
     start = 0
-    streak = start_streak
     while start < len(batch):
+        size = len(batch) - start if st.limit is None else min(
+            len(batch) - start, max(st.limit, 1)
+        )
         chunk = batch[start : start + size]
         try:
             service.append(chunk)
             start += len(chunk)
-            streak += 1
-            if size < cap and streak >= _PROBE_UP_AFTER:
-                size = min(size * 2, cap)
-                streak = 0
+            if st.limit is not None and len(chunk) >= min(st.limit, cap):
+                st.streak += 1
+                if st.limit < cap and st.streak >= st.threshold:
+                    st.limit = min(st.limit * 2, cap)
+                    st.probed_to = st.limit
+                    st.streak = 0
         except PayloadTooLarge:
-            if size <= floor:
+            if len(chunk) <= floor:
                 raise
-            size = max(size // 2, floor)
-            streak = 0
-    return size, streak
+            if st.probed_to is not None and len(chunk) >= st.probed_to:
+                # the probe itself was rejected: the endpoint's limit
+                # really is lower — back off the re-probe cadence
+                st.threshold *= 2
+            st.limit = max(len(chunk) // 2, floor)
+            st.streak = 0
+    return st
 
 
 def publish(
@@ -187,8 +212,7 @@ def publish(
         # same seed the reference's iloc slice would.
         seeded = False
         seed: list[dict] = []
-        learned: int | None = None
-        streak = 0
+        state = _AdaptiveState()
         for batch in _stream_batches(df, batch_size, stream):
             if not seeded:
                 need = seed_count - len(seed)
@@ -200,17 +224,15 @@ def publish(
                 total += len(seed)
                 seeded = True
                 if rest:
-                    learned, streak = _append_adaptive(
+                    state = _append_adaptive(
                         service, rest, batch_floor,
-                        start_size=learned, ceiling=batch_size,
-                        start_streak=streak,
+                        state=state, ceiling=batch_size,
                     )
                     total += len(rest)
             else:
-                learned, streak = _append_adaptive(
+                state = _append_adaptive(
                     service, batch, batch_floor,
-                    start_size=learned, ceiling=batch_size,
-                    start_streak=streak,
+                    state=state, ceiling=batch_size,
                 )
                 total += len(batch)
         if not seeded:
@@ -230,16 +252,10 @@ def publish(
     # batch at the configured maximum would replay the same failed
     # oversized uploads (~log2(max/working) rejected round-trips per
     # batch) against the live endpoint
-    learned: int | None = None
-    streak = 0
+    state = _AdaptiveState()
     for batch in _stream_batches(df, batch_size, stream):
-        learned, streak = _append_adaptive(
-            service,
-            batch,
-            batch_floor,
-            start_size=learned,
-            ceiling=batch_size,
-            start_streak=streak,
+        state = _append_adaptive(
+            service, batch, batch_floor, state=state, ceiling=batch_size
         )
         total += len(batch)
     return total

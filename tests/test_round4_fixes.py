@@ -266,15 +266,17 @@ def test_append_adaptive_probes_back_up():
                 raise PayloadTooLarge("anomaly")
             super().append(rows)
 
+    from overturelink_data_pipeline_spark.sinks.publish import _AdaptiveState
+
     svc = OneTime413()
     batch = [{"i": i} for i in range(2000)]
-    size, streak = _append_adaptive(
-        svc, batch, floor=10, start_size=100, ceiling=100
+    st = _append_adaptive(
+        svc, batch, floor=10, state=_AdaptiveState(limit=100), ceiling=100
     )
     # halved to 50 once, then after _PROBE_UP_AFTER successes doubled back
     sizes = [n for op, n in svc.calls if op == "append"]
     assert 50 in sizes
-    assert size == 100  # recovered to the ceiling
+    assert st.limit == 100  # recovered to the ceiling
     assert sizes[-1] == 100 or sizes[-2] == 100
     assert sum(sizes) == 2000
     assert _PROBE_UP_AFTER >= 2  # guard against accidental per-success doubling
@@ -302,17 +304,58 @@ def test_append_adaptive_streak_carries_across_batches():
                 raise PayloadTooLarge("anomaly")
             super().append(rows)
 
+    from overturelink_data_pipeline_spark.sinks.publish import _AdaptiveState
+
     svc = OneTime413()
-    size, streak = None, 0
+    st = _AdaptiveState()
     batches = [[{"i": i} for i in range(100)] for _ in range(6)]
     for b in batches:
-        size, streak = _append_adaptive(
-            svc, b, floor=10, start_size=size or 100, ceiling=100,
-            start_streak=streak,
+        st = _append_adaptive(svc, b, floor=10, state=st, ceiling=100)
+    # after the one 413 (100 -> 50), 2 chunks/batch accumulate the
+    # streak across calls and the limit probes back up to the ceiling
+    assert st.limit == 100, f"limit stuck at {st.limit}"
+
+
+def test_short_batch_does_not_become_learned_limit():
+    """r4 review: a 1-row seed remainder appending cleanly must not be
+    mistaken for a learned limit that throttles later batches."""
+    from overturelink_data_pipeline_spark.sinks.publish import (
+        MockFeatureService,
+        _AdaptiveState,
+        _append_adaptive,
+    )
+
+    svc = MockFeatureService()
+    st = _append_adaptive(svc, [{"i": 0}], floor=10, state=_AdaptiveState(), ceiling=1000)
+    assert st.limit is None  # nothing learned from a short clean batch
+    st = _append_adaptive(svc, [{"i": i} for i in range(1000)], floor=10, state=st, ceiling=1000)
+    sizes = [n for op, n in svc.calls if op == "append"]
+    assert sizes == [1, 1000]  # second batch went up WHOLE
+
+
+def test_probe_up_backs_off_on_genuinely_reduced_limit():
+    """When the endpoint limit really is lower, rejected probes must
+    become geometrically rarer, not one per _PROBE_UP_AFTER successes."""
+    from overturelink_data_pipeline_spark.sinks.publish import (
+        MockFeatureService,
+        _AdaptiveState,
+        _append_adaptive,
+    )
+
+    svc = MockFeatureService(max_payload=50)  # hard server limit
+    st = _AdaptiveState()
+    rejected_per_round = []
+    for _ in range(8):
+        before = len([1 for op, n in svc.calls if op == "append"])
+        ok_before = svc.count()
+        st = _append_adaptive(
+            svc, [{"i": i} for i in range(400)], floor=10, state=st, ceiling=400
         )
-    # after the one 413 (size 100 -> 50), 2 chunks/batch accumulate the
-    # streak across calls and the size probes back up to the ceiling
-    assert size == 100, f"size stuck at {size}"
+        appends = len([1 for op, n in svc.calls if op == "append"]) - before
+        rows = svc.count() - ok_before
+        rejected_per_round.append(appends - (rows + 49) // 50 if st.limit == 50 else None)
+    # threshold doubled at least twice -> later rounds see fewer probes
+    assert st.threshold > 8
 
 
 # ---------------------------------------------------------------------------
@@ -383,3 +426,34 @@ def test_cluster_labels_random_graph_matches_recursive_cte(spark):
         }
     )
     assert _spark_clusters(spark, pairs) == _cluster_via_duckdb(pairs)
+
+
+def test_stream_validation_rejects_trailing_garbage(tmp_path):
+    from overturelink_data_pipeline_spark.sinks.geojson import (
+        _count_features_streaming,
+    )
+
+    doc = (
+        '{"type":"FeatureCollection","features":['
+        '{"type":"Feature","geometry":null,"properties":{}}]}'
+    )
+    p = tmp_path / "g.geojson"
+    p.write_text(doc + "\nGARBAGE")
+    with pytest.raises(ValueError, match="trailing"):
+        _count_features_streaming(str(p))
+    p.write_text(doc + " \n ")  # pure whitespace tail is fine
+    assert _count_features_streaming(str(p)) == 1
+
+
+def test_fgb_drops_empty_parts():
+    from overturelink_data_pipeline_spark.sinks.fgb import _flat_parts
+
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]
+    xy, ends = _flat_parts(("Polygon", [ring, []]))
+    assert ends == [4]  # the empty ring emitted no duplicated end
+    xy, ends = _flat_parts(
+        ("MultiLineString", [("LineString", [(0.0, 0.0), (1.0, 1.0)]), ("LineString", [])])
+    )
+    assert ends == [2]
+    xy, _ = _flat_parts(("MultiPoint", [("Point", (1.0, 2.0)), ("Point", None)]))
+    assert xy == [1.0, 2.0]
