@@ -377,39 +377,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _posting_pairs(postings: DataFrame, cap: int) -> DataFrame:
+def _posting_pairs(
+    postings: DataFrame, cap: int, payload: str | None = None
+) -> DataFrame:
     """Candidate pairs from an inverted index of (doc_id, h) postings:
     census FIRST (map-side-combined count, fixed state per key — the
     dedup.py rule: never collect a hot bucket), broadcast anti-join of
     over-``cap`` keys, THEN a bounded collect_list and an in-codegen
     pair fan-out over each sorted posting list. Emitting pairs from
-    posting LISTS instead of a posting self-join halves the exchanges
-    of the posting table (measured 3.5 → 1.3 s at sf1 on
+    posting LISTS instead of a self-join halves the exchanges of the
+    posting table (measured 3.5 → 1.3 s at sf1 on
     dedup_exact_substring: the self-join re-shuffled both aliases; the
     list explode is one shuffle and the per-list fan-out is a
     transform over ≤ cap ids). Returns one row per unordered pair
-    (id_a < id_b) per shared posting key — aggregate downstream."""
+    (id_a < id_b) per shared posting key — aggregate downstream.
+
+    ``payload`` names an extra per-posting column to RIDE THE PAIRS
+    (as ``pa``/``pb``): a downstream per-doc attribute (e.g. shingle
+    count) then needs no post-aggregation join back — at tens of
+    millions of candidate rows those joins cost more than the fan-out
+    itself."""
     big = (
         postings.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > cap)
         .select("h")
     )
+    cold = postings.join(F.broadcast(big), "h", "left_anti")
+    if payload is None:
+        member = F.col("doc_id")
+        out = ["p.x AS id_a", "p.y AS id_b"]
+    else:
+        member = F.struct(F.col("doc_id"), F.col(payload).alias("pl"))
+        out = [
+            "p.x.doc_id AS id_a",
+            "p.x.pl AS pa",
+            "p.y.doc_id AS id_b",
+            "p.y.pl AS pb",
+        ]
     posts = (
-        postings.join(F.broadcast(big), "h", "left_anti")
-        .groupBy("h")
-        .agg(F.collect_list("doc_id").alias("ids"))
+        cold.groupBy("h")
+        .agg(F.collect_list(member).alias("ids"))
         .filter(F.size("ids") >= 2)
+        # array_sort on structs orders by the first field (doc_id), so
+        # pair order stays id_a < id_b with or without payload
         .select(F.array_sort("ids").alias("a"))
     )
     pair_expr = F.expr(
         "flatten(transform(a, (x, i) -> "
         "transform(slice(a, i + 2, size(a) - i - 1), "
-        "y -> struct(x AS id_a, y AS id_b))))"
+        "y -> struct(x AS x, y AS y))))"
     )
-    return posts.select(F.explode(pair_expr).alias("p")).select(
-        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
-    )
+    return posts.select(F.explode(pair_expr).alias("p")).selectExpr(*out)
 
 
 # ---------------------------------------------------------------------------
@@ -629,17 +648,22 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_id", "h"]),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # each doc's shingle count rides the postings (window over the
+    # persisted frame — no separate sizes join against the ~35 M
+    # candidate pairs the sf3 profile measured)
+    from pyspark.sql.window import Window
+
+    sized = sh.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
     inter = (
-        _posting_pairs(sh, NGRAM_DF_CAP)
-        .groupBy("id_a", "id_b")
+        _posting_pairs(sized, NGRAM_DF_CAP, payload="n")
+        .groupBy("id_a", "pa", "id_b", "pb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    contain = F.col("c") / F.least(F.col("na"), F.col("nb"))
+    contain = F.col("c") / F.least(F.col("pa"), F.col("pb"))
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .filter(contain >= CONTAIN_TAU)
+        inter.filter(contain >= CONTAIN_TAU)
         .select("id_a", "id_b", F.round(contain, 6).alias("containment"))
         .orderBy("id_a", "id_b")
     )

@@ -453,8 +453,9 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap is stop-shingles is not reported": an over-cap band value
     is non-discriminative by definition. The exact closure, if a
     deployment needs it, is recursive star contraction within the
-    bucket (re-anchor the unverified remainder on its own minimum,
-    O(log d) passes of the same shape). The cap never fires on
+    bucket (re-anchor the unverified remainder on its own minimum —
+    passes bounded by the bucket's sub-cluster count, each the same
+    join-agg shape). The cap never fires on
     md5-derived natural corpora (measured: max 16-bit bucket size 2 at
     sf0.1), so the oracle's brute-force all-pairs scan stays
     bit-identical; scripts/bench_skew.py plants a hot identical asset
