@@ -447,8 +447,13 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming-close to the bucket minimum — the star pairs pass
     verification and downstream connected components (dedup_clusters)
     recovers the full cluster (pinned by the union-find coverage test).
-    For a HETEROGENEOUS over-cap bucket, a pair whose every intact band
-    is hot and which is far from that bucket's minimum can be missed —
+    Note the star anchors PER BAND BUCKET (each over-cap bucket's own
+    minimum), which narrows the miss window further: a sub-cluster
+    sharing one polluted band with a foreign asset still connects
+    through any OTHER band where its members are alone (those buckets
+    anchor at the sub-cluster's own minimum). A miss therefore needs a
+    pair whose EVERY intact band bucket is over-cap AND min-anchored
+    far from both members —
     the same declared trade as the text pipeline's "a pair whose entire
     overlap is stop-shingles is not reported": an over-cap band value
     is non-discriminative by definition. The exact closure, if a
