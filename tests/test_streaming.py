@@ -202,3 +202,74 @@ def test_late_event_extends_session_backward(spark, tmp_path):
         if r["user_id"] == 1
     ]
     assert u1 == [(9500, 10600, 3)]
+
+
+def test_session_window_merges_across_micro_batches(spark, tmp_path):
+    """Built-in session_window state must MERGE a session that spans
+    two micro-batches: file 1 opens user 1's session, file 2 delivers
+    an in-gap continuation (forward extension) plus enough user-2
+    traffic to push the watermark past the merged session's end."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from overturelink_data_pipeline_spark.session import _normalize_ts
+
+    ns = 1_000_000_000
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] * ns for r in rows], pa.int64()),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array(["click"] * len(rows)),
+                    "value": pa.array([1.0] * len(rows)),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            path,
+        )
+
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    write(os.path.join(d, "a_first.parquet"), [(1, 10000, 1), (2, 10600, 1)])
+    # 11500 is within 30 min of 10600 -> same session, crossing batches
+    write(
+        os.path.join(d, "b_second.parquet"),
+        [(3, 11500, 1), (4, 50000, 2), (5, 60000, 2)],
+    )
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    stream = _normalize_ts(stream).withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    agg = (
+        stream.withWatermark("event_time", "30 minutes")
+        .groupBy(F.session_window("event_time", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    name = "sw" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    u1 = [
+        (r["w"]["start"].timestamp(), r["w"]["end"].timestamp(), r["n_events"])
+        for r in spark.table(name).collect()
+        if r["user_id"] == 1
+    ]
+    # ONE merged session 10000 -> 11500+gap, all 3 events — not two
+    # fragments split at the batch boundary
+    assert u1 == [(10000.0, 11500.0 + 1800.0, 3)]
