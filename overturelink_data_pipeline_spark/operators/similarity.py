@@ -12,9 +12,13 @@ Scale design:
   per-label centroids computed via posexplode/avg — one aggregation),
   probe the nearest cells only. The probed-cell filter is a partition-
   prunable predicate when the table is written bucketed by cell id;
-- random-hyperplane LSH: 16-bit signature via sign-of-dot-product with
-  seeded pseudo-random planes (deterministic, JVM-side), candidates
-  from signature-band equality.
+- random-hyperplane LSH: 16-bit signature via sign-of-dot-product
+  against an INTEGER-lattice plane matrix over 1e-3-quantized vectors
+  (exact arithmetic in both engines — oracle-able), computed by an
+  Arrow int64-matmul kernel with a Catalyst reference formulation the
+  kernel is equality-pinned against;
+- PCA power iteration: XᵀXv without materializing XᵀX — driver state
+  is d doubles, one scan + one d-row shuffle per iteration.
 """
 
 from __future__ import annotations
