@@ -4,6 +4,7 @@ oracles."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from overturelink_data_pipeline_spark import registry
@@ -166,3 +167,87 @@ def test_hll_estimate_within_sketch_error(spark, sf_dir):
         assert r["exact_distinct"] > 0
         rel = abs(r["est_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
         assert rel < 0.2, f"{r['event_type']}: {rel:.3f} relative error"
+
+
+def test_posting_pairs_matches_bruteforce_reference(spark):
+    """Property: _posting_pairs == the self-join reference on random
+    posting tables, in both plain and payload mode."""
+    import itertools
+    import random
+
+    from overturelink_data_pipeline_spark.operators.dedup import _posting_pairs
+
+    rng = random.Random(7)
+    rows = [
+        (doc, f"h{rng.randint(0, 40)}")
+        for doc in range(60)
+        for _ in range(rng.randint(1, 6))
+    ]
+    rows = list(set(rows))
+    df = spark.createDataFrame(rows, "doc_id long, h string")
+    cap = 9
+    # reference: per-key doc sets, pairs from keys with 2..cap docs
+    by_h: dict = {}
+    for doc, h in rows:
+        by_h.setdefault(h, set()).add(doc)
+    want = sorted(
+        (a, b)
+        for docs in by_h.values()
+        if 2 <= len(docs) <= cap
+        for a, b in itertools.combinations(sorted(docs), 2)
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in _posting_pairs(df, cap).collect()
+    )
+    assert got == want
+    # payload mode: same pairs, each side carrying its payload value
+    dfp = df.withColumn("n", (F.col("doc_id") * 10).cast("long"))
+    gotp = sorted(
+        (r["id_a"], r["pa"], r["id_b"], r["pb"])
+        for r in _posting_pairs(dfp, cap, payload="n").collect()
+    )
+    assert gotp == sorted((a, a * 10, b, b * 10) for a, b in want)
+
+
+def test_streaming_validator_roundtrip_fuzz(spark, tmp_path):
+    """Random FeatureCollections round-trip through write_geojson's
+    stream path (validator counts exactly; corrupted tails raise)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from overturelink_data_pipeline_spark.geo import wkb as W
+    from overturelink_data_pipeline_spark.sinks.geojson import (
+        _count_features_streaming,
+        write_geojson,
+    )
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = rng.randint(0, 12)
+        rows = [
+            Row(
+                id=str(i),
+                note=rng.choice(['he said "features":[', "plain", '{"type":"Feature"']),
+                geometry=bytearray(
+                    W.dumps(("Point", (rng.uniform(-180, 180), rng.uniform(-90, 90))))
+                ),
+            )
+            for i in range(n)
+        ]
+        out = str(tmp_path / f"fz{trial}.geojson")
+        if n == 0:
+            df = spark.createDataFrame(
+                [], "id string, note string, geometry binary"
+            )
+        else:
+            df = spark.createDataFrame(rows)
+        meta = {"trial": trial, "decoy": '{"type":"Feature"'}
+        assert write_geojson(df, out, metadata=meta, stream=True) == n
+        assert _count_features_streaming(out) == n
+        # chop the tail -> must raise
+        raw = open(out).read()
+        with open(out, "w") as f:
+            f.write(raw[:-2])
+        with pytest.raises(ValueError):
+            _count_features_streaming(out)
