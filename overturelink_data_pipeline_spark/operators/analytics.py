@@ -24,6 +24,7 @@ from overturelink_data_pipeline_spark.functions.timeparts import (
     _idiv,
     epoch_seconds,
 )
+from overturelink_data_pipeline_spark.functions.grouped import grouped_topk
 from overturelink_data_pipeline_spark.registry import spark_query
 from overturelink_data_pipeline_spark.session import read_table
 
@@ -140,6 +141,26 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Percentiles / distinct counting
 # ---------------------------------------------------------------------------
 
+def _interpolated_quantile(rank_col: str, value_col: str, q: float):
+    """``percentile_cont(q)``'s order statistic as an AGGREGATE over a
+    frame carrying a 1-based cumulative position (``rank_col`` — a
+    row_number over values, or a cumulative count over a value
+    histogram), the group total ``n``, and ``value_col``: r = q·(n−1),
+    lo/hi from two conditional mins, linear interpolation, then the
+    round-through-DECIMAL(18,4) recipe — interpolation midpoints land
+    exactly on .xx5 boundaries where double noise flips a direct
+    2-decimal round between engines. Shared by agg_percentiles_exact
+    (histogram ranks) and agg_quantile_sampled (sample row numbers) so
+    the cross-engine pitfall is encoded once."""
+    r = F.lit(q) * (F.col("n") - 1)
+    k = F.floor(r)
+    lo = F.min(F.when(F.col(rank_col) >= k + 1, F.col(value_col)))
+    hi = F.coalesce(F.min(F.when(F.col(rank_col) >= k + 2, F.col(value_col))), lo)
+    v = lo + F.max(r - k) * (hi - lo)
+    return F.round(v.cast("decimal(18,4)"), 2).cast("double")
+
+
+
 @spark_query(
     "agg_percentiles_exact",
     oracle="""
@@ -191,17 +212,10 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(w_cum).alias("cum"),
         F.sum("cnt").over(w_all).alias("n"),
     )
-    aggs = []
-    for q, name in [(0.5, "p50"), (0.95, "p95")]:
-        r = F.lit(q) * (F.col("n") - 1)  # constant per group
-        k = F.floor(r)
-        lo = F.min(F.when(F.col("cum") >= k + 1, F.col("l_extendedprice")))
-        hi = F.coalesce(
-            F.min(F.when(F.col("cum") >= k + 2, F.col("l_extendedprice"))), lo
-        )
-        v = lo + F.max(r - k) * (hi - lo)
-        # round through DECIMAL(18,4) first — see rounding note above
-        aggs.append(F.round(v.cast("decimal(18,4)"), 2).cast("double").alias(name))
+    aggs = [
+        _interpolated_quantile("cum", "l_extendedprice", q).alias(name)
+        for q, name in [(0.5, "p50"), (0.95, "p95")]
+    ]
     pctl = cum.groupBy("l_returnflag").agg(*aggs)
     dst = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").cast("bigint").alias("distinct_parts")
@@ -268,14 +282,7 @@ def agg_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("v"),
         h.alias("h"),
     )
-    local = Window.partitionBy("f", F.spark_partition_id()).orderBy("h")
-    survivors = keyed.withColumn("lrk", F.row_number().over(local)).filter(
-        F.col("lrk") <= QSAMPLE_K
-    )
-    final = Window.partitionBy("f").orderBy("h")
-    samp = survivors.withColumn("rk", F.row_number().over(final)).filter(
-        F.col("rk") <= QSAMPLE_K
-    )
+    samp = grouped_topk(keyed, ["f"], ["h"], QSAMPLE_K)
     w_cum = Window.partitionBy("f").orderBy("v")
     w_all = Window.partitionBy("f")
     cum = samp.select(
@@ -284,16 +291,11 @@ def agg_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_cum).alias("rn"),
         F.count(F.lit(1)).over(w_all).alias("n"),
     )
-    r = F.lit(0.5) * (F.col("n") - 1)
-    k = F.floor(r)
-    lo = F.min(F.when(F.col("rn") >= k + 1, F.col("v")))
-    hi = F.coalesce(F.min(F.when(F.col("rn") >= k + 2, F.col("v"))), lo)
-    est = lo + F.max(r - k) * (hi - lo)
     return (
         cum.groupBy("f")
         .agg(
             F.max("n").cast("bigint").alias("n_sample"),
-            F.round(est.cast("decimal(18,4)"), 2).cast("double").alias("est_p50"),
+            _interpolated_quantile("rn", "v", 0.5).alias("est_p50"),
         )
         .select(F.col("f").alias("l_returnflag"), "n_sample", "est_p50")
         .orderBy("l_returnflag")

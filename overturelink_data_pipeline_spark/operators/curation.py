@@ -46,6 +46,7 @@ from overturelink_data_pipeline_spark.operators.text import (
 from overturelink_data_pipeline_spark.operators.text import (
     tokens as _tokens,
 )
+from overturelink_data_pipeline_spark.functions.grouped import grouped_topk
 from overturelink_data_pipeline_spark.registry import spark_query
 from overturelink_data_pipeline_spark.session import (
     ensure_parallelism,
@@ -702,19 +703,14 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     width, not by the corpus."""
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     h = F.md5(F.col("doc_id").cast("string"))
-    local = Window.partitionBy("source", F.spark_partition_id()).orderBy(
-        "h", "doc_id"
-    )
-    survivors = (
-        docs.select("source", "doc_id", h.alias("h"))
-        .withColumn("lrk", F.row_number().over(local))
-        .filter(F.col("lrk") <= RESERVOIR_K)
-    )
-    final = Window.partitionBy("source").orderBy("h", "doc_id")
     return (
-        survivors.withColumn("rk", F.row_number().over(final).cast("bigint"))
-        .filter(F.col("rk") <= RESERVOIR_K)
-        .select("source", "doc_id", "rk")
+        grouped_topk(
+            docs.select("source", "doc_id", h.alias("h")),
+            ["source"],
+            ["h", "doc_id"],
+            RESERVOIR_K,
+        )
+        .select("source", "doc_id", F.col("rk").cast("bigint").alias("rk"))
         .orderBy("source", "rk")
     )
 

@@ -31,6 +31,7 @@ from overturelink_data_pipeline_spark.operators.dedup import (
     with_planted_copies,
     cosine,
 )
+from overturelink_data_pipeline_spark.functions.grouped import grouped_topk
 from overturelink_data_pipeline_spark.registry import spark_query
 from overturelink_data_pipeline_spark.session import (
     ensure_parallelism,
@@ -466,18 +467,14 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("embedding"), F.col("qv")), 5).alias("cos_sim"),
         )
     )
-    order = [F.col("cos_sim").desc(), F.col("vec_id")]
-    local = Window.partitionBy("qid", F.spark_partition_id()).orderBy(*order)
-    pruned = scored.withColumn("lrn", F.row_number().over(local)).filter(
-        F.col("lrn") <= K_NN
+    topk = grouped_topk(
+        scored,
+        ["qid"],
+        [F.col("cos_sim").desc(), F.col("vec_id")],
+        K_NN,
+        rank_col="rank",
     )
-    final = Window.partitionBy("qid").orderBy(*order)
-    return (
-        pruned.withColumn("rank", F.row_number().over(final))
-        .filter(F.col("rank") <= K_NN)
-        .select("qid", "vec_id", "cos_sim", "rank")
-        .orderBy("qid", "rank")
-    )
+    return topk.select("qid", "vec_id", "cos_sim", "rank").orderBy("qid", "rank")
 
 
 # ---------------------------------------------------------------------------

@@ -178,6 +178,29 @@ _PRIORITY_ORDER: tuple[str, ...] = (
 )
 
 
+def latest_driver_rounds(repo_dir: str) -> dict[str, int]:
+    """Map each query name to the latest round it received a driver row,
+    from the CORRECTNESS_r*.json artifacts in ``repo_dir``. THE one
+    parser of the driver artifact naming/shape — the rotation-policy
+    test (tests/test_registry_order.py) and the rotation generator
+    (scripts/rotate_window.py) both import it, so they can never
+    disagree about what counts as stale."""
+    import json as _json
+    import os as _os
+    import re as _re
+
+    latest: dict[str, int] = {}
+    for name in sorted(_os.listdir(repo_dir)):
+        m = _re.match(r"CORRECTNESS_r(\d+)\.json", name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(_os.path.join(repo_dir, name)) as f:
+            for q in _json.load(f):
+                latest[q] = max(latest.get(q, 0), rnd)
+    return latest
+
+
 def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     # Imports are inside the function to avoid circular imports at

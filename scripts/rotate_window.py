@@ -18,9 +18,7 @@ Usage: python scripts/rotate_window.py
 
 from __future__ import annotations
 
-import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -32,23 +30,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     registry.load_all()
-    latest: dict[str, int] = {}
-    for name in sorted(os.listdir(REPO)):
-        m = re.match(r"CORRECTNESS_r(\d+)\.json", name)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        with open(os.path.join(REPO, name)) as f:
-            for q in json.load(f):
-                latest[q] = max(latest.get(q, 0), rnd)
+    latest = registry.latest_driver_rounds(REPO)
     current = max(latest.values()) if latest else 0
     names = list(registry.QUERIES)
     never = [n for n in names if n not in latest]
     stale = [n for n in names if 0 < latest.get(n, 0) < current]
-    fresh = sorted(
-        (n for n in names if latest.get(n, 0) == current),
-        key=lambda n: names.index(n),
-    )
+    fresh = [n for n in names if latest.get(n, 0) == current]
     order = never + stale + fresh
     window = order[:50]
     print(f"# derived from CORRECTNESS_r1..r{current}; window = first 50")

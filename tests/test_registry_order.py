@@ -12,8 +12,6 @@ stale set and _PRIORITY_ORDER must rotate them back in for r5.
 
 from __future__ import annotations
 
-import json
-import re
 from pathlib import Path
 
 from overturelink_data_pipeline_spark import registry
@@ -26,16 +24,9 @@ DRIVER_WINDOW = 50
 
 
 def _latest_driver_round() -> dict[str, int]:
-    """Map each query name to the latest round it received a driver row."""
-    latest: dict[str, int] = {}
-    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        m = re.match(r"CORRECTNESS_r(\d+)\.json", path.name)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        for name in json.loads(path.read_text()):
-            latest[name] = max(latest.get(name, 0), rnd)
-    return latest
+    """Shared artifact parser — the rotation generator reads the same
+    function, so test and tool can never disagree."""
+    return registry.latest_driver_rounds(str(REPO))
 
 
 def test_stale_queries_inside_driver_window():

@@ -184,6 +184,10 @@ def test_posting_pairs_matches_bruteforce_reference(spark):
         for _ in range(rng.randint(1, 6))
     ]
     rows = list(set(rows))
+    # plant a hot key ABOVE the cap so the census/anti-join guard is
+    # exercised in both modes (r4 review: seed 7's natural max bucket
+    # was 8 < cap, leaving the guard untested)
+    rows += [(900 + i, "hot") for i in range(12)]
     df = spark.createDataFrame(rows, "doc_id long, h string")
     cap = 9
     # reference: per-key doc sets, pairs from keys with 2..cap docs
@@ -224,7 +228,8 @@ def test_streaming_validator_roundtrip_fuzz(spark, tmp_path):
 
     rng = random.Random(11)
     for trial in range(3):
-        n = rng.randint(0, 12)
+        # trial 0 pins the empty-FeatureCollection fast path explicitly
+        n = 0 if trial == 0 else rng.randint(1, 12)
         rows = [
             Row(
                 id=str(i),

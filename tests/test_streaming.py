@@ -137,47 +137,45 @@ def test_timeparts_boundary_exactness(spark):
         assert row.b == (ns // HOUR_NS) * HOUR_NS, (ns, row.b)
 
 
-def test_late_event_extends_session_backward(spark, tmp_path):
-    """Round-3 review: a watermark-accepted late event OLDER than the
-    open session's start must extend session_start_s backward (the old
-    fold only moved end_s forward). Two real micro-batches via
-    maxFilesPerTrigger=1: file 1 opens user 1's session at 10000-10600;
-    file 2 delivers a late in-gap event at 9500 plus user-2 traffic
-    that advances the watermark until the session times out."""
+def _write_event_file(path, rows):
+    """(event_id, ts_seconds, user_id) rows → one events parquet file
+    (ns timestamps, the r1 arrival type)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns = 1_000_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] * ns for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        path,
+    )
+
+
+def _replay_two_batches(spark, tmp_path, file1, file2, plan_fn):
+    """Drain plan_fn(stream) over two files as two REAL micro-batches
+    (maxFilesPerTrigger=1; a_/b_ names pin the file order) into a
+    memory sink; returns the drained table. Encodes the non-obvious
+    bits once: ns timestamps via _normalize_ts, unique sink names,
+    event_time as timestamp_micros(ts div 1000)."""
     import os
     import uuid
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     from overturelink_data_pipeline_spark.session import _normalize_ts
-    from overturelink_data_pipeline_spark.streaming.events import sessionize_stream
-
-    ns = 1_000_000_000
-
-    def write(path, rows):
-        pq.write_table(
-            pa.table(
-                {
-                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
-                    "ts": pa.array([r[1] * ns for r in rows], pa.int64()),
-                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
-                    "event_type": pa.array(["click"] * len(rows)),
-                    "value": pa.array([1.0] * len(rows)),
-                    "props": pa.array(["{}"] * len(rows)),
-                }
-            ),
-            path,
-        )
 
     d = str(tmp_path / "events")
     os.makedirs(d)
-    write(os.path.join(d, "a_first.parquet"), [(1, 10000, 1), (2, 10600, 1)])
-    write(
-        os.path.join(d, "b_second.parquet"),
-        [(3, 9500, 1), (4, 20000, 2), (5, 30000, 2), (6, 40000, 2)],
-    )
+    _write_event_file(os.path.join(d, "a_first.parquet"), file1)
+    _write_event_file(os.path.join(d, "b_second.parquet"), file2)
     schema = spark.read.parquet(d).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
@@ -187,7 +185,7 @@ def test_late_event_extends_session_backward(spark, tmp_path):
     )
     name = "tb" + uuid.uuid4().hex[:8]
     q = (
-        sessionize_stream(stream)
+        plan_fn(stream)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -196,9 +194,28 @@ def test_late_event_extends_session_backward(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
+    return spark.table(name)
+
+
+def test_late_event_extends_session_backward(spark, tmp_path):
+    """Round-3 review: a watermark-accepted late event OLDER than the
+    open session's start must extend session_start_s backward (the old
+    fold only moved end_s forward). File 1 opens user 1's session at
+    10000-10600; file 2 delivers a late in-gap event at 9500 plus
+    user-2 traffic that advances the watermark until the session times
+    out."""
+    from overturelink_data_pipeline_spark.streaming.events import sessionize_stream
+
+    table = _replay_two_batches(
+        spark,
+        tmp_path,
+        [(1, 10000, 1), (2, 10600, 1)],
+        [(3, 9500, 1), (4, 20000, 2), (5, 30000, 2), (6, 40000, 2)],
+        sessionize_stream,
+    )
     u1 = [
         (r["session_start_s"], r["session_end_s"], r["n_events"])
-        for r in spark.table(name).collect()
+        for r in table.collect()
         if r["user_id"] == 1
     ]
     assert u1 == [(9500, 10600, 3)]
@@ -209,65 +226,28 @@ def test_session_window_merges_across_micro_batches(spark, tmp_path):
     two micro-batches: file 1 opens user 1's session, file 2 delivers
     an in-gap continuation (forward extension) plus enough user-2
     traffic to push the watermark past the merged session's end."""
-    import os
-    import uuid
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    from overturelink_data_pipeline_spark.session import _normalize_ts
-
-    ns = 1_000_000_000
-
-    def write(path, rows):
-        pq.write_table(
-            pa.table(
-                {
-                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
-                    "ts": pa.array([r[1] * ns for r in rows], pa.int64()),
-                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
-                    "event_type": pa.array(["click"] * len(rows)),
-                    "value": pa.array([1.0] * len(rows)),
-                    "props": pa.array(["{}"] * len(rows)),
-                }
-            ),
-            path,
+    def plan(stream):
+        return (
+            stream.withWatermark("event_time", "30 minutes")
+            .groupBy(
+                F.session_window("event_time", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
         )
 
-    d = str(tmp_path / "events")
-    os.makedirs(d)
-    write(os.path.join(d, "a_first.parquet"), [(1, 10000, 1), (2, 10600, 1)])
-    # 11500 is within 30 min of 10600 -> same session, crossing batches
-    write(
-        os.path.join(d, "b_second.parquet"),
+    table = _replay_two_batches(
+        spark,
+        tmp_path,
+        [(1, 10000, 1), (2, 10600, 1)],
+        # 11500 is within 30 min of 10600 -> same session, crossing batches
         [(3, 11500, 1), (4, 50000, 2), (5, 60000, 2)],
+        plan,
     )
-    schema = spark.read.parquet(d).schema
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
-    )
-    stream = _normalize_ts(stream).withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
-    agg = (
-        stream.withWatermark("event_time", "30 minutes")
-        .groupBy(F.session_window("event_time", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
-    )
-    name = "sw" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     u1 = [
         (r["w"]["start"].timestamp(), r["w"]["end"].timestamp(), r["n_events"])
-        for r in spark.table(name).collect()
+        for r in table.collect()
         if r["user_id"] == 1
     ]
     # ONE merged session 10000 -> 11500+gap, all 3 events — not two
