@@ -541,10 +541,59 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_id", "h"]),
     )
-    return (
+    # hot-window ADD-BACK (the dedup_ngram_jaccard recipe): windows
+    # over the df-cap are excluded from candidate GENERATION, then
+    # re-counted exactly at the pair stage — each doc's (small) hot-
+    # window array joins the surviving pairs and the full n_shared is
+    # cold co-occurrence + |hot_a ∩ hot_b|. Reported counts are thus
+    # the TRUE full-set values even when the cap fires; the only
+    # residual trade is a pair whose ENTIRE overlap is over-cap
+    # boilerplate (non-discriminative by definition — the declared
+    # ngram trade). On the oracle'd corpora the cap never fires, so
+    # the hot arrays are empty and the plan degenerates to the pure
+    # cold count.
+    big = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > SUBSTR_DF_CAP)
+        .select("h")
+    )
+    hot_arrays = (
+        wins.join(F.broadcast(big), "h")
+        .groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hot"))
+    )
+    cold = (
         _posting_pairs(wins, SUBSTR_DF_CAP)
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("c_cold"))
+    )
+    empty = F.array().cast("array<string>")
+    hot_common = F.size(
+        F.array_intersect(
+            F.coalesce("hot_a", empty), F.coalesce("hot_b", empty)
+        )
+    )
+    return (
+        cold.join(
+            hot_arrays.select(
+                F.col("doc_id").alias("id_a"), F.col("hot").alias("hot_a")
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            hot_arrays.select(
+                F.col("doc_id").alias("id_b"), F.col("hot").alias("hot_b")
+            ),
+            "id_b",
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("c_cold") + hot_common).cast("bigint").alias("n_shared"),
+        )
         .orderBy("id_a", "id_b")
     )
 

@@ -272,3 +272,47 @@ def test_sampled_quantile_tracks_exact_median(spark, sf_dir):
         assert abs(r["est_p50"] - q50) < spread, (
             f"{r['l_returnflag']}: est {r['est_p50']} vs exact {q50}"
         )
+
+
+def test_exact_substring_hot_window_addback(spark, tmp_path, monkeypatch):
+    """With the cap firing, surviving pairs must still report the TRUE
+    full shared-window count (hot shares re-added at the pair stage),
+    and the boilerplate-only clique stays suppressed."""
+    from tests.test_round4_fixes import _write_docs
+
+    from overturelink_data_pipeline_spark.operators.dedup import (
+        SUBSTR_MODULUS,
+        SUBSTR_W,
+    )
+    from overturelink_data_pipeline_spark.operators import dedup
+
+    hot = " ".join(f"hot{i}" for i in range(SUBSTR_W))  # one exact hot window
+    shared = " ".join(f"shr{i}" for i in range(SUBSTR_W))
+    # doc ids chosen to dodge the planted-quote modulus
+    ids = [1, 2, 3, 4]
+    assert all(i % SUBSTR_MODULUS != 0 for i in ids)
+    rows = [
+        (1, f"ua1 ua2 {hot} um1 um2 {shared} uz1", "en", "web"),
+        (2, f"ub1 ub2 {hot} un1 un2 {shared} uz2", "en", "web"),
+        (3, f"uc1 uc2 {hot} uo1 uo2 uc3 uc4", "en", "web"),
+        (4, f"ud1 ud2 {hot} up1 up2 ud3 ud4", "en", "web"),
+    ]
+    d = _write_docs(tmp_path, rows)
+    monkeypatch.setattr(dedup, "SUBSTR_DF_CAP", 3)  # hot window df=4 > cap
+
+    def windows(text):
+        t = text.split()
+        return {
+            " ".join(t[i : i + SUBSTR_W])
+            for i in range(len(t) - SUBSTR_W + 1)
+        }
+
+    full = {i: windows(r[1]) for i, r in zip(ids, rows)}
+    out = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in registry.QUERIES["dedup_exact_substring"](spark, d).collect()}
+    # (1,2) share hot AND cold windows: survives via cold, n_shared = FULL overlap
+    assert (1, 2) in out
+    assert out[(1, 2)] == len(full[1] & full[2])
+    assert out[(1, 2)] > 1  # proves hot shares were added back
+    # (3,4) share ONLY the hot window: suppressed (declared trade)
+    assert (3, 4) not in out
