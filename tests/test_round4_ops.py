@@ -316,3 +316,40 @@ def test_exact_substring_hot_window_addback(spark, tmp_path, monkeypatch):
     assert out[(1, 2)] > 1  # proves hot shares were added back
     # (3,4) share ONLY the hot window: suppressed (declared trade)
     assert (3, 4) not in out
+
+
+def test_containment_hot_shingle_addback(spark, tmp_path, monkeypatch):
+    """When the shingle cap fires, containment must still use the TRUE
+    intersection (hot shares re-added) — denominators always counted
+    hot shingles, so without the add-back capped corpora under-report."""
+    from tests.test_round4_fixes import _write_docs
+
+    from overturelink_data_pipeline_spark.operators import dedup
+    from overturelink_data_pipeline_spark.operators.dedup import CONTAIN_MODULUS
+
+    boiler = " ".join(f"bw{i}" for i in range(6))  # 4 hot 3-gram shingles
+    ids = [1, 2, 3, 4, 5]
+    assert all(i % CONTAIN_MODULUS != 0 for i in ids)
+    rows = [
+        # 1 and 2: the fragment relationship PLUS the boilerplate
+        (1, f"{boiler} s1 s2 s3 s4 s5 s6 s7 s8", "en", "web"),
+        (2, f"{boiler} s1 s2 s3 s4 s5 s6 s7 s8 extra1 extra2 extra3 extra4 extra5 extra6 extra7 extra8", "en", "web"),
+        # 3-5: boilerplate only + unique tails (push shingle df over cap)
+        (3, f"{boiler} u31 u32 u33 u34", "en", "web"),
+        (4, f"{boiler} u41 u42 u43 u44", "en", "web"),
+        (5, f"{boiler} u51 u52 u53 u54", "en", "web"),
+    ]
+    d = _write_docs(tmp_path, rows)
+    monkeypatch.setattr(dedup, "NGRAM_DF_CAP", 4)  # boiler shingles df=5 > 4
+
+    def shingles(text):
+        t = text.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    sh = {i: shingles(r[1]) for i, r in zip(ids, rows)}
+    want_contain = len(sh[1] & sh[2]) / min(len(sh[1]), len(sh[2]))
+    assert want_contain >= 0.8  # fixture sanity
+    out = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in registry.QUERIES["text_minhash_containment"](spark, d).collect()}
+    assert (1, 2) in out
+    assert abs(out[(1, 2)] - round(want_contain, 6)) < 1e-9
