@@ -329,23 +329,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # distinct (doc, shingle) — co-occurrence count = |a ∩ b|
     )
     ns = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # df-cap (see docstring): the stop-shingle list is bounded by the
+    # df-cap (see docstring): the stop-shingle census is bounded by the
     # boilerplate vocabulary, not the corpus — broadcastable by nature.
-    # The per-doc side tables (ns, hot_sh) grow with the corpus, so no
-    # forced broadcast: AQE picks broadcast when they fit (they do at
-    # bench SFs) and a shuffled ID join when they don't.
-    hot = (
-        post.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > NGRAM_DF_CAP)
-        .select("h")
-    )
+    # The per-doc side tables (ns, hot arrays) grow with the corpus, so
+    # no forced broadcast there: AQE picks broadcast when they fit and
+    # a shuffled ID join when they don't; an empty census skips the
+    # add-back joins outright (the shared _with_hot_addback recipe).
+    hot = _over_cap_keys(post, NGRAM_DF_CAP)
+    has_hot = bool(hot.head(1))
     cold = post.join(F.broadcast(hot), "h", "left_anti")
-    hot_sh = (
-        post.join(F.broadcast(hot), "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_list("h").alias("hsh"))
-    )
     a, b = cold.alias("a"), cold.alias("b")
     pairs = (
         a.join(
@@ -362,12 +354,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("inter_cold"))
         .join(ns.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
         .join(ns.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
-        .join(hot_sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("hsh", "ha"), "id_a", "left")
-        .join(hot_sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("hsh", "hb"), "id_b", "left")
     )
-    inter = F.col("inter_cold") + F.when(
-        F.col("ha").isNull() | F.col("hb").isNull(), F.lit(0)
-    ).otherwise(F.size(F.array_intersect("ha", "hb")))
+    if has_hot:
+        pairs, hot_common = _with_hot_addback(
+            pairs, _hot_doc_arrays(post.select("doc_id", "h"), hot)
+        )
+        inter = F.col("inter_cold") + hot_common
+    else:
+        inter = F.col("inter_cold")
     jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
         pairs.filter(jac >= 0.5)
@@ -377,8 +371,67 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _over_cap_keys(postings: DataFrame, cap: int) -> DataFrame:
+    """Posting keys whose doc-frequency exceeds ``cap`` — bounded by
+    the boilerplate vocabulary, not the corpus, hence broadcastable
+    (the one frame in this family that IS provably small)."""
+    return (
+        postings.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .select("h")
+    )
+
+
+def _hot_doc_arrays(postings: DataFrame, over_cap: DataFrame) -> DataFrame:
+    """Per-doc arrays of the over-cap keys that doc carries. One row
+    per AFFECTED document — grows with the boilerplate POPULATION, so
+    never force-broadcast it (see _with_hot_addback)."""
+    return (
+        postings.join(F.broadcast(over_cap), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hot"))
+    )
+
+
+def _with_hot_addback(pairs: DataFrame, hot_arrays: DataFrame):
+    """Left-join each pair side's hot-key array and return
+    ``(joined_df, hot_common_column)`` where the column is
+    ``|hot_a ∩ hot_b|`` — the exact correction that makes capped
+    counts equal the uncapped full-set values (the
+    dedup_ngram_jaccard recipe, now THE one implementation).
+
+    The joins are deliberately UNHINTED: hot_arrays has one row per
+    boilerplate-carrying document — corpus-grown, so a forced
+    broadcast would OOM exactly when the cap fires. AQE broadcasts
+    while it fits and falls back to a shuffled ID join when it
+    doesn't. Callers short-circuit past this join entirely when
+    ``_over_cap_keys`` came back empty (the natural-corpus case), so
+    the common plan never pays it."""
+    joined = pairs.join(
+        hot_arrays.select(
+            F.col("doc_id").alias("id_a"), F.col("hot").alias("hot_a")
+        ),
+        "id_a",
+        "left",
+    ).join(
+        hot_arrays.select(
+            F.col("doc_id").alias("id_b"), F.col("hot").alias("hot_b")
+        ),
+        "id_b",
+        "left",
+    )
+    hot_common = F.when(
+        F.col("hot_a").isNull() | F.col("hot_b").isNull(), F.lit(0)
+    ).otherwise(F.size(F.array_intersect("hot_a", "hot_b")))
+    return joined, hot_common
+
+
 def _posting_pairs(
-    postings: DataFrame, cap: int, payload: str | None = None
+    postings: DataFrame,
+    cap: int,
+    payload: str | None = None,
+    over_cap: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs from an inverted index of (doc_id, h) postings:
     census FIRST (map-side-combined count, fixed state per key — the
@@ -396,13 +449,10 @@ def _posting_pairs(
     (as ``pa``/``pb``): a downstream per-doc attribute (e.g. shingle
     count) then needs no post-aggregation join back — at tens of
     millions of candidate rows those joins cost more than the fan-out
-    itself."""
-    big = (
-        postings.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > cap)
-        .select("h")
-    )
+    itself. ``over_cap`` passes a precomputed census (from
+    ``_over_cap_keys``) so callers that also need the hot-key set
+    don't pay the aggregation twice."""
+    big = over_cap if over_cap is not None else _over_cap_keys(postings, cap)
     cold = postings.join(F.broadcast(big), "h", "left_anti")
     if payload is None:
         member = F.col("doc_id")
@@ -541,68 +591,36 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_id", "h"]),
     )
-    # hot-window ADD-BACK (the dedup_ngram_jaccard recipe): windows
-    # over the df-cap are excluded from candidate GENERATION, then
-    # re-counted exactly at the pair stage — each doc's (small) hot-
-    # window array joins the surviving pairs and the full n_shared is
-    # cold co-occurrence + |hot_a ∩ hot_b|. Reported counts are thus
-    # the TRUE full-set values even when the cap fires; the only
-    # residual trade is a pair whose ENTIRE overlap is over-cap
-    # boilerplate (non-discriminative by definition — the declared
-    # ngram trade). On the oracle'd corpora the cap never fires, so
-    # the hot arrays are empty and the plan degenerates to the pure
-    # cold count.
-    big = (
-        wins.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > SUBSTR_DF_CAP)
-        .select("h")
-    )
-    hot_arrays = (
-        wins.join(F.broadcast(big), "h")
-        .groupBy("doc_id")
-        .agg(F.collect_list("h").alias("hot"))
-    )
+    # hot-window ADD-BACK (the dedup_ngram_jaccard recipe, via the
+    # shared _with_hot_addback): windows over the df-cap are excluded
+    # from candidate GENERATION, then re-counted exactly at the pair
+    # stage, so reported n_shared is the TRUE full-set value even when
+    # the cap fires; the only residual trade is a pair whose ENTIRE
+    # overlap is over-cap boilerplate (non-discriminative by
+    # definition). The over-cap census is computed ONCE and shared
+    # with _posting_pairs; when it is EMPTY — every oracle'd corpus —
+    # the add-back joins are skipped outright and the plan is the pure
+    # cold count (the driver-side head() is one map-side-combined agg
+    # over the persisted postings).
+    big = _over_cap_keys(wins, SUBSTR_DF_CAP)
+    has_hot = bool(big.head(1))
     cold = (
-        _posting_pairs(wins, SUBSTR_DF_CAP)
+        _posting_pairs(wins, SUBSTR_DF_CAP, over_cap=big)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c_cold"))
     )
-    empty = F.array().cast("array<string>")
-    hot_common = F.size(
-        F.array_intersect(
-            F.coalesce("hot_a", empty), F.coalesce("hot_b", empty)
-        )
-    )
-    # broadcast hint for the same reason documented in
-    # text_minhash_containment: bounded hot population; an unhinted
-    # sort-merge re-shuffles the whole pair frame
-    return (
-        cold.join(
-            F.broadcast(
-                hot_arrays.select(
-                    F.col("doc_id").alias("id_a"), F.col("hot").alias("hot_a")
-                )
-            ),
-            "id_a",
-            "left",
-        )
-        .join(
-            F.broadcast(
-                hot_arrays.select(
-                    F.col("doc_id").alias("id_b"), F.col("hot").alias("hot_b")
-                )
-            ),
-            "id_b",
-            "left",
-        )
-        .select(
+    if has_hot:
+        joined, hot_common = _with_hot_addback(cold, _hot_doc_arrays(wins, big))
+        out = joined.select(
             "id_a",
             "id_b",
             (F.col("c_cold") + hot_common).cast("bigint").alias("n_shared"),
         )
-        .orderBy("id_a", "id_b")
-    )
+    else:
+        out = cold.select(
+            "id_a", "id_b", F.col("c_cold").cast("bigint").alias("n_shared")
+        )
+    return out.orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -712,60 +730,27 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = sh.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
+    big = _over_cap_keys(sh, NGRAM_DF_CAP)
+    has_hot = bool(big.head(1))
     inter = (
-        _posting_pairs(sized, NGRAM_DF_CAP, payload="n")
+        _posting_pairs(sized, NGRAM_DF_CAP, payload="n", over_cap=big)
         .groupBy("id_a", "pa", "id_b", "pb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # hot-shingle add-back (the dedup_ngram_jaccard recipe, mirrored in
+    # hot-shingle add-back via the shared helpers (see
     # dedup_exact_substring): denominators already count hot shingles
     # (sizes window over the PRE-cap postings), so the intersection
-    # must too or capped corpora under-report containment. Empty on
-    # the oracle'd corpora — the cap never fires there.
-    big = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("dfreq"))
-        .filter(F.col("dfreq") > NGRAM_DF_CAP)
-        .select("h")
-    )
-    hot_arrays = (
-        sh.join(F.broadcast(big), "h")
-        .groupBy("doc_id")
-        .agg(F.collect_list("h").alias("hot"))
-    )
-    empty = F.array().cast("array<string>")
-    hot_common = F.size(
-        F.array_intersect(
-            F.coalesce("hot_a", empty), F.coalesce("hot_b", empty)
-        )
-    )
-    full_c = F.col("c") + hot_common
+    # must too or capped corpora under-report containment; the joins
+    # are skipped outright when the census is empty — every oracle'd
+    # corpus.
+    if has_hot:
+        joined, hot_common = _with_hot_addback(inter, _hot_doc_arrays(sh, big))
+        full_c = F.col("c") + hot_common
+    else:
+        joined, full_c = inter, F.col("c")
     contain = full_c / F.least(F.col("pa"), F.col("pb"))
-    # BROADCAST the hot arrays: they are bounded by the boilerplate
-    # population (same argument as the `big` census broadcast), and
-    # without the hint the planner cost-estimated them above the
-    # threshold and sort-merged — re-shuffling the tens-of-millions-row
-    # pair frame twice (measured 7.8 → 23.6 s at sf3 for EMPTY arrays)
     return (
-        inter.join(
-            F.broadcast(
-                hot_arrays.select(
-                    F.col("doc_id").alias("id_a"), F.col("hot").alias("hot_a")
-                )
-            ),
-            "id_a",
-            "left",
-        )
-        .join(
-            F.broadcast(
-                hot_arrays.select(
-                    F.col("doc_id").alias("id_b"), F.col("hot").alias("hot_b")
-                )
-            ),
-            "id_b",
-            "left",
-        )
-        .filter(contain >= CONTAIN_TAU)
+        joined.filter(contain >= CONTAIN_TAU)
         .select("id_a", "id_b", F.round(contain, 6).alias("containment"))
         .orderBy("id_a", "id_b")
     )

@@ -353,3 +353,7 @@ def test_containment_hot_shingle_addback(spark, tmp_path, monkeypatch):
            for r in registry.QUERIES["text_minhash_containment"](spark, d).collect()}
     assert (1, 2) in out
     assert abs(out[(1, 2)] - round(want_contain, 6)) < 1e-9
+    # the declared negative trade: pairs whose ENTIRE overlap is the
+    # hot boilerplate never materialize (only hot shingles shared)
+    for a, b in [(3, 4), (3, 5), (4, 5), (1, 3), (2, 4)]:
+        assert (a, b) not in out, f"boiler-only pair ({a},{b}) leaked"
