@@ -54,12 +54,15 @@ def spark_query(name: str, oracle: str | None = None) -> Callable[[QueryFn], Que
     return deco
 
 
-# Canonical registration order. The driver's correctness snapshot covers
-# the first 50 registered queries, so ordering is part of the verification
-# contract: queries that have never received a driver row rotate to the
-# front; twice-driver-proven relational queries rotate to the tail.
-# Names not listed keep their module-registration order after the listed
-# prefix (defensive: a new query is never silently dropped).
+# Base (tie-break) order. The driver's correctness snapshot covers the
+# first 50 registered queries, so ordering is part of the verification
+# contract — but since round 5 the actual window order is DERIVED at
+# load_all() time from the CORRECTNESS_r*.json artifacts
+# (never-checked -> stale -> fresh; see _apply_canonical_order), so the
+# standing two-round rotation (VERDICT r3 ask #1) happens automatically
+# and no manual paste is needed at round start. This tuple only breaks
+# ties *within* a tier, and keeps the full name set explicit so a new
+# query can't be silently dropped (tests/test_registry_order.py).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # --- Round-4 driver window (first 50) -------------------------------
     # Standing two-round rotation policy (VERDICT r3 ask #1): every
@@ -178,13 +181,24 @@ _PRIORITY_ORDER: tuple[str, ...] = (
 )
 
 
-def latest_driver_rounds(repo_dir: str) -> dict[str, int]:
-    """Map each query name to the latest round it received a driver row,
-    from the CORRECTNESS_r*.json artifacts in ``repo_dir``. THE one
+def latest_driver_rounds(repo_dir: str, hash_only: bool = False) -> dict[str, int]:
+    """Map each query name to the latest round it received a VALID driver
+    row, from the CORRECTNESS_r*.json artifacts in ``repo_dir``. THE one
     parser of the driver artifact naming/shape — the rotation-policy
-    test (tests/test_registry_order.py) and the rotation generator
-    (scripts/rotate_window.py) both import it, so they can never
-    disagree about what counts as stale."""
+    test (tests/test_registry_order.py), the rotation generator
+    (scripts/rotate_window.py) and load_all()'s derived ordering all
+    import it, so they can never disagree about what counts as stale.
+
+    A row whose ``err`` is non-null counts as a fresh check ONLY for the
+    expected ``no_oracle`` sentinel (rows-only queries by design); any
+    other error (infra failure, oracle crash) leaves the query stale so
+    it rotates back into the window until a clean result lands.
+
+    With ``hash_only=True``, only rows whose ``err`` is null count — i.e.
+    rows where the driver actually ran the oracle comparison. Used to
+    spot queries whose oracle landed after their last driver row (their
+    only rows are ``no_oracle``), which should rotate to the very front.
+    """
     import json as _json
     import os as _os
     import re as _re
@@ -196,8 +210,13 @@ def latest_driver_rounds(repo_dir: str) -> dict[str, int]:
             continue
         rnd = int(m.group(1))
         with open(_os.path.join(repo_dir, name)) as f:
-            for q in _json.load(f):
-                latest[q] = max(latest.get(q, 0), rnd)
+            payload = _json.load(f)
+        rows = payload.items() if isinstance(payload, dict) else ((q, {}) for q in payload)
+        for q, row in rows:
+            err = row.get("err") if isinstance(row, dict) else None
+            if err is not None and (hash_only or err != "no_oracle"):
+                continue
+            latest[q] = max(latest.get(q, 0), rnd)
     return latest
 
 
@@ -222,11 +241,49 @@ def load_all() -> None:
     _apply_canonical_order()
 
 
+def derived_rotation_order(repo_dir: str | None = None) -> list[str]:
+    """The canonical registration order, derived from the driver's own
+    CORRECTNESS_r*.json artifacts (VERDICT r4 ask #1):
+
+      1. never-driver-checked queries first (new this round),
+      2. then stale queries (latest valid row < max round), oldest round
+         first,
+      3. then fresh queries (checked in the max round).
+
+    Ties within a tier break on _PRIORITY_ORDER position (then name, for
+    any query not yet listed). With no artifacts (fresh clone, CI), the
+    order degrades to _PRIORITY_ORDER itself.
+    """
+    import os as _os
+
+    if repo_dir is None:
+        repo_dir = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    try:
+        latest = latest_driver_rounds(repo_dir)
+        hashed = latest_driver_rounds(repo_dir, hash_only=True)
+    except OSError:
+        latest, hashed = {}, {}
+    current = max(latest.values()) if latest else 0
+    pos = {n: i for i, n in enumerate(_PRIORITY_ORDER)}
+
+    def key(n: str) -> tuple[int, int, int, str]:
+        rnd = latest.get(n, 0)
+        # An oracle-backed query whose only driver rows predate its
+        # oracle (all no_oracle) has never been hash-checked — treat it
+        # as never-checked so its new oracle gets a driver row first
+        # (VERDICT r4: ann_ivf_topk must lead the r5 window).
+        if n in ORACLE and hashed.get(n, 0) == 0:
+            rnd = 0
+        tier = 0 if rnd == 0 else (1 if rnd < current else 2)
+        return (tier, rnd, pos.get(n, len(pos)), n)
+
+    return sorted(QUERIES, key=key)
+
+
 def _apply_canonical_order() -> None:
-    """Rebuild QUERIES in _PRIORITY_ORDER (unlisted names keep their
-    module-registration order after the listed prefix)."""
-    ordered = [n for n in _PRIORITY_ORDER if n in QUERIES]
-    ordered += [n for n in QUERIES if n not in _PRIORITY_ORDER]
-    reordered = {n: QUERIES[n] for n in ordered}
+    """Rebuild QUERIES in the derived rotation order so the driver's
+    first-50 window always covers every never-checked or stale query
+    without a manual _PRIORITY_ORDER paste at round start."""
+    reordered = {n: QUERIES[n] for n in derived_rotation_order()}
     QUERIES.clear()
     QUERIES.update(reordered)

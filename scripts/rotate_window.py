@@ -1,17 +1,10 @@
-"""Print the recommended _PRIORITY_ORDER for the NEXT round.
+"""Inspect the derived driver-window rotation for the NEXT round.
 
-The driver's correctness snapshot covers the first 50 registered
-queries, and the standing policy (VERDICT r3 ask #1, enforced by
-tests/test_registry_order.py) is that no query's latest driver row may
-be more than one round old. This script derives the rotation from the
-CORRECTNESS_r*.json artifacts:
-
-  1. never-checked queries (new this round) first,
-  2. then queries whose latest driver row is stale (< max round),
-  3. then everything else, most-recently-checked last.
-
-Paste the output into registry._PRIORITY_ORDER at round start, keeping
-any new queries the round adds inside the first 50.
+Since round 5 the rotation is applied AUTOMATICALLY inside
+``registry.load_all()`` (never-checked -> stale -> fresh, derived from
+the CORRECTNESS_r*.json artifacts), so there is nothing to paste; this
+script just prints the order load_all() will use, for inspection, and
+warns if the stale/new tiers overflow the 50-query driver window.
 
 Usage: python scripts/rotate_window.py
 """
@@ -32,19 +25,21 @@ def main() -> None:
     registry.load_all()
     latest = registry.latest_driver_rounds(REPO)
     current = max(latest.values()) if latest else 0
-    names = list(registry.QUERIES)
-    never = [n for n in names if n not in latest]
-    stale = [n for n in names if 0 < latest.get(n, 0) < current]
-    fresh = [n for n in names if latest.get(n, 0) == current]
-    order = never + stale + fresh
+    order = list(registry.QUERIES)  # load_all() already applied the derivation
+    never = [n for n in order if n not in latest]
+    stale = [n for n in order if 0 < latest.get(n, 0) < current]
     window = order[:50]
-    print(f"# derived from CORRECTNESS_r1..r{current}; window = first 50")
-    print(f"# never-checked: {len(never)}, stale: {len(stale)}, fresh: {len(fresh)}")
+    print(f"# derived from CORRECTNESS_r1..r{current}; window = first 50 (auto-applied)")
+    print(
+        f"# never-checked: {len(never)}, stale: {len(stale)}, "
+        f"fresh: {len(order) - len(never) - len(stale)}"
+    )
     overflow = [n for n in never + stale if n not in window]
     if overflow:
         print(f"# WARNING: {len(overflow)} stale/new queries overflow the window: {overflow}")
     for n in order:
-        print(f'    "{n}",')
+        mark = "NEW" if n not in latest else f"r{latest[n]}"
+        print(f"    {n}  # {mark}")
 
 
 if __name__ == "__main__":
