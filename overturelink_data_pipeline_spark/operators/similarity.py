@@ -349,6 +349,14 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with a wrong dim, the matmul would raise (the Catalyst zip_with
     # version silently NULL-padded instead)
     dim = len(raw.select("embedding").first()["embedding"])
+    # the oracle SQL bakes _LSH_DIM into its plane CTE at import time,
+    # so a fixture-dimension change must fail HERE, not as a silent
+    # driver-check hash mismatch (ADVICE r4)
+    assert dim == _LSH_DIM, (
+        f"embedding dim {dim} != _LSH_DIM {_LSH_DIM}; the ann_lsh_buckets "
+        "oracle bakes the plane lattice for _LSH_DIM — update it together "
+        "with the fixture"
+    )
     sig = _lsh_signature_udf(dim)
     sigs = emb.select("vec_id", sig(F.col("v")).alias("sig"))
     return (
@@ -499,13 +507,65 @@ _KM_UPDATE = """
 """
 
 
-def _lloyd_assign(emb: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+#: k × dim above which ``_lloyd_assign`` switches from the Catalyst
+#: literal-array fold to the Arrow argmin kernel. The fold's zip_with/
+#: aggregate lambdas are INTERPRETED (~O(k·d) per row — the sf3 k∝n
+#: probe measured 23.1 s of pure assignment at k=100); at the k=8
+#: registered-query scale the fold is fine and keeps the plan
+#: UDF-free. 2048 leaves every oracle'd query (k·d = 512) on the
+#: Catalyst path while the k∝n scale mode gets the kernel.
+_ASSIGN_KERNEL_MIN_KD = 2048
+
+
+def _assign_argmin_udf(cents: dict[int, list[float]]):
+    """Arrow-batched numpy replica of ``_lloyd_assign``'s Catalyst
+    fold (VERDICT r4 ask #3 — the ann_pq_topk codes_udf shape, one
+    codebook instead of PQ_M).
+
+    Bit-identity with the fold is by CONSTRUCTION, not accident: the
+    accumulation loops over dimensions j in index order, so each
+    (row, centroid) distance performs exactly the IEEE sequence
+    ``acc += (v_j - c_j)²`` that F.aggregate's left fold (and the
+    DuckDB oracle's list_reduce) performs — a whole-matrix
+    ``((V-C)**2).sum(axis=2)`` would use numpy's pairwise summation,
+    whose last-bit drift can flip an argmin on a near-tie boundary.
+    Ties break to the FIRST (lowest-id) centroid in both paths
+    (np.argmin / array_position). Pinned against the Catalyst fold in
+    tests/test_llm_ops.py."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cls = sorted(cents)
+    C = np.array([cents[c] for c in cls], dtype=np.float64)  # (k, d)
+    ids = np.array(cls, dtype=np.int64)
+
+    @pandas_udf("long")
+    def cl(vcol: pd.Series) -> pd.Series:
+        V = np.stack(vcol.to_numpy()).astype(np.float64)  # (n, d)
+        acc = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+        for j in range(C.shape[1]):
+            t = V[:, j, None] - C[None, :, j]
+            acc += t * t
+        return pd.Series(ids[np.argmin(acc, axis=1)])
+
+    return cl
+
+
+def _lloyd_assign(
+    emb: DataFrame, cents: dict[int, list[float]], kernel: str = "auto"
+) -> DataFrame:
     """Attach the nearest-centroid cluster id as ``cl``: centroids are
     bounded driver state (k x dim) broadcast as literal arrays; the
-    squared-distance argmin is one codegen'd pass over the scan.
+    squared-distance argmin is one codegen'd pass over the scan for
+    small k·d, or the Arrow argmin kernel (bit-identical — see
+    ``_assign_argmin_udf``) once the interpreted fold's per-row cost
+    dominates. ``kernel``: "auto" (size-based), "catalyst", "arrow".
     Ties break to the lowest cluster id (``array_position`` takes the
     first minimum; the oracle orders by distance, cl)."""
     cls = sorted(cents)
+    kd = len(cls) * (len(next(iter(cents.values()))) if cents else 0)
+    if kernel == "arrow" or (kernel == "auto" and kd >= _ASSIGN_KERNEL_MIN_KD):
+        return emb.withColumn("cl", _assign_argmin_udf(cents)(F.col("v")))
     dists = F.array(
         *[
             F.aggregate(
@@ -687,6 +747,13 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     dim = len(emb.select("v").first()["v"])
+    # the oracle bakes v0 = 0.125 = 1/sqrt(_LSH_DIM) as a literal
+    # array of _LSH_DIM entries — fail loudly on a fixture-dim change
+    # rather than hash-mismatching at driver time (ADVICE r4)
+    assert dim == _LSH_DIM, (
+        f"embedding dim {dim} != _LSH_DIM {_LSH_DIM}; the "
+        "embedding_pca_power oracle bakes a {_LSH_DIM}-entry v0 literal"
+    )
     v = [0.125] * dim  # exact literal 1/sqrt(64), matching the oracle
 
     def pass_frames(vec: list[float]):

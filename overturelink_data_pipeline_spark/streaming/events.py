@@ -177,6 +177,27 @@ def run_to_completion(
             .start()
         )
         q.awaitTermination()
+        # state-store telemetry for the scaling sweeps
+        # (scripts/bench_stream_scale.py): peak rows / memory across
+        # the replay's micro-batches, summed over state operators.
+        # Stored on the function, not returned — callers are queries
+        # whose schema is part of the oracle contract.
+        try:
+            rows = mem = batches = 0
+            for p in q.recentProgress:
+                batches += 1
+                ops = p.get("stateOperators") or []
+                rows = max(rows, sum(o.get("numRowsTotal", 0) for o in ops))
+                mem = max(
+                    mem, sum(o.get("memoryUsedBytes", 0) for o in ops)
+                )
+            run_to_completion.last_state_metrics = {
+                "num_batches": batches,
+                "peak_state_rows": rows,
+                "peak_state_bytes": mem,
+            }
+        except Exception:
+            run_to_completion.last_state_metrics = None
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)

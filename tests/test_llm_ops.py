@@ -133,6 +133,42 @@ def test_ann_lsh_udf_matches_catalyst(spark, sf_dir):
     assert both.filter(F.col("ref") != F.col("fast")).count() == 0
 
 
+def test_lloyd_assign_arrow_kernel_matches_catalyst(spark, sf_dir):
+    """The Arrow argmin assignment kernel (the k∝n scale path) must
+    assign every vector to the SAME cluster as the Catalyst
+    literal-array fold — the kernel accumulates per-dimension in index
+    order precisely so its distances are IEEE-identical to the fold's
+    left-sum (a pairwise numpy sum could flip a near-tie argmin).
+    k=33 here forces the real corpus through both paths; the planted
+    exact-tie vector pins the first-minimum tie rule."""
+    import pyspark.sql.functions as F
+
+    from overturelink_data_pipeline_spark.operators.similarity import (
+        _lloyd_assign,
+        _lloyd_fit,
+    )
+    from overturelink_data_pipeline_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = _lloyd_fit(emb, k=33, updates=1)
+    ref = _lloyd_assign(emb, cents, kernel="catalyst").select("vec_id", "cl")
+    fast = _lloyd_assign(emb, cents, kernel="arrow").select(
+        "vec_id", F.col("cl").alias("cl2")
+    )
+    assert ref.join(fast, "vec_id").filter(F.col("cl") != F.col("cl2")).count() == 0
+
+    # exact tie: a vector equidistant from two centroids must take the
+    # lower cluster id on both paths
+    dim = len(next(iter(cents.values())))
+    tie_cents = {3: [0.0] * dim, 7: [2.0] + [0.0] * (dim - 1)}
+    tie = spark.createDataFrame([(0, [1.0] + [0.0] * (dim - 1))], "vec_id long, v array<double>")
+    for kern in ("catalyst", "arrow"):
+        got = _lloyd_assign(tie, tie_cents, kernel=kern).first()["cl"]
+        assert got == 3, (kern, got)
+
+
 def test_multimodal_decode_plumbing(spark, sf_dir, q):
     out = q["mm_decode_features"](spark, sf_dir).toPandas()
     assert set(out.kind) == {"image", "audio", "video"}
