@@ -1,0 +1,68 @@
+"""Stream-operator scaling sweep (VERDICT r4 ask #6): run the
+stateful streaming ops at sf1 and sf3 in fresh subprocesses and report
+wall time next to STATE-STORE telemetry (peak state rows / bytes,
+micro-batch count) captured from the replay's StreamingQuery progress
+(run_to_completion.last_state_metrics).
+
+The claim under test: state grows with the KEY population (users /
+hour buckets), not with event volume, so a 3× event corpus should
+show ≈3× state only where the key space itself scales (gen_sf1 shifts
+user_id per copy — user-keyed state IS expected to scale ~linearly)
+while wall time stays ≈linear in events.
+
+Usage: python scripts/bench_stream_scale.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+DIRS = sys.argv[1:] or ["/tmp/testdata/sf1", "/tmp/testdata/sf3"]
+
+QUERIES = ["stream_session_window", "stream_dedup_hourly"]
+
+_CHILD = r"""
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+from overturelink_data_pipeline_spark.session import get_spark
+from overturelink_data_pipeline_spark import registry
+from overturelink_data_pipeline_spark.streaming.events import run_to_completion
+registry.load_all()
+spark = get_spark(app_name="stream-scale-child", cpus="32")
+name, sf = sys.argv[1], sys.argv[2]
+registry.QUERIES["q1_pricing_summary"](spark, sf).count()
+registry.QUERIES[name](spark, sf).count()  # warm-up (JVM + state-store init)
+ts, metrics = [], None
+for _ in range(3):
+    t0 = time.time()
+    registry.QUERIES[name](spark, sf).count()
+    ts.append(time.time() - t0)
+    metrics = getattr(run_to_completion, "last_state_metrics", None)
+ts.sort()
+print("CHILD_RESULT " + json.dumps({"wall_s": round(ts[1], 2), "state": metrics}))
+"""
+
+
+def main() -> None:
+    for d in DIRS:
+        for name in QUERIES:
+            out = subprocess.run(
+                [sys.executable, "-c", _CHILD, name, d],
+                capture_output=True,
+                text=True,
+                timeout=600,
+            )
+            res = None
+            for line in out.stdout.splitlines():
+                if line.startswith("CHILD_RESULT "):
+                    res = json.loads(line.split(" ", 1)[1])
+            if res is None:
+                print(f"{name} @ {d}: CHILD FAILED {out.stderr[-300:]}")
+                continue
+            print(json.dumps({"query": name, "sf_dir": d, **res}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
