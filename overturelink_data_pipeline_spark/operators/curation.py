@@ -31,6 +31,7 @@ the synthetic data).
 
 from __future__ import annotations
 
+import functools
 import os
 import tempfile
 
@@ -158,6 +159,152 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_overlap"),
             (F.coalesce(F.col("c"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the constant-size membership plan
+# (Bloom 1970; the mechanism CCNet/Dolma-class pipelines use to test
+# a crawl against a reference corpus whose exact key set is too big
+# to broadcast).
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: BLOOM_M bits probed at BLOOM_K positions — each
+#: position is an 8-hex-char slice of md5(shingle) mod BLOOM_M, so
+#: the filter (false positives INCLUDED) is bit-reproducible in
+#: DuckDB and the driver's value-hash gate applies to an approximate
+#: membership structure, completing the hash-verifiable sketch family
+#: (HLL cardinality / CMS frequency / reservoir quantile / Bloom
+#: membership).
+BLOOM_M = 8192
+BLOOM_K = 4
+
+
+def _bloom_pos(j: int, col: Column) -> Column:
+    """Probe position ``j``: hex chars [1+8j, 8+8j) of md5 as a long
+    mod BLOOM_M — the exact expression the oracle evaluates with
+    CAST('0x..' AS BIGINT) % BLOOM_M."""
+    return (
+        F.conv(F.substring(F.md5(col), 1 + 8 * j, 8), 16, 10).cast("long")
+        % BLOOM_M
+    )
+
+
+@spark_query(
+    "text_bloom_decontaminate",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    eval_t AS (
+      SELECT list_slice(t, 1, {EVAL_EXCERPT_TOKENS}) AS t
+      FROM d WHERE doc_id % {EVAL_MODULUS} = 0
+    ),
+    eval_sh AS (
+      SELECT DISTINCT array_to_string(list_slice(t, i, i + {DECONTAM_K - 1}), ' ') AS sh
+      FROM eval_t, unnest(generate_series(1, len(t) - {DECONTAM_K - 1})) AS u(i)
+      WHERE len(t) >= {DECONTAM_K}
+    ),
+    pos AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(sh), 1 + 8 * j, 8) AS BIGINT) % {BLOOM_M} AS p
+      FROM eval_sh CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS j) js
+    ),
+    train_sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i, i + {DECONTAM_K - 1}), ' ') AS sh
+      FROM d, unnest(generate_series(1, len(t) - {DECONTAM_K - 1})) AS u(i)
+      WHERE len(t) >= {DECONTAM_K}
+    ),
+    hits AS (
+      SELECT t.doc_id, t.sh
+      FROM train_sh t
+      CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS j) js
+      JOIN pos
+        ON pos.p = CAST('0x' || substr(md5(t.sh), 1 + 8 * j, 8) AS BIGINT) % {BLOOM_M}
+      GROUP BY t.doc_id, t.sh
+      HAVING COUNT(*) = {BLOOM_K}
+    ),
+    agg AS (SELECT doc_id, COUNT(*) AS c FROM hits GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.c, 0) AS BIGINT) AS n_bloom_hits,
+           CAST(CASE WHEN COALESCE(a.c, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS flagged
+    FROM d LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a DETERMINISTIC Bloom filter over the eval
+    shingle set: a doc's shingle is flagged iff all BLOOM_K md5-derived
+    bit positions are set. Same eval set and shingling as
+    text_decontaminate, so the two operators are directly comparable —
+    bloom hits ⊇ true hits, and the gap IS the filter's
+    false-positive surface, bit-reproduced by the oracle.
+
+    100 TB plan shape — why this exists next to the broadcast-set
+    join: text_decontaminate ships the eval shingle SET broadcast-side
+    (fine for benchmark-sized eval suites). When the reference side is
+    itself corpus-scale — dedup a new crawl against the shingles of an
+    EXISTING multi-TB corpus — the exact set cannot be broadcast, but
+    its Bloom image is O(M) bits REGARDLESS of reference size and
+    mergeable bottom-up (per-partition bitmasks OR together), so the
+    probe stays a broadcast-side constant and the corpus never
+    shuffles. Here the bit array (≤ BLOOM_M positions, bounded by
+    geometry like the CMS grid) collects to the driver and probes as
+    one constant-folded literal-array lookup per plane — whole-stage
+    codegen, zero joins on the scan side; the only exchange is the
+    bounded per-doc hit count."""
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", _ltokens(F.col("text")).alias("t"))
+    eval_sh = (
+        toks.filter(F.col("doc_id") % EVAL_MODULUS == 0)
+        .select(
+            F.explode(
+                _shingles(F.slice(F.col("t"), 1, EVAL_EXCERPT_TOKENS), DECONTAM_K)
+            ).alias("sh")
+        )
+        .distinct()
+    )
+    set_bits = {
+        int(r["p"])
+        for r in eval_sh.select(
+            F.explode(
+                F.array(*[_bloom_pos(j, F.col("sh")) for j in range(BLOOM_K)])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    }
+    # one F.expr string, not BLOOM_M F.lit columns (the CMS lesson:
+    # thousands of py4j Column constructions are real driver latency)
+    bits = F.expr(
+        "array(" + ",".join("1" if b in set_bits else "0" for b in range(BLOOM_M)) + ")"
+    )
+    train_sh = toks.select(
+        "doc_id", F.explode(_shingles(F.col("t"), DECONTAM_K)).alias("sh")
+    )
+    hit = train_sh.filter(
+        functools.reduce(
+            lambda a, b: a & b,
+            [
+                F.element_at(bits, (_bloom_pos(j, F.col("sh")) + 1).cast("int"))
+                == 1
+                for j in range(BLOOM_K)
+            ],
+        )
+    )
+    hits = hit.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        toks.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_bloom_hits"),
+            (F.coalesce(F.col("c"), F.lit(0)) > 0).cast("int").alias("flagged"),
         )
         .orderBy("doc_id")
     )

@@ -745,3 +745,103 @@ def agg_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_count").desc(), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-overlap matrix (source-pair shingle overlap) — the curation
+# audit that answers "how much of source A is already in source B"
+# before mixing data sources into a training corpus.
+# ---------------------------------------------------------------------------
+
+
+@spark_query(
+    "corpus_overlap_matrix",
+    oracle="""
+    WITH d AS (
+      SELECT source, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             array_to_string(list_slice(t, i, i + 2), ' ') AS sh
+      FROM d, unnest(generate_series(1, len(t) - 2)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.source AS sa, b.source AS sb, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT sa AS src_a, sb AS src_b,
+           CAST(c AS BIGINT) AS n_shared,
+           ROUND(c * 1.0 / (za.n + zb.n - c), 6) AS jaccard,
+           ROUND(c * 1.0 / LEAST(za.n, zb.n), 6) AS containment
+    FROM shared
+    JOIN sizes za ON za.source = sa
+    JOIN sizes zb ON zb.source = sb
+    ORDER BY src_a, src_b
+    """,
+)
+def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-level 3-gram shingle overlap: for every source
+    pair, |S(A) ∩ S(B)| with Jaccard and min-containment — the
+    source-mixing audit run before combining crawls/dumps into one
+    training corpus (a high containment means source A is largely a
+    subset of B and should be down-weighted or dropped).
+
+    100 TB plan shape: the exact set intersection never materializes —
+    the inverted index groups distinct (source, shingle) postings by
+    shingle, and each key's source SET is bounded by the number of
+    SOURCES (a config-scale constant, unlike the per-doc posting lists
+    the dedup family must cap), so the collect_set is safe at any
+    corpus size and pair fan-out per key is ≤ S². repartition("sh")
+    up front makes the per-source distinct AND the set-collect run
+    partition-local off one exchange (the dedup_exact_substring
+    recipe); the S-row size table joins with an explicit broadcast
+    hint — provably bounded by the source population. Output is
+    ≤ S(S−1)/2 rows regardless of data size."""
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    t = docs.select("source", tokens(F.col("text")).alias("t"))
+    idx = F.expr(
+        "CASE WHEN size(t) >= 3 THEN sequence(1, size(t) - 2) "
+        "ELSE CAST(array() AS array<int>) END"
+    )
+    sh = (
+        t.select("source", "t", F.explode(idx).alias("i"))
+        .select("source", F.expr("array_join(slice(t, i, 3), ' ')").alias("sh"))
+        .repartition("sh")
+        .dropDuplicates(["source", "sh"])
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inv = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss) - i - 1), "
+        "y -> struct(x AS sa, y AS sb))))"
+    )
+    shared = (
+        inv.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.sa").alias("src_a"), F.col("p.sb").alias("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    za = F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na")))
+    zb = F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb")))
+    return (
+        shared.join(za, "src_a")
+        .join(zb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("c").cast("bigint").alias("n_shared"),
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6).alias(
+                "jaccard"
+            ),
+            F.round(F.col("c") / F.least("na", "nb"), 6).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -153,6 +153,10 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "text_gopher_quality",
     "stream_dedup_hourly",
     "text_decontaminate",
+    # --- round-5 additions (never-checked tier puts these at the
+    # window head automatically) ---------------------------------------
+    "text_bloom_decontaminate",
+    "corpus_overlap_matrix",
     "text_pack_sequences",
     "text_pii_redact",
     "sample_stratified",

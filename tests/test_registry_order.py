@@ -72,12 +72,17 @@ def test_registration_order_is_the_derived_rotation():
 
 def test_derived_order_tiers():
     """Never-checked queries precede stale ones, which precede fresh
-    ones, and stale queries come oldest-round-first."""
+    ones, and stale queries come oldest-round-first. An oracle-backed
+    query whose driver rows all predate its oracle (hash_only latest
+    = 0) counts as never-checked, mirroring derived_rotation_order."""
     latest = _latest_driver_round()
+    hashed = registry.latest_driver_rounds(str(REPO), hash_only=True)
     current = max(latest.values()) if latest else 0
 
     def tier(n: str) -> tuple[int, int]:
         rnd = latest.get(n, 0)
+        if n in registry.ORACLE and hashed.get(n, 0) == 0:
+            rnd = 0
         return (0 if rnd == 0 else (1 if rnd < current else 2), rnd)
 
     tiers = [tier(n) for n in registry.QUERIES]
