@@ -219,13 +219,19 @@ def _bloom_pos(j: int, col: Column) -> Column:
       FROM d, unnest(generate_series(1, len(t) - {DECONTAM_K - 1})) AS u(i)
       WHERE len(t) >= {DECONTAM_K}
     ),
-    hits AS (
-      SELECT t.doc_id, t.sh
+    probes AS (
+      -- p computed in a projection, THEN equi-joined: an expression
+      -- inside the ON clause makes DuckDB nested-loop pos x probes
+      -- (measured >400 s at sf1 vs ~3 s for the hash join)
+      SELECT t.doc_id, t.sh,
+             CAST('0x' || substr(md5(t.sh), 1 + 8 * j, 8) AS BIGINT) % {BLOOM_M} AS p
       FROM train_sh t
       CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS j) js
-      JOIN pos
-        ON pos.p = CAST('0x' || substr(md5(t.sh), 1 + 8 * j, 8) AS BIGINT) % {BLOOM_M}
-      GROUP BY t.doc_id, t.sh
+    ),
+    hits AS (
+      SELECT doc_id, sh
+      FROM probes JOIN pos USING (p)
+      GROUP BY doc_id, sh
       HAVING COUNT(*) = {BLOOM_K}
     ),
     agg AS (SELECT doc_id, COUNT(*) AS c FROM hits GROUP BY 1)
