@@ -1320,10 +1320,16 @@ def cluster_labels(pairs: DataFrame) -> DataFrame:
     # SUM is a fixed-point witness — unchanged sum ⟺ no label moved —
     # one agg on the checkpointed frame instead of a changed-flag join
     # against the previous round.
+    # LAZY localCheckpoint + sum in ONE job per round: the sum action
+    # is what materializes the checkpoint, so each round runs a single
+    # job instead of eager-materialize + separate witness agg (the
+    # round-5 shave: 2 jobs/round → 1). The plan-truncation property
+    # is unchanged — by the time the next round composes, the
+    # checkpoint is materialized and the lineage is cut.
     prev_sum: int | None = None
     converged = False
     for _ in range(CC_PROPAGATE_ROUNDS):
-        nxt = propagate(labels).localCheckpoint(True)
+        nxt = propagate(labels).localCheckpoint(False)
         cur_sum = nxt.agg(F.sum("lbl")).collect()[0][0]
         labels = nxt
         if cur_sum == prev_sum:
@@ -1348,7 +1354,11 @@ def cluster_labels(pairs: DataFrame) -> DataFrame:
                         F.col("lbl"), F.coalesce("lbl2", F.col("lbl"))
                     ).alias("lbl"),
                 )
-                .localCheckpoint(True)
+                # lazy: the witness sum below materializes it (hop
+                # above stays EAGER — it feeds both sides of the
+                # doubling self-join, and a lazy checkpoint consumed
+                # twice inside one job could recompute)
+                .localCheckpoint(False)
             )
             cur_sum = nxt.agg(F.sum("lbl")).collect()[0][0]
             labels = nxt
@@ -1472,13 +1482,21 @@ def graph_pagerank_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-        # localCheckpoint (eager) TRUNCATES the logical plan: with
-        # persist alone, round i still re-analyzes a plan containing
-        # the whole minhash lineage plus i rounds — measured rounds
-        # growing 1.3 → 4.0 s from plan compilation alone; truncated,
-        # they shrink to 0.4-1.1 s. (A cluster deployment would use a
+        # localCheckpoint TRUNCATES the logical plan: with persist
+        # alone, round i still re-analyzes a plan containing the whole
+        # minhash lineage plus i rounds — measured rounds growing
+        # 1.3 → 4.0 s from plan compilation alone; truncated, they
+        # shrink to 0.4-1.1 s. LAZY since round 5: PageRank has no
+        # per-round convergence witness (fixed PR_ITERS), so nothing
+        # needs the round materialized eagerly — the final action
+        # computes the whole chain in ONE job, checkpointing each
+        # round's RDD as it materializes (each intermediate is
+        # consumed exactly once, so laziness cannot recompute). The
+        # per-round driver job disappears; plan truncation is
+        # unchanged (the checkpoint substitutes a LogicalRDD at
+        # compose time either way). (A cluster deployment would use a
         # reliable checkpoint dir for fault tolerance.)
-        ranks = ranks.localCheckpoint(True)
+        ranks = ranks.localCheckpoint(False)
     return (
         ranks.join(e.select("s", "deg").distinct(), ranks["n"] == F.col("s"))
         .select(
