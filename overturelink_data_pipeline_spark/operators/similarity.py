@@ -752,7 +752,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rather than hash-mismatching at driver time (ADVICE r4)
     assert dim == _LSH_DIM, (
         f"embedding dim {dim} != _LSH_DIM {_LSH_DIM}; the "
-        "embedding_pca_power oracle bakes a {_LSH_DIM}-entry v0 literal"
+        f"embedding_pca_power oracle bakes a {_LSH_DIM}-entry v0 literal"
     )
     v = [0.125] * dim  # exact literal 1/sqrt(64), matching the oracle
 
