@@ -905,6 +905,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK,
     )
     post = sh.select("doc_id", F.explode("sh").alias("h"))
+    # NOT persisted (unlike simhash's sigs — tried in r5 and reverted,
+    # measured 2.48 → 3.09 s at sf1): both self-join sides and the
+    # census broadcast subtree here are IDENTICAL plans, so
+    # ReuseExchange already computes the signature pipeline once
+    # inside the single job; a persist only adds a job boundary and a
+    # cache write. Simhash differs because its vote agg feeds legs
+    # with non-identical exchanges.
     sig = minhash_signatures_agg(post)  # codegen'd, not interpreted HOFs
     rows_per_band = N_HASHES // N_BANDS
     bands = sig.select(
@@ -933,6 +940,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > BAND_BUCKET_CAP)
         .select("band", "bucket")
     )
+    # kept IN-PLAN (no driver-side census short-circuit here — also
+    # tried in r5, reverted with the persist above): without a cached
+    # upstream, the decision head(1) would run the whole signature
+    # pipeline as its own job, costing more than the empty broadcast
+    # anti-join it would remove
     bands = bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
     # candidate pairs carry IDs only through the band shuffle — the
     # shingle arrays join back AFTER dedup, so the wide payload never
@@ -1059,13 +1071,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same hot-bucket guard as the MinHash band join (see there): a
     # 16-bit chunk shared by a boilerplate cluster is one bucket with
     # the whole cluster in it
-    big = (
+    big = _fresh_persist(
+        "simhash_band_census",
         banded.groupBy("band", "chunk")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > BAND_BUCKET_CAP)
-        .select("band", "chunk")
+        .select("band", "chunk"),
     )
-    banded = banded.join(F.broadcast(big), ["band", "chunk"], "left_anti")
+    # empty census (every natural corpus) ⇒ no anti-join in the plan
+    # at all — the _capped_census recipe; sigs are already cached, so
+    # the decision head(1) is a cheap cache-side agg
+    if big.head(1):
+        banded = banded.join(F.broadcast(big), ["band", "chunk"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
