@@ -6,11 +6,11 @@ ask #1) is: no query's most recent driver row may ever be more than one
 round old. Since round 5 the order is DERIVED inside
 ``registry.load_all()`` from the CORRECTNESS_r*.json artifacts
 (never-checked -> stale -> fresh), so these tests assert the derivation
-holds rather than a hand-pasted list. The registered-query count grows
-round over round (98 as of r4); with a 50-row window the policy stays
-feasible while the stale tier fits in 50 — the feasibility assert below
-fails loudly if a round ever adds too many queries for two-round
-rotation.
+holds rather than a hand-pasted list. The registered-query count is
+100 as of r5 — the HARD CEILING for a 50-row window under two-round
+rotation (50 stale + 0 free slots every round); adding a query now
+requires retiring one, and the feasibility assert below fails loudly
+if a round ever violates that.
 """
 
 from __future__ import annotations
@@ -105,3 +105,42 @@ def test_errored_rows_do_not_count_as_fresh(tmp_path):
     )
     latest = registry.latest_driver_rounds(str(tmp_path))
     assert latest == {"ok_q": 1, "rows_only_q": 1}
+
+
+def test_derived_rotation_on_synthetic_artifacts(tmp_path, monkeypatch):
+    """End-to-end check of derived_rotation_order against synthetic
+    CORRECTNESS artifacts: never-checked first, then an oracle-gap
+    query (rows predate its oracle), then stale oldest-first, then
+    fresh — with _PRIORITY_ORDER breaking ties."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"stale_old": {"err": None}, "gap_q": {"err": "no_oracle"}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {
+                "fresh_a": {"err": None},
+                "fresh_b": {"err": None},
+                "gap_q": {"err": "no_oracle"},
+                "crashed": {"err": "oracle OOM"},
+            }
+        )
+    )
+    fake_queries = {
+        n: (lambda s, d: None)
+        for n in ["fresh_b", "fresh_a", "stale_old", "gap_q", "crashed", "brand_new"]
+    }
+    monkeypatch.setattr(registry, "QUERIES", fake_queries)
+    monkeypatch.setattr(registry, "ORACLE", {"gap_q": "SELECT 1", "fresh_a": "SELECT 1"})
+    monkeypatch.setattr(
+        registry,
+        "_PRIORITY_ORDER",
+        ("fresh_a", "fresh_b", "stale_old", "gap_q", "crashed", "brand_new"),
+    )
+    order = registry.derived_rotation_order(str(tmp_path))
+    # tier 0: brand_new (never), crashed (errored rows never count),
+    # gap_q (oracle-backed, rows all predate the oracle) — priority
+    # tie-break puts gap_q before crashed before brand_new;
+    # tier 1: stale_old (r1 < r2); tier 2: fresh (r2), priority order.
+    assert order == ["gap_q", "crashed", "brand_new", "stale_old", "fresh_a", "fresh_b"]
