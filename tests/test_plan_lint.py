@@ -37,3 +37,41 @@ def test_no_slow_path_operators(spark, sf_dir, name, monkeypatch):
     plan = df._jdf.queryExecution().executedPlan().toString()
     hits = [k for k in FORBIDDEN if k in plan]
     assert not hits, f"{name}: forbidden physical operators {hits}"
+
+
+def _plan(spark, sf_dir, name):
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_substring_postings_single_exchange(spark, sf_dir):
+    """The round-5 posting recipe: dedup_exact_substring's plan must
+    carry exactly ONE hash exchange of the posting table keyed on h
+    (the explicit repartition) — the per-doc distinct, the census, and
+    the collect_list fan-out all consume it partition-local. A second
+    h-exchange means the recipe regressed."""
+    import re
+
+    plan = _plan(spark, sf_dir, "dedup_exact_substring")
+    h_exchanges = re.findall(r"Exchange hashpartitioning\(h#\d+", plan)
+    assert len(set(h_exchanges)) == 1, (
+        f"expected one h-keyed exchange (REPARTITION_BY_COL), got {h_exchanges}"
+    )
+
+
+def test_cms_probe_plan_has_no_joins(spark, sf_dir):
+    """agg_count_min_tokens probes the driver-collected grid via
+    constant-folded literal arrays: the final plan must contain NO
+    join operator at all (the vocabulary min-agg shuffle + broadcast
+    join of the round-4 shape are the regression this pins)."""
+    plan = _plan(spark, sf_dir, "agg_count_min_tokens")
+    assert "Join" not in plan, "CMS probe should be join-free"
+
+
+def test_bloom_probe_scan_side_is_join_free(spark, sf_dir):
+    """text_bloom_decontaminate's shingle probe is a literal-array
+    membership test in codegen; the only join allowed is the final
+    per-doc left join of hit counts back onto doc ids."""
+    plan = _plan(spark, sf_dir, "text_bloom_decontaminate")
+    joins = [l for l in plan.splitlines() if "Join" in l]
+    assert len(joins) <= 1, f"expected at most the final doc-id join, got:\n" + "\n".join(joins)
