@@ -352,11 +352,12 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle SQL bakes _LSH_DIM into its plane CTE at import time,
     # so a fixture-dimension change must fail HERE, not as a silent
     # driver-check hash mismatch (ADVICE r4)
-    assert dim == _LSH_DIM, (
-        f"embedding dim {dim} != _LSH_DIM {_LSH_DIM}; the ann_lsh_buckets "
-        "oracle bakes the plane lattice for _LSH_DIM — update it together "
-        "with the fixture"
-    )
+    if dim != _LSH_DIM:  # ValueError, not assert — must survive python -O
+        raise ValueError(
+            f"embedding dim {dim} != _LSH_DIM {_LSH_DIM}; the ann_lsh_buckets "
+            "oracle bakes the plane lattice for _LSH_DIM — update it together "
+            "with the fixture"
+        )
     sig = _lsh_signature_udf(dim)
     sigs = emb.select("vec_id", sig(F.col("v")).alias("sig"))
     return (
@@ -750,10 +751,11 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle bakes v0 = 0.125 = 1/sqrt(_LSH_DIM) as a literal
     # array of _LSH_DIM entries — fail loudly on a fixture-dim change
     # rather than hash-mismatching at driver time (ADVICE r4)
-    assert dim == _LSH_DIM, (
-        f"embedding dim {dim} != _LSH_DIM {_LSH_DIM}; the "
-        f"embedding_pca_power oracle bakes a {_LSH_DIM}-entry v0 literal"
-    )
+    if dim != _LSH_DIM:  # ValueError, not assert — must survive python -O
+        raise ValueError(
+            f"embedding dim {dim} != _LSH_DIM {_LSH_DIM}; the "
+            f"embedding_pca_power oracle bakes a {_LSH_DIM}-entry v0 literal"
+        )
     v = [0.125] * dim  # exact literal 1/sqrt(64), matching the oracle
 
     def pass_frames(vec: list[float]):

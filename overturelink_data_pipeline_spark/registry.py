@@ -193,35 +193,65 @@ def latest_driver_rounds(repo_dir: str, hash_only: bool = False) -> dict[str, in
     (scripts/rotate_window.py) and load_all()'s derived ordering all
     import it, so they can never disagree about what counts as stale.
 
-    A row whose ``err`` is non-null counts as a fresh check ONLY for the
-    expected ``no_oracle`` sentinel (rows-only queries by design); any
-    other error (infra failure, oracle crash) leaves the query stale so
-    it rotates back into the window until a clean result lands.
+    A row counts as a valid check only when it is GREEN: either the
+    ``no_oracle`` sentinel (rows-only queries by design), or a null
+    ``err`` with every match flag true. Anything else — an infra error,
+    an oracle crash, or a ran-but-MISMATCHED comparison
+    (``hash_match: false`` with ``err: null``) — leaves the query stale
+    so it rotates back into the window until a clean result lands; a
+    failing query retiring to the fresh tail would be the opposite of
+    the policy.
 
-    With ``hash_only=True``, only rows whose ``err`` is null count — i.e.
-    rows where the driver actually ran the oracle comparison. Used to
-    spot queries whose oracle landed after their last driver row (their
-    only rows are ``no_oracle``), which should rotate to the very front.
+    With ``hash_only=True``, only green rows where the oracle
+    comparison actually ran count (the ``no_oracle`` sentinel is
+    excluded). Used to spot queries whose oracle landed after their
+    last driver row, which should rotate to the very front.
     """
+    latest, hashed = _driver_round_maps(repo_dir)
+    return hashed if hash_only else latest
+
+
+def _driver_round_maps(repo_dir: str) -> tuple[dict[str, int], dict[str, int]]:
+    """One artifact sweep → (latest, hash_only) maps — load_all() needs
+    both, and parsing every artifact twice per engine startup was pure
+    wasted I/O (review r5)."""
     import json as _json
     import os as _os
     import re as _re
 
     latest: dict[str, int] = {}
+    hashed: dict[str, int] = {}
     for name in sorted(_os.listdir(repo_dir)):
         m = _re.match(r"CORRECTNESS_r(\d+)\.json", name)
         if not m:
             continue
         rnd = int(m.group(1))
-        with open(_os.path.join(repo_dir, name)) as f:
-            payload = _json.load(f)
+        try:
+            with open(_os.path.join(repo_dir, name)) as f:
+                payload = _json.load(f)
+        except (OSError, ValueError) as exc:
+            # a truncated/corrupt artifact (driver crash mid-write) must
+            # not take down every load_all() (review r5). Skipping is
+            # the CONSERVATIVE direction: queries from that round read
+            # as stale and rotate back into the window.
+            import warnings
+
+            warnings.warn(f"skipping unreadable driver artifact {name}: {exc}")
+            continue
         rows = payload.items() if isinstance(payload, dict) else ((q, {}) for q in payload)
         for q, row in rows:
-            err = row.get("err") if isinstance(row, dict) else None
-            if err is not None and (hash_only or err != "no_oracle"):
-                continue
-            latest[q] = max(latest.get(q, 0), rnd)
-    return latest
+            if not isinstance(row, dict):
+                row = {}
+            err = row.get("err")
+            if err is None:
+                if all(
+                    row.get(k) for k in ("rows_match", "schema_match", "hash_match")
+                ):
+                    latest[q] = max(latest.get(q, 0), rnd)
+                    hashed[q] = max(hashed.get(q, 0), rnd)
+            elif err == "no_oracle":
+                latest[q] = max(latest.get(q, 0), rnd)
+    return latest, hashed
 
 
 def load_all() -> None:
@@ -263,8 +293,7 @@ def derived_rotation_order(repo_dir: str | None = None) -> list[str]:
     if repo_dir is None:
         repo_dir = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     try:
-        latest = latest_driver_rounds(repo_dir)
-        hashed = latest_driver_rounds(repo_dir, hash_only=True)
+        latest, hashed = _driver_round_maps(repo_dir)
     except OSError:
         latest, hashed = {}, {}
     current = max(latest.values()) if latest else 0
@@ -282,6 +311,34 @@ def derived_rotation_order(repo_dir: str | None = None) -> list[str]:
         return (tier, rnd, pos.get(n, len(pos)), n)
 
     return sorted(QUERIES, key=key)
+
+
+def rotation_report(repo_dir: str | None = None) -> list[tuple[str, str]]:
+    """(name, mark) pairs in the derived rotation order, marks from the
+    SAME tiering key load_all() applies: ``NEW`` (never checked),
+    ``oracle-gap`` (oracle-backed, all rows predate the oracle),
+    ``rN`` (latest green round). The inspection script prints this
+    verbatim so it can never disagree with the applied order
+    (review r5: the script's own never/stale/fresh re-derivation
+    mis-marked oracle-gap queries as fresh)."""
+    import os as _os
+
+    if repo_dir is None:
+        repo_dir = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    try:
+        latest, hashed = _driver_round_maps(repo_dir)
+    except OSError:
+        latest, hashed = {}, {}
+    out = []
+    for n in derived_rotation_order(repo_dir):
+        if n not in latest:
+            mark = "NEW"
+        elif n in ORACLE and hashed.get(n, 0) == 0:
+            mark = "oracle-gap"
+        else:
+            mark = f"r{latest[n]}"
+        out.append((n, mark))
+    return out
 
 
 def _apply_canonical_order() -> None:

@@ -23,22 +23,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     registry.load_all()
+    report = registry.rotation_report(REPO)  # the SAME tiering load_all applied
     latest = registry.latest_driver_rounds(REPO)
     current = max(latest.values()) if latest else 0
-    order = list(registry.QUERIES)  # load_all() already applied the derivation
-    never = [n for n in order if n not in latest]
-    stale = [n for n in order if 0 < latest.get(n, 0) < current]
+    order = [n for n, _ in report]
+    assert order == list(registry.QUERIES), "report/order drift — registry bug"
+    # must-be-in-window = everything not green in the current round:
+    # NEW, oracle-gap, and stale-round marks all qualify
+    due = [n for n, mark in report if mark != f"r{current}"]
     window = order[:50]
     print(f"# derived from CORRECTNESS_r1..r{current}; window = first 50 (auto-applied)")
-    print(
-        f"# never-checked: {len(never)}, stale: {len(stale)}, "
-        f"fresh: {len(order) - len(never) - len(stale)}"
-    )
-    overflow = [n for n in never + stale if n not in window]
+    counts: dict[str, int] = {}
+    for _, mark in report:
+        kind = mark if mark in ("NEW", "oracle-gap") else ("fresh" if mark == f"r{current}" else "stale")
+        counts[kind] = counts.get(kind, 0) + 1
+    print("# " + ", ".join(f"{k}: {v}" for k, v in sorted(counts.items())))
+    overflow = [n for n in due if n not in window]
     if overflow:
-        print(f"# WARNING: {len(overflow)} stale/new queries overflow the window: {overflow}")
-    for n in order:
-        mark = "NEW" if n not in latest else f"r{latest[n]}"
+        print(f"# WARNING: {len(overflow)} due queries overflow the window: {overflow}")
+    for n, mark in report:
         print(f"    {n}  # {mark}")
 
 

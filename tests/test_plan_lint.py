@@ -53,9 +53,27 @@ def test_substring_postings_single_exchange(spark, sf_dir):
     import re
 
     plan = _plan(spark, sf_dir, "dedup_exact_substring")
-    h_exchanges = re.findall(r"Exchange hashpartitioning\(h#\d+", plan)
-    assert len(set(h_exchanges)) == 1, (
-        f"expected one h-keyed exchange (REPARTITION_BY_COL), got {h_exchanges}"
+    # every hash exchange whose key set mentions the posting hash h —
+    # including compound keys like hashpartitioning(doc_id, h) that a
+    # regressed dropDuplicates would insert (review r5). Two printer
+    # artifacts to dedup: AQE renders the SAME exchange in both its
+    # "== Initial Plan ==" and final sections (drop the initial
+    # renderings), and shared subtrees repeat (key on plan_id).
+    plan = re.split(r"== Initial Plan ==", plan)[0] + "".join(
+        part.split("== Final Plan ==", 1)[-1]
+        for part in re.split(r"== Initial Plan ==", plan)[1:]
+        if "== Final Plan ==" in part
+    )
+    h_exchanges = {
+        m.group(2)
+        for m in re.finditer(
+            r"Exchange hashpartitioning\(([^)]*)\).*?\[plan_id=(\d+)\]", plan
+        )
+        if re.search(r"\bh#\d+", m.group(1))
+    }
+    assert len(h_exchanges) == 1, (
+        f"expected exactly one h-keyed posting exchange "
+        f"(REPARTITION_BY_COL), got plan_ids {sorted(h_exchanges)}"
     )
 
 

@@ -97,9 +97,22 @@ def test_errored_rows_do_not_count_as_fresh(tmp_path):
     (tmp_path / "CORRECTNESS_r01.json").write_text(
         json.dumps(
             {
-                "ok_q": {"hash_match": True, "err": None},
+                "ok_q": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "err": None,
+                },
                 "rows_only_q": {"hash_match": None, "err": "no_oracle"},
                 "crashed_q": {"hash_match": None, "err": "OOM in oracle"},
+                # ran but MISMATCHED: must stay stale, not retire to the
+                # fresh tail (review r5)
+                "mismatched_q": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": False,
+                    "err": None,
+                },
             }
         )
     )
@@ -114,14 +127,15 @@ def test_derived_rotation_on_synthetic_artifacts(tmp_path, monkeypatch):
     fresh — with _PRIORITY_ORDER breaking ties."""
     import json
 
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
     (tmp_path / "CORRECTNESS_r01.json").write_text(
-        json.dumps({"stale_old": {"err": None}, "gap_q": {"err": "no_oracle"}})
+        json.dumps({"stale_old": green, "gap_q": {"err": "no_oracle"}})
     )
     (tmp_path / "CORRECTNESS_r02.json").write_text(
         json.dumps(
             {
-                "fresh_a": {"err": None},
-                "fresh_b": {"err": None},
+                "fresh_a": green,
+                "fresh_b": green,
                 "gap_q": {"err": "no_oracle"},
                 "crashed": {"err": "oracle OOM"},
             }
