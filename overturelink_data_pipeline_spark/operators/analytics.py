@@ -873,6 +873,10 @@ def retention_week_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = offsets.groupBy("offset_weeks").agg(
         F.countDistinct("user_id").cast("bigint").alias("n_users")
     )
+    # cohort-0 size via an empty-partition window over the
+    # post-aggregation frame — bounded by group cardinality (one row per
+    # offset week, ~tens), never raw data, so the single-partition
+    # WindowExec warning is benign
     total = F.max(
         F.when(F.col("offset_weeks") == 0, F.col("n_users"))
     ).over(Window.partitionBy())

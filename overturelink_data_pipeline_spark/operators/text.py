@@ -496,6 +496,9 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("total_tokens"),
         )
     )
+    # corpus total via an empty-partition window over the post-aggregation
+    # frame — bounded by group cardinality (|sources| × ~20 log2 buckets),
+    # never raw data, so the single-partition WindowExec warning is benign
     total = F.sum("total_tokens").over(Window.partitionBy())
     return g.select(
         "source",

@@ -167,6 +167,15 @@ def run_to_completion(
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # recentProgress is a ring buffer of the LAST
+    # numRecentProgressUpdates (default ~100) entries — a replay with
+    # more micro-batches would silently undercount num_batches and
+    # peak state in the telemetry below (the exact numbers the sf3
+    # scaling sweep consumes). Raise it for this replay; restored in
+    # the finally.
+    _PROG_KEY = "spark.sql.streaming.numRecentProgressUpdates"
+    old_prog = spark.conf.get(_PROG_KEY, "100")
+    spark.conf.set(_PROG_KEY, "100000")
     try:
         q = (
             streaming_df.writeStream.format("memory")
@@ -199,6 +208,7 @@ def run_to_completion(
         except Exception:
             run_to_completion.last_state_metrics = None
     finally:
+        spark.conf.set(_PROG_KEY, old_prog)
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)

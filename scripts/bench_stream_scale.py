@@ -48,12 +48,17 @@ print("CHILD_RESULT " + json.dumps({"wall_s": round(ts[1], 2), "state": metrics}
 def main() -> None:
     for d in DIRS:
         for name in QUERIES:
-            out = subprocess.run(
-                [sys.executable, "-c", _CHILD, name, d],
-                capture_output=True,
-                text=True,
-                timeout=600,
-            )
+            try:
+                out = subprocess.run(
+                    [sys.executable, "-c", _CHILD, name, d],
+                    capture_output=True,
+                    text=True,
+                    timeout=600,
+                )
+            except subprocess.TimeoutExpired:
+                # one hung child must not abort the rest of the sweep
+                print(f"{name} @ {d}: CHILD TIMEOUT (600s)")
+                continue
             res = None
             for line in out.stdout.splitlines():
                 if line.startswith("CHILD_RESULT "):

@@ -44,6 +44,20 @@ def _plan(spark, sf_dir, name):
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _strip_aqe_initial_sections(plan):
+    """AQE's plan printer renders the SAME subtree in both its
+    "== Initial Plan ==" and final sections; any test that COUNTS
+    operators over the raw string would double-count. Keep only the
+    final renderings."""
+    import re
+
+    return re.split(r"== Initial Plan ==", plan)[0] + "".join(
+        part.split("== Final Plan ==", 1)[-1]
+        for part in re.split(r"== Initial Plan ==", plan)[1:]
+        if "== Final Plan ==" in part
+    )
+
+
 def test_substring_postings_single_exchange(spark, sf_dir):
     """The round-5 posting recipe: dedup_exact_substring's plan must
     carry exactly ONE hash exchange of the posting table keyed on h
@@ -55,15 +69,9 @@ def test_substring_postings_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_exact_substring")
     # every hash exchange whose key set mentions the posting hash h —
     # including compound keys like hashpartitioning(doc_id, h) that a
-    # regressed dropDuplicates would insert (review r5). Two printer
-    # artifacts to dedup: AQE renders the SAME exchange in both its
-    # "== Initial Plan ==" and final sections (drop the initial
-    # renderings), and shared subtrees repeat (key on plan_id).
-    plan = re.split(r"== Initial Plan ==", plan)[0] + "".join(
-        part.split("== Final Plan ==", 1)[-1]
-        for part in re.split(r"== Initial Plan ==", plan)[1:]
-        if "== Final Plan ==" in part
-    )
+    # regressed dropDuplicates would insert (review r5). Shared
+    # subtrees also repeat in the printout (key on plan_id).
+    plan = _strip_aqe_initial_sections(plan)
     h_exchanges = {
         m.group(2)
         for m in re.finditer(
@@ -90,6 +98,8 @@ def test_bloom_probe_scan_side_is_join_free(spark, sf_dir):
     """text_bloom_decontaminate's shingle probe is a literal-array
     membership test in codegen; the only join allowed is the final
     per-doc left join of hit counts back onto doc ids."""
-    plan = _plan(spark, sf_dir, "text_bloom_decontaminate")
+    plan = _strip_aqe_initial_sections(
+        _plan(spark, sf_dir, "text_bloom_decontaminate")
+    )
     joins = [l for l in plan.splitlines() if "Join" in l]
     assert len(joins) <= 1, f"expected at most the final doc-id join, got:\n" + "\n".join(joins)
