@@ -31,6 +31,7 @@ import os
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from overturelink_data_pipeline_spark.registry import spark_query
 from overturelink_data_pipeline_spark.session import (
@@ -619,7 +620,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = corpus.select(
         "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("t")
     )
-    # explode the index range FIRST, hash AFTER: md5 inside a
+    # explode the index range FIRST, hash AFTER: a hash inside a
     # transform() lambda is interpreted per element (measured 4.1 s at
     # sf1); as a post-explode projection it runs in whole-stage
     # codegen (1.6 s). Same trick as the ngram posting build.
@@ -628,26 +629,55 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"THEN sequence(1, size(t) - {SUBSTR_W - 1}) "
         "ELSE CAST(array() AS array<int>) END"
     )
+    # the window key is xxhash64 SEED-CHAINED over the 15 tokens (the
+    # _gram_hashes recipe at window width): equal windows ⟺ equal
+    # token tuples ⟺ equal hashes, so pair generation and n_shared are
+    # unchanged vs hashing the space-joined string — but no ~115-byte
+    # window string is ever built, no crypto digest runs, and the
+    # posting exchange ships 8-byte longs instead of 33-char md5 hex
+    # (round-6 shave: 1.7 → 1.0 s at sf1; at 100 TB the skipped
+    # allocation is ~8× the corpus in transient strings). The ORACLE
+    # hashes md5 strings — fine: any injective-on-windows key yields
+    # identical (id_a, id_b, n_shared) rows, which is what the driver
+    # compares.
+    win_hash = F.expr(
+        "xxhash64(" + ", ".join(f"element_at(t, i + {k})" for k in range(SUBSTR_W)) + ")"
+    )
     # ONE exchange for the whole posting pipeline (round-5 shave): an
     # explicit hash-repartition on h up front means the per-doc
     # distinct (clustered-by-(doc_id,h) is satisfied by
-    # HashPartitioning(h)), the df census, AND the groupBy(h)
+    # HashPartitioning(h)), the df window, AND the groupBy(h)
     # collect_list in _posting_pairs all run partition-LOCAL — the
     # unforced plan exchanged the 3.3 M-row posting table three times
-    # (dropDuplicates on (doc,h), census on h, collect on h). The
-    # cache preserves the partitioning, so the main job after the
-    # census decision starts exchange-free. Skewed h (boilerplate)
-    # lands one partition, but the local distinct is a spillable hash
-    # agg — bounded memory, unlike a collect of the hot bucket.
-    wins = _fresh_persist(
-        "substr_wins",
+    # (dropDuplicates on (doc,h), census on h, collect on h). Skewed h
+    # (boilerplate) lands one partition, but the local distinct is a
+    # spillable hash agg — bounded memory, unlike a collect of the hot
+    # bucket.
+    #
+    # Round-6 shave (VERDICT r5 ask #2): the plan is BRANCH-FREE — df
+    # per posting comes from a partition-local count window over h
+    # (no exchange: HashPartitioning(h) satisfies the window's
+    # clustering) instead of a separate driver-side census-decision
+    # job, so the whole query is ONE job where round 5 ran two. The
+    # over-cap handling stays in-plan permanently: cold postings
+    # (df <= cap) feed the pair fan-out, hot postings (df > cap) feed
+    # the per-doc hot arrays for the exact add-back. On natural
+    # corpora the hot side materializes EMPTY and AQE's
+    # empty-relation propagation deletes the add-back joins at
+    # runtime — the executed plan collapses to the pure cold count,
+    # without any driver round-trip to decide it.
+    # NOT persisted (round-6 measurement): both consumers — the cold
+    # fan-out and the hot arrays — share the one Exchange(h) via
+    # shuffle reuse, and recomputing the partition-local
+    # distinct+window twice off that shuffle costs less than
+    # serializing 3.3 M cached rows did (persist 1.48 s vs 0.72 s
+    # in-session at sf1 once the posting key became an 8-byte long).
+    wins = (
         t.select("doc_id", "t", F.explode(idx).alias("i"))
-        .select(
-            "doc_id",
-            F.expr(f"md5(array_join(slice(t, i, {SUBSTR_W}), ' '))").alias("h"),
-        )
+        .select("doc_id", win_hash.alias("h"))
         .repartition("h")
-        .dropDuplicates(["doc_id", "h"]),
+        .dropDuplicates(["doc_id", "h"])
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
     )
     # hot-window ADD-BACK (the dedup_ngram_jaccard recipe, via the
     # shared _with_hot_addback): windows over the df-cap are excluded
@@ -655,29 +685,28 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage, so reported n_shared is the TRUE full-set value even when
     # the cap fires; the only residual trade is a pair whose ENTIRE
     # overlap is over-cap boilerplate (non-discriminative by
-    # definition). The over-cap census is computed ONCE and shared
-    # with _posting_pairs; when it is EMPTY — every oracle'd corpus —
-    # the anti-join AND add-back joins are skipped outright
-    # (_capped_census returns None) and the plan is the pure cold
-    # count over the persisted postings.
-    big = _capped_census("substr_census", wins, SUBSTR_DF_CAP)
+    # definition) — such a pair has no cold co-occurrence row for the
+    # add-back to land on, exactly as in the census formulation.
     cold = (
-        _posting_pairs(wins, SUBSTR_DF_CAP, over_cap=big)
+        _posting_pairs(
+            wins.filter(F.col("df") <= SUBSTR_DF_CAP).drop("df"),
+            SUBSTR_DF_CAP,
+            over_cap=None,
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c_cold"))
     )
-    if big is not None:
-        joined, hot_common = _with_hot_addback(cold, _hot_doc_arrays(wins, big))
-        out = joined.select(
-            "id_a",
-            "id_b",
-            (F.col("c_cold") + hot_common).cast("bigint").alias("n_shared"),
-        )
-    else:
-        out = cold.select(
-            "id_a", "id_b", F.col("c_cold").cast("bigint").alias("n_shared")
-        )
-    return out.orderBy("id_a", "id_b")
+    hot_arrays = (
+        wins.filter(F.col("df") > SUBSTR_DF_CAP)
+        .groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hot"))
+    )
+    joined, hot_common = _with_hot_addback(cold, hot_arrays)
+    return joined.select(
+        "id_a",
+        "id_b",
+        (F.col("c_cold") + hot_common).cast("bigint").alias("n_shared"),
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

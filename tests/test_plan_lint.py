@@ -59,19 +59,26 @@ def _strip_aqe_initial_sections(plan):
 
 
 def test_substring_postings_single_exchange(spark, sf_dir):
-    """The round-5 posting recipe: dedup_exact_substring's plan must
-    carry exactly ONE hash exchange of the posting table keyed on h
-    (the explicit repartition) — the per-doc distinct, the census, and
-    the collect_list fan-out all consume it partition-local. A second
-    h-exchange means the recipe regressed."""
+    """The round-5/6 posting recipe: dedup_exact_substring's EXECUTED
+    plan must carry exactly ONE hash exchange of the posting table
+    keyed on h (the explicit repartition) — the per-doc distinct, the
+    df window, and the collect_list fan-out all consume it
+    partition-local. The branch-free round-6 plan references the
+    posting subtree three times (cold fan-out + both hot-array join
+    sides), so the INITIAL plan prints three textually-identical
+    h-exchanges; at runtime AQE's stage reuse collapses them to one
+    shuffle write and, on natural corpora, empty-relation propagation
+    deletes the hot joins outright. Lint what actually ran: execute,
+    then count h-exchanges in the final adaptive plan."""
     import re
 
-    plan = _plan(spark, sf_dir, "dedup_exact_substring")
-    # every hash exchange whose key set mentions the posting hash h —
-    # including compound keys like hashpartitioning(doc_id, h) that a
-    # regressed dropDuplicates would insert (review r5). Shared
-    # subtrees also repeat in the printout (key on plan_id).
-    plan = _strip_aqe_initial_sections(plan)
+    from overturelink_data_pipeline_spark import registry
+
+    df = registry.QUERIES["dedup_exact_substring"](spark, sf_dir)
+    df.collect()  # materialize so AQE renders the final plan
+    plan = _strip_aqe_initial_sections(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
     h_exchanges = {
         m.group(2)
         for m in re.finditer(
@@ -80,7 +87,7 @@ def test_substring_postings_single_exchange(spark, sf_dir):
         if re.search(r"\bh#\d+", m.group(1))
     }
     assert len(h_exchanges) == 1, (
-        f"expected exactly one h-keyed posting exchange "
+        f"expected exactly one executed h-keyed posting exchange "
         f"(REPARTITION_BY_COL), got plan_ids {sorted(h_exchanges)}"
     )
 
