@@ -317,12 +317,19 @@ def agg_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("agg_approx_sketches")
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (HyperLogLog++ distinct, GK-quantile): the
     scale path for cardinality/quantile at 100 TB — mergeable partial
-    sketches, no exact shuffle of distinct values. Rows-only; accuracy
-    vs the exact aggregates is pinned in tests/test_analytics.py."""
+    sketches, no exact shuffle of distinct values.
+
+    DEREGISTERED round 6 (VERDICT r5 ask #1): this was the registry's
+    one rows-only slot — engine-native sketches can never hash-match a
+    DuckDB oracle, and their hash-verifiable cousins
+    (agg_hll_distinct_users / agg_count_min_tokens /
+    agg_quantile_sampled) already cover cardinality/frequency/quantile
+    under the driver's full gate. Accuracy vs the exact aggregates
+    stays pinned in tests/test_analytics.py, which calls this function
+    directly; the freed registry slot funds dedup_incremental."""
     li = read_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")

@@ -381,6 +381,141 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The planted-copy id offset doubles as the snapshot boundary for the
+#: incremental operator: ids below it are the FROZEN corpus (last
+#: release), ids at or above it are the DELTA (this month's crawl).
+INCR_DELTA_MIN = 1_000_000
+
+
+def _incremental_probe(
+    index_post: DataFrame,
+    delta_post: DataFrame,
+    ns: DataFrame,
+    hot: DataFrame | None,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Probe a shingle posting index with a delta's postings and return
+    per-new-doc near-dup matches ``(new_id, match_id, jaccard >= tau)``.
+
+    Both posting frames must already exclude over-``cap`` keys (the
+    caller anti-joins the census once, over the UNION, so the two
+    sides agree on which keys are hot); ``ns`` is the per-doc DISTINCT
+    shingle count over the FULL corpus; ``hot`` is the per-doc
+    over-cap array frame (or None when the census is empty) for the
+    exact add-back. Shared by the registered query (in-plan index
+    build) and scripts/bench_incremental.py (index pre-built as a
+    bucketed table, so the probe's plan has NO exchange on the index
+    side — the cost-∝-delta demonstration)."""
+    d, o = delta_post.alias("d"), index_post.alias("o")
+    pairs = (
+        d.join(
+            o,
+            (F.col("d.h") == F.col("o.h"))
+            & (F.col("d.doc_id") != F.col("o.doc_id")),
+        )
+        .groupBy(
+            F.col("d.doc_id").alias("id_a"),
+            F.col("o.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter_cold"))
+        .join(ns.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(ns.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+    )
+    if hot is not None:
+        pairs, hot_common = _with_hot_addback(pairs, hot)
+        inter = F.col("inter_cold") + hot_common
+    else:
+        inter = F.col("inter_cold")
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        pairs.filter(jac >= tau)
+        .select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("match_id"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("new_id", "match_id")
+    )
+
+
+@spark_query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH corpus AS ({_PREFIX_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             ))) AS g
+      FROM toks WHERE len(tk) >= 3
+    ),
+    ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT d.doc_id AS new_id, o.doc_id AS match_id, COUNT(*) AS i
+      FROM sh d JOIN sh o ON d.g = o.g AND o.doc_id != d.doc_id
+      WHERE d.doc_id >= 1000000
+      GROUP BY 1, 2
+    )
+    SELECT new_id, match_id,
+           ROUND(i * 1.0 / (nn.n + nm.n - i), 6) AS jaccard
+    FROM inter
+    JOIN ns nn ON nn.doc_id = new_id
+    JOIN ns nm ON nm.doc_id = match_id
+    WHERE i * 1.0 / (nn.n + nm.n - i) >= 0.5
+    ORDER BY new_id, match_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: probe last release's FROZEN
+    shingle index with only the DELTA's postings (the production shape
+    for monthly Overture-style releases — re-shuffling a 100 TB corpus
+    to admit a 1 TB crawl is the thing this operator exists to avoid).
+    For each new doc, emits every frozen-or-delta doc whose 3-gram
+    Jaccard >= 0.5: one row per (new_id, match_id) ORDERED pair, so a
+    delta-delta dup is reported from both sides — the per-new-doc
+    admit/reject decision needs no further join.
+
+    Scale mechanics: the posting index is h-clustered ONCE (in
+    production: written ``bucketBy(h)`` at release time and read back
+    exchange-free — scripts/bench_incremental.py measures exactly that
+    plan, probe cost flat in corpus size, linear in delta). The delta
+    postings are a partition-local FILTER of the clustered frame here
+    (id >= INCR_DELTA_MIN), so the probe join, the per-pair count, and
+    the census anti-join all run without re-exchanging the corpus;
+    the only pair-proportional shuffle is the groupBy over actual
+    posting collisions, which is bounded by the delta's overlap, not
+    the corpus. Skew: same NGRAM_DF_CAP census + exact hot add-back
+    as dedup_ngram_jaccard (a boilerplate shingle in the frozen corpus
+    would otherwise fan every delta doc into its posting list); the
+    census is computed over the UNION so both sides agree on hot keys.
+    Reference analog: the cache-then-refilter lifecycle (SURVEY §2 S4
+    to S6, reference pipeline.py's cache path) lifted to corpus scale —
+    the frozen index is the 'cache', the delta the 'refilter' input."""
+    corpus = _prefix_corpus(spark, sf_dir)
+    toked = corpus.withColumn(
+        "toks", F.split(F.trim(F.col("text")), "\\s+")
+    ).filter(F.size("toks") >= 3)
+    post = _fresh_persist(
+        "incr_post",
+        toked.select("doc_id", F.explode(_gram_hashes()).alias("h"))
+        .repartition("h")
+        .distinct(),
+    )
+    ns = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    big = _capped_census("incr_census", post, NGRAM_DF_CAP)
+    cold = post if big is None else post.join(F.broadcast(big), "h", "left_anti")
+    hot = None if big is None else _hot_doc_arrays(post, big)
+    return _incremental_probe(
+        cold,
+        cold.filter(F.col("doc_id") >= INCR_DELTA_MIN),
+        ns,
+        hot,
+    )
+
 
 def _over_cap_keys(postings: DataFrame, cap: int) -> DataFrame:
     """Posting keys whose doc-frequency exceeds ``cap`` — bounded by

@@ -88,7 +88,10 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "agg_cube_status_flag",
     "agg_grouping_sets",
     "agg_percentiles_exact",
-    "agg_approx_sketches",
+    # agg_approx_sketches retired r6 (the one rows-only slot): its
+    # engine-native sketches stay covered by tests/test_analytics.py's
+    # accuracy pins; the freed slot funds dedup_incremental.
+    "dedup_incremental",
     "agg_bounds",
     "window_rank_suppliers_per_nation",
     "window_top_event_per_user",

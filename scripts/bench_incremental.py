@@ -1,0 +1,215 @@
+"""Incremental cross-snapshot dedup: cost ∝ delta, not corpus.
+
+The production lifecycle dedup_incremental models: at release time the
+corpus's shingle posting index is written ONCE as a bucketed table
+(bucketBy(h) + sortBy(h) — the 100 TB analog of the reference's
+country cache, amortized across every monthly probe); each new crawl
+then probes it with ONLY its own postings. This script measures that
+split honestly:
+
+- ``index_build_s``: the one-off bucketed write (postings + per-doc
+  n_sh + over-cap census + hot arrays — all release artifacts).
+- ``probe_s``: delta posting build + bucketed join + pair agg +
+  add-back, per delta fraction. The corpus is NEVER re-exchanged:
+  the index side of the join reads the bucketed table in place
+  (the script asserts its plan subtree carries no Exchange).
+
+Two claims, two axes:
+- probe_s grows ~linearly in DELTA size (fractions sweep at sf1);
+- probe_s stays ~flat in CORPUS size (same absolute delta probed
+  against the sf1 vs sf3 index — 3x corpus, ~1x probe).
+
+Each corpus runs in its own subprocess (one SparkSession; timings
+within a session are comparable, cross-session ones are not — the
+bench-isolation rule). Usage:
+
+    python scripts/bench_incremental.py            # sf1 + sf3
+    python scripts/bench_incremental.py /tmp/testdata/sf1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+_CHILD = r"""
+import json, shutil, sys, time
+
+corpus_dir, wh = sys.argv[1], sys.argv[2]
+shutil.rmtree(wh, ignore_errors=True)
+
+from pyspark.sql import SparkSession, functions as F
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .appName("bench-incremental")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.warehouse.dir", wh)
+    .config("spark.driver.memory", "16g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from overturelink_data_pipeline_spark.operators import dedup
+from overturelink_data_pipeline_spark.operators.dedup import (
+    NGRAM_DF_CAP, _gram_hashes, _incremental_probe,
+)
+
+BUCKETS = 32
+docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").select(
+    "doc_id", "text"
+)
+n_docs = docs.count()
+
+# ---- one-off index build (release time) -----------------------------
+t0 = time.time()
+toked = docs.withColumn("toks", F.split(F.trim(F.col("text")), "\\s+")).filter(
+    F.size("toks") >= 3
+)
+post = toked.select("doc_id", F.explode(_gram_hashes()).alias("h")).distinct()
+(
+    post.write.bucketBy(BUCKETS, "h")
+    .sortBy("h")
+    .mode("overwrite")
+    .saveAsTable("frozen_post")
+)
+post_t = spark.table("frozen_post")
+post_t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).write.mode(
+    "overwrite"
+).saveAsTable("frozen_ns")
+(
+    post_t.groupBy("h")
+    .agg(F.count(F.lit(1)).alias("n"))
+    .filter(F.col("n") > NGRAM_DF_CAP)
+    .select("h")
+    .write.mode("overwrite")
+    .saveAsTable("frozen_census")
+)
+build_s = round(time.time() - t0, 2)
+
+index = spark.table("frozen_post")
+ns = spark.table("frozen_ns")
+census = spark.table("frozen_census")
+has_hot = bool(census.head(1))
+cold_index = (
+    index.join(F.broadcast(census), "h", "left_anti") if has_hot else index
+)
+hot = (
+    index.join(F.broadcast(census), "h", "left_semi")
+    .groupBy("doc_id")
+    .agg(F.collect_list("h").alias("hot"))
+    if has_hot
+    else None
+)
+
+def probe_frame(target_docs):
+    # this month's crawl: an 80%-prefix rewrite of a hash-chosen
+    # ABSOLUTE number of docs (same delta across corpus sizes — the
+    # flat-in-corpus comparison needs it), ids in the delta space
+    # (matches guaranteed, so the probe join does real pair work)
+    frac = min(1.0, target_docs / max(n_docs, 1))
+    delta_docs = (
+        docs.filter(F.abs(F.xxhash64("doc_id")) % 10000 < int(frac * 10000))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.substring(
+                "text", 1, F.floor(F.length("text") * 0.8).cast("int")
+            ).alias("text"),
+        )
+        .withColumn("toks", F.split(F.trim(F.col("text")), "\\s+"))
+        .filter(F.size("toks") >= 3)
+    )
+    dpost = delta_docs.select(
+        "doc_id", F.explode(_gram_hashes()).alias("h")
+    ).distinct()
+    dcold = (
+        dpost.join(F.broadcast(census), "h", "left_anti") if has_hot else dpost
+    )
+    # full-corpus ns for the match side; the delta's own counts union in
+    dns = dpost.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return _incremental_probe(cold_index, dcold, ns.unionByName(dns), hot)
+
+# plan-shape assertion: the index side must read the bucketed table
+# with NO Exchange above it — the whole point of the release-time
+# bucketBy. (The delta side and the pair agg may exchange freely.)
+plan = probe_frame(5000)._jdf.queryExecution().executedPlan().toString()
+scan_bucketed = "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+assert scan_bucketed, "index scan is not bucketed:\n" + plan[:2000]
+
+rows = []
+for target in (500, 1500, 5000):
+    f = probe_frame(target)
+    f.write.format("noop").mode("overwrite").save()  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        probe_frame(target).write.format("noop").mode("overwrite").save()
+        times.append(time.time() - t0)
+    times.sort()
+    rows.append(
+        {
+            "corpus": corpus_dir,
+            "n_docs": n_docs,
+            "delta_docs": target,
+            "probe_s": round(times[1], 2),
+            "matches": probe_frame(target).count(),
+        }
+    )
+
+print(
+    "RESULT "
+    + json.dumps({"build_s": build_s, "bucketed_scan": scan_bucketed, "rows": rows})
+)
+"""
+
+
+def main() -> None:
+    corpora = sys.argv[1:] or ["/tmp/testdata/sf1", "/tmp/testdata/sf3"]
+    out = []
+    for corpus in corpora:
+        if not os.path.exists(os.path.join(corpus, "documents.parquet")):
+            print(f"skip {corpus}: no documents.parquet (run gen_sf1.py)")
+            continue
+        wh = f"/tmp/incr_wh_{os.path.basename(corpus)}"
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _CHILD, corpus, wh],
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"CHILD TIMEOUT for {corpus}")
+            continue
+        line = next(
+            (l for l in r.stdout.splitlines() if l.startswith("RESULT ")), None
+        )
+        if line is None:
+            print(f"CHILD FAILED for {corpus}:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+            continue
+        rec = json.loads(line[len("RESULT ") :])
+        out.append(rec)
+        print(json.dumps(rec))
+    # headline: same ABSOLUTE delta probed across corpus sizes —
+    # flat probe_s at 3x the corpus is the incremental property
+    if len(out) == 2:
+        print(
+            json.dumps(
+                {
+                    "metric": "probe_s at same absolute delta, sf1 vs sf3 corpus",
+                    "delta_docs": [r["delta_docs"] for r in out[0]["rows"]],
+                    "sf1_probe_s": [r["probe_s"] for r in out[0]["rows"]],
+                    "sf3_probe_s": [r["probe_s"] for r in out[1]["rows"]],
+                    "sf1_build_s": out[0]["build_s"],
+                    "sf3_build_s": out[1]["build_s"],
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

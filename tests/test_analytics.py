@@ -12,14 +12,19 @@ registry.load_all()
 def test_approx_sketches_accuracy(spark, sf_dir):
     """HLL++ distinct within 5% of exact; GK median within 2% of the
     exact interpolated percentile (different definitions: GK returns a
-    data point, percentile_cont interpolates)."""
+    data point, percentile_cont interpolates). Direct call since r6 —
+    agg_approx_sketches was deregistered (the rows-only slot); this
+    accuracy pin IS its verification now."""
+    from overturelink_data_pipeline_spark.operators.analytics import (
+        agg_approx_sketches,
+    )
+
     exact = {
         r["l_returnflag"]: r
         for r in registry.QUERIES["agg_percentiles_exact"](spark, sf_dir).collect()
     }
     approx = {
-        r["l_returnflag"]: r
-        for r in registry.QUERIES["agg_approx_sketches"](spark, sf_dir).collect()
+        r["l_returnflag"]: r for r in agg_approx_sketches(spark, sf_dir).collect()
     }
     assert set(exact) == set(approx)
     for flag in exact:
