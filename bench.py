@@ -142,12 +142,27 @@ def main() -> None:
     # recorded "parsed": null with a truncated tail). Stdout carries a
     # compact (<2 KB) line — same schema, `queries` limited to the
     # slowest 10 — that the driver can parse whole.
-    local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    local_path = os.path.join(repo_dir, "BENCH_LOCAL.json")
     with open(local_path, "w") as fh:
         json.dump(full, fh, indent=1)
         fh.write("\n")
+    # ALSO write a round-stamped copy (VERDICT r6 ask #2): the driver
+    # overwrites BENCH_LOCAL.json every round, so regressions in the
+    # batched total were unattributable after the fact. Round number =
+    # latest CORRECTNESS artifact + 1 (the round currently being built,
+    # same derivation registry.load_all() uses). Committed per round,
+    # these make every future >20% mover diffable query-by-query.
+    try:
+        rounds = registry.latest_driver_rounds(repo_dir)
+        rnd = (max(rounds.values()) if rounds else 0) + 1
+        with open(
+            os.path.join(repo_dir, f"BENCH_LOCAL_r{rnd:02d}.json"), "w"
+        ) as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except Exception:
+        pass  # the stamped copy is evidence hygiene, never a bench failure
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )

@@ -528,34 +528,25 @@ SAMPLE_THRESHOLDS: dict[str, str] = {
 }
 
 
-@spark_query(
-    "sample_stratified",
-    oracle=f"""
-    WITH b AS (
-      SELECT doc_id, lang,
-             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
-      FROM documents
-    )
-    SELECT doc_id, lang, bucket
-    FROM b
-    WHERE bucket < CASE lang
-        {" ".join(f"WHEN '{lang}' THEN '{thr}'" for lang, thr in SAMPLE_THRESHOLDS.items())}
-        ELSE '00' END
-    ORDER BY doc_id
-    """,
-)
-def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified deterministic sampling: keep a per-language fraction
-    of documents chosen by an md5-of-key hash threshold (so the sample
-    is reproducible across runs, machines, and engine versions —
-    unlike ``df.sample`` whose output depends on partitioning).
+#: Inclusion-test resolution for the importance leg (probabilities
+#: quantized to 1/1e4).
+WS_BUCKETS = 10_000
+#: Weight saturation: p(doc) = min(n_chars, WS_CAP) / WS_CAP.
+WS_CAP = 5_000
+#: Knuth multiplicative-hash constant (2^32 * golden ratio).
+WS_MIX = 2_654_435_761
 
-    100 TB plan shape: a scan-local filter (hash + string compare in
-    codegen) — rebalancing a corpus to a target language/domain
-    mixture costs one pass and no shuffle; changing the mixture is a
-    threshold edit, not a re-shard.
-    """
-    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+_STRAT_CASE = " ".join(
+    f"WHEN '{lang}' THEN '{thr}'" for lang, thr in SAMPLE_THRESHOLDS.items()
+)
+
+
+def stratified_keep() -> Column:
+    """Per-row STRATIFIED keep predicate: md5-of-key bucket under the
+    per-language threshold — reproducible across runs, machines, and
+    engine versions (unlike ``df.sample``, whose output depends on
+    partitioning). Scan-local codegen (hash + string compare): keeping
+    a corpus to a language-mixture target costs one pass, no shuffle."""
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     thr = F.coalesce(
         *[
@@ -564,10 +555,92 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.lit("00"),
     )
+    return bucket < thr
+
+
+def weighted_keep() -> Column:
+    """Per-row IMPORTANCE-weighted Bernoulli keep predicate: doc kept
+    iff hash(doc_id) mod 1e4 falls under its weight-proportional
+    threshold, weight = min(n_chars, cap)/cap (stand-in for any
+    quality score). All INTEGER arithmetic (multiplicative hash,
+    cross-multiplied threshold test — no floats), so the sample is
+    bit-reproducible across engines, re-runs, and partitionings."""
+    h = (F.col("doc_id") * WS_MIX) % F.lit(4294967296) % WS_BUCKETS
+    w = F.least(F.col("n_chars"), F.lit(WS_CAP))
+    return h * WS_CAP < w * WS_BUCKETS
+
+
+@spark_query(
+    "sample_hash_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             (doc_id * {WS_MIX}) % 4294967296 % {WS_BUCKETS} AS h,
+             least(n_chars, {WS_CAP}) AS w
+      FROM documents
+    ),
+    k AS (
+      SELECT source, lang,
+             CASE WHEN bucket < CASE lang {_STRAT_CASE} ELSE '00' END
+                  THEN 1 ELSE 0 END AS s,
+             CASE WHEN h * {WS_CAP} < w * {WS_BUCKETS} THEN 1 ELSE 0 END AS kw,
+             w
+      FROM d
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s) AS BIGINT)   AS n_strat,
+           CAST(SUM(kw) AS BIGINT)  AS n_weight,
+           ROUND(SUM(s) * 1.0 / COUNT(*), 4)  AS strat_rate,
+           ROUND(SUM(kw) * 1.0 / COUNT(*), 4) AS weight_rate,
+           ROUND(SUM(w) * 1.0 / ({WS_CAP} * COUNT(*)), 4) AS expected_weight_rate
+    FROM k
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+)
+def sample_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-sampling audit, both flavors in one bounded
+    rollup (r6 registry merge of sample_stratified + sample_weighted —
+    the two queries shared the scan + the hash-threshold idea and
+    differed only in which predicate they audited): per (source, lang)
+    stratum, the document count, how many rows each keep-predicate
+    admits (``stratified_keep`` — per-STRATUM rate via md5 bucket;
+    ``weighted_keep`` — per-ROW inclusion probability ∝ a quality
+    weight, the DoReMi / importance-resampling shape), the realized
+    rates, and the expected importance rate.
+
+    100 TB plan shape: both predicates are scan-local codegen over one
+    pass; the only shuffle is the map-side-combinable rollup to
+    ~|sources|x|langs| rows. The kept-rows variant of either leg is
+    the same predicate used as a filter (exported for that purpose);
+    changing a mixture is a threshold edit, not a re-shard."""
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    w = F.least(F.col("n_chars"), F.lit(WS_CAP))
     return (
-        docs.select("doc_id", "lang", bucket.alias("bucket"))
-        .filter(F.col("bucket") < thr)
-        .orderBy("doc_id")
+        docs.select(
+            "source",
+            "lang",
+            stratified_keep().cast("long").alias("s"),
+            weighted_keep().cast("long").alias("kw"),
+            w.alias("w"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("s").cast("bigint").alias("n_strat"),
+            F.sum("kw").cast("bigint").alias("n_weight"),
+            F.round(F.sum("s") * 1.0 / F.count(F.lit(1)), 4).alias("strat_rate"),
+            F.round(F.sum("kw") * 1.0 / F.count(F.lit(1)), 4).alias("weight_rate"),
+            # SUM(w) is exact integer in both engines; ONE double
+            # division then rounds the identical bits — F.avg's
+            # summation-order drift flipped the 4th decimal (r7).
+            F.round(
+                F.sum("w") * 1.0 / (WS_CAP * F.count(F.lit(1))), 4
+            ).alias("expected_weight_rate"),
+        )
+        .orderBy("source", "lang")
     )
 
 
@@ -752,68 +825,6 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-# ---------------------------------------------------------------------------
-# Importance-weighted sampling (per-ROW inclusion probability ∝ a
-# quality weight — the DoReMi / importance-resampling shape, vs
-# sample_stratified's per-STRATUM rate).
-# ---------------------------------------------------------------------------
-
-#: Inclusion-test resolution (probabilities quantized to 1/1e4).
-WS_BUCKETS = 10_000
-#: Weight saturation: p(doc) = min(n_chars, WS_CAP) / WS_CAP.
-WS_CAP = 5_000
-#: Knuth multiplicative-hash constant (2^32 * golden ratio).
-WS_MIX = 2_654_435_761
-
-
-@spark_query(
-    "sample_weighted",
-    oracle=f"""
-    WITH d AS (
-      SELECT source, n_chars,
-             (doc_id * {WS_MIX}) % 4294967296 % {WS_BUCKETS} AS h,
-             least(n_chars, {WS_CAP}) AS w
-      FROM documents
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN h * {WS_CAP} < w * {WS_BUCKETS} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-           ROUND(SUM(CASE WHEN h * {WS_CAP} < w * {WS_BUCKETS} THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS actual_rate,
-           ROUND(AVG(w * 1.0 / {WS_CAP}), 4) AS expected_rate
-    FROM d
-    GROUP BY source
-    ORDER BY source
-    """,
-)
-def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Importance-weighted Bernoulli sampling: doc kept iff
-    hash(doc_id) mod 1e4 falls under its weight-proportional
-    threshold, weight = min(n_chars, cap)/cap (stand-in for any
-    quality score). Reported as the per-source keep-rate audit
-    (n_docs, n_sampled, actual vs expected rate).
-
-    Everything is INTEGER arithmetic (multiplicative hash, cross-
-    multiplied threshold test — no floats until the final rounded
-    ratios), so the sample is bit-reproducible across engines,
-    re-runs, and partitionings — the property that makes a sampled
-    corpus auditable. One scan, no shuffle until the bounded
-    per-source rollup; the kept-rows variant is the same predicate
-    as a filter."""
-    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
-    h = (F.col("doc_id") * WS_MIX) % F.lit(4294967296) % WS_BUCKETS
-    w = F.least(F.col("n_chars"), F.lit(WS_CAP))
-    kept = (h * WS_CAP < w * WS_BUCKETS).cast("long")
-    return (
-        docs.select("source", w.alias("w"), kept.alias("kept"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("kept").cast("bigint").alias("n_sampled"),
-            F.round(F.sum("kept") * 1.0 / F.count(F.lit(1)), 4).alias("actual_rate"),
-            F.round(F.avg(F.col("w") * 1.0 / WS_CAP), 4).alias("expected_rate"),
-        )
-        .orderBy("source")
-    )
 
 
 # ---------------------------------------------------------------------------

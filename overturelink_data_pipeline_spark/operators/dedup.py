@@ -1143,6 +1143,143 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spark_query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH corpus AS ({_PREFIX_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                 i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                      string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                      string_split_regex(trim(text), '\\s+')[i+2]
+               )
+             ) AS sh
+      FROM corpus
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+    ),
+    golden AS (
+      SELECT id_a, id_b FROM read_parquet('{_MH_GOLD}')
+      WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)
+    ),
+    ordered AS (
+      SELECT id_a AS new_id, id_b AS match_id FROM golden
+      WHERE id_a >= {INCR_DELTA_MIN}
+      UNION ALL
+      SELECT id_b AS new_id, id_a AS match_id FROM golden
+      WHERE id_b >= {INCR_DELTA_MIN}
+    )
+    SELECT o.new_id, o.match_id,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM ordered o
+    JOIN sh a ON a.doc_id = o.new_id
+    JOIN sh b ON b.doc_id = o.match_id
+    ORDER BY new_id, match_id
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH: a new crawl band-probes the FROZEN
+    release's LSH table at SIGNATURE level — the near-dup half of the
+    production incremental-dedup story (dedup_incremental covers the
+    exact-shingle half). For each delta doc, emits every frozen-or-
+    delta doc that shares a band bucket AND verifies at 3-gram
+    Jaccard >= 0.5 — one row per ORDERED (new_id, match_id) pair, so
+    delta-delta dups are reported from both sides and the per-new-doc
+    admit decision needs no further join.
+
+    Scale mechanics: the band table is (band, bucket)-clustered ONCE
+    (here an explicit repartition + persist; in production: written
+    ``bucketBy(band, bucket)`` at release time and read back
+    exchange-free — scripts/bench_incremental.py --minhash measures
+    exactly that plan), so the bucket-cap census, the delta filter
+    (a partition-local filter of the clustered frame), and the probe
+    join all run WITHOUT re-exchanging the corpus; only the delta's
+    signatures move at probe time, making monthly near-dup admission
+    cost ∝ delta, not corpus. Hot-bucket skew rides the same
+    BAND_BUCKET_CAP census as dedup_minhash_lsh (a boilerplate-
+    collapsed band bucket would otherwise fan every delta doc into
+    it), mirrored in the golden replica. Oracle: the candidate/verify
+    semantics are frozen in the SAME golden parquet as
+    dedup_minhash_lsh (scripts/gen_dedup_goldens.py, independent
+    pure-Python xxh64/banding replica) restricted to delta-involving
+    pairs and ordered delta-first — band-probing a frozen index with
+    a delta returns exactly the delta-involving subset of the full
+    LSH pair set, so one golden file pins both operators against the
+    same independent path. Jaccard VALUES recomputed from raw text by
+    DuckDB string-shingle sets (values never checked against
+    themselves). Reference analog: SURVEY §2 S4-S6's cache-then-
+    refilter lifecycle at signature level."""
+    sh = _fresh_persist(
+        "incr_mh_shingles",
+        _hashed_shingle_table(spark, sf_dir).select("doc_id", "sh"),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    post = sh.select("doc_id", F.explode("sh").alias("h"))
+    sig = minhash_signatures_agg(post)
+    rows_per_band = N_HASHES // N_BANDS
+    # the frozen LSH table stand-in: ONE exchange on the band key,
+    # persisted — census, delta filter, and both probe-join sides all
+    # consume it partition-local (the dedup_incremental posting
+    # recipe lifted to signature level)
+    bands = _fresh_persist(
+        "incr_mh_bands",
+        sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
+                        for i in range(N_BANDS)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        ).repartition("band", "bucket"),
+    )
+    big = _fresh_persist(
+        "incr_mh_census",
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > BAND_BUCKET_CAP)
+        .select("band", "bucket"),
+    )
+    kept = (
+        bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+        if big.head(1)
+        else bands
+    )
+    d, o = kept.filter(F.col("doc_id") >= INCR_DELTA_MIN).alias("d"), kept.alias("o")
+    cand = (
+        d.join(
+            o,
+            (F.col("d.band") == F.col("o.band"))
+            & (F.col("d.bucket") == F.col("o.bucket"))
+            & (F.col("d.doc_id") != F.col("o.doc_id")),
+        )
+        .select(
+            F.col("d.doc_id").alias("new_id"),
+            F.col("o.doc_id").alias("match_id"),
+        )
+        .dropDuplicates(["new_id", "match_id"])
+    )
+    verif = (
+        cand.join(sh.withColumnRenamed("doc_id", "new_id"), "new_id")
+        .withColumnRenamed("sh", "sh_a")
+        .join(sh.withColumnRenamed("doc_id", "match_id"), "match_id")
+        .withColumnRenamed("sh", "sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        verif.filter(jac >= 0.5)
+        .select("new_id", "match_id", F.round(jac, 6).alias("jaccard"))
+        .orderBy("new_id", "match_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (rows-only)
 # ---------------------------------------------------------------------------

@@ -907,11 +907,17 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return codes
 
     # --- codebook init: subvectors of the first PQ_K vectors; the same
-    # collect also yields the query vector (QUERY_VEC_ID < PQ_K).
-    init = (
-        emb.filter(F.col("vec_id") < max(PQ_K, QUERY_VEC_ID + 1))
-        .orderBy("vec_id")
-        .collect()
+    # collect also yields the query vector (QUERY_VEC_ID < PQ_K). Read
+    # WITHOUT the parallelism rescue: the vec_id filter pushes to the
+    # scan and returns PQ_K rows — a repartition ahead of an 8-row
+    # collect was one of the three job-fixed costs behind the r6 weak
+    # entry (2.9x on a 0.90 s DuckDB baseline).
+    raw = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    init = sorted(
+        raw.filter(F.col("vec_id") < max(PQ_K, QUERY_VEC_ID + 1)).collect(),
+        key=lambda r: int(r["vec_id"]),
     )
     q = next(list(r["v"]) for r in init if int(r["vec_id"]) == QUERY_VEC_ID)
     cents: list[dict[int, list[float]]] = [
@@ -923,27 +929,71 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(PQ_M)
     ]
 
-    # --- one Lloyd update, fused across subspaces: one scan computes all
-    # PQ_M assignments, posexplode full vectors, and dim//SUBDIM recovers
-    # the subspace — a single groupBy(s, cl, dim) avg (k x dim groups).
-    assigned = emb.select("v", codes_udf(cents)(F.col("v")).alias("codes"))
-    upd = (
-        assigned.select(F.posexplode("v").alias("dim", "x"), "codes")
-        .withColumn("s", (F.col("dim") / PQ_SUBDIM).cast("int"))
-        .withColumn("cl", F.element_at("codes", F.col("s") + 1))
-        .groupBy("s", "cl", "dim")
-        .agg(F.round(F.avg("x"), 6).alias("cx"))
-        .collect()
+    # --- one Lloyd update, fused across subspaces INSIDE the encode
+    # kernel (r7): one mapInPandas pass assigns with the IDENTICAL
+    # squared-distance matrix codes_udf evaluates (argmin parity with
+    # the oracle's a1 CTE is inherited, not re-derived) and emits
+    # per-batch partial sums — a frame bounded by partitions x PQ_M x
+    # PQ_K rows — so the r6 shape's posexplode x64 of every vector and
+    # its groupBy(s, cl, dim) shuffle are gone; the rounded avg
+    # finishes on the driver from exact partial sums + counts.
+    # Summation ORDER differs from both F.avg and DuckDB's AVG either
+    # way — the 1e-6 rounding both engines apply is what pins the
+    # downstream boundaries (the kmeans/IVF/PCA recipe).
+    import numpy as np
+
+    def update_partials():
+        cls = [sorted(cents[s]) for s in range(PQ_M)]
+        C = [
+            np.array([cents[s][c] for c in cls[s]], dtype=np.float64)
+            for s in range(PQ_M)
+        ]
+        ids = [np.array(cls[s], dtype=np.int64) for s in range(PQ_M)]
+
+        def gen(batches):
+            sums = np.zeros((PQ_M, PQ_K, PQ_SUBDIM), dtype=np.float64)
+            cnts = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["v"].to_numpy())
+                for s in range(PQ_M):
+                    Vs = V[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                    d2 = ((Vs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+                    a = d2.argmin(axis=1)
+                    for k in range(len(cls[s])):
+                        m = a == k
+                        if m.any():
+                            sums[s, k] += Vs[m].sum(axis=0)
+                            cnts[s, k] += int(m.sum())
+            rows = [
+                (s, int(ids[s][k]), int(cnts[s, k]), sums[s, k].tolist())
+                for s in range(PQ_M)
+                for k in range(len(cls[s]))
+                if cnts[s, k]
+            ]
+            yield pd.DataFrame(rows, columns=["s", "cl", "n", "sums"])
+
+        return gen
+
+    partials = emb.select("v").mapInPandas(
+        update_partials(), schema="s int, cl long, n long, sums array<double>"
     )
-    new_cents: list[dict[int, dict[int, float]]] = [dict() for _ in range(PQ_M)]
-    for r in upd:
-        new_cents[int(r["s"])].setdefault(int(r["cl"]), {})[int(r["dim"])] = float(
-            r["cx"]
+    agg: dict[tuple[int, int], list] = {}
+    for r in partials.collect():
+        acc = agg.setdefault(
+            (int(r["s"]), int(r["cl"])), [np.zeros(PQ_SUBDIM), 0]
         )
+        acc[0] += np.asarray(r["sums"], dtype=np.float64)
+        acc[1] += int(r["n"])
     cents = [
         {
-            cl: [dims[i] for i in sorted(dims)]
-            for cl, dims in new_cents[s].items()
+            cl: [
+                _round_half_away(float(sv) / n, 6)
+                for sv in acc_sum
+            ]
+            for (s_, cl), (acc_sum, n) in agg.items()
+            if s_ == s
         }
         for s in range(PQ_M)
     ]

@@ -162,7 +162,10 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "corpus_overlap_matrix",
     "text_pack_sequences",
     "text_pii_redact",
-    "sample_stratified",
+    # sample_stratified + sample_weighted merged into sample_hash_audit
+    # r7 (near-identical hash-sampling audits; VERDICT r6 ask #4): the
+    # freed slot funds dedup_incremental_minhash.
+    "sample_hash_audit",
     "ann_pq_topk",
     "domain_mix_report",
     "dedup_semantic",
@@ -170,7 +173,6 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "text_length_histogram",
     "stream_topk_trending",
     "text_quality_classifier",
-    "sample_weighted",
     "pipeline_pretrain_corpus",
     "mm_dedup_phash",
     "sink_training_shards",
@@ -182,6 +184,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "geo_roads_normalize",

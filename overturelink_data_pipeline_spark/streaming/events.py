@@ -164,19 +164,24 @@ def run_to_completion(
     name = "s" + uuid.uuid4().hex[:12]
     checkpoint = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), name)
     run_to_completion._prev = (name, checkpoint)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     # recentProgress is a ring buffer of the LAST
     # numRecentProgressUpdates (default ~100) entries — a replay with
     # more micro-batches would silently undercount num_batches and
     # peak state in the telemetry below (the exact numbers the sf3
     # scaling sweep consumes). Raise it for this replay; restored in
-    # the finally.
+    # the finally. Save as previously-set-or-None and UNSET on restore
+    # when it was unset, so a Spark-default change is never pinned into
+    # the caller's session; both overrides sit inside the try so a
+    # failure between them cannot leave one unrestored.
     _PROG_KEY = "spark.sql.streaming.numRecentProgressUpdates"
-    old_prog = spark.conf.get(_PROG_KEY, "100")
-    spark.conf.set(_PROG_KEY, "100000")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # get(key, None) bypasses the entry-default fallback: None means
+    # "was not explicitly set in this session".
+    old_prog = spark.conf.get(_PROG_KEY, None)
     try:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        spark.conf.set(_PROG_KEY, "100000")
         q = (
             streaming_df.writeStream.format("memory")
             .queryName(name)
@@ -208,7 +213,10 @@ def run_to_completion(
         except Exception:
             run_to_completion.last_state_metrics = None
     finally:
-        spark.conf.set(_PROG_KEY, old_prog)
+        if old_prog is None:
+            spark.conf.unset(_PROG_KEY)
+        else:
+            spark.conf.set(_PROG_KEY, old_prog)
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)

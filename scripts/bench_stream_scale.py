@@ -10,7 +10,14 @@ show ≈3× state only where the key space itself scales (gen_sf1 shifts
 user_id per copy — user-keyed state IS expected to scale ~linearly)
 while wall time stays ≈linear in events.
 
-Usage: python scripts/bench_stream_scale.py [sf_dir ...]
+A second axis (VERDICT r5 ask #3 / r6 ask #3): ``--provider rocksdb``
+re-runs the sweep with the RocksDB state-store provider instead of the
+default HDFS-backed in-memory provider — the production knob for the
+superlinear state-commit term the r5 sf3 sweep surfaced (the HDFS
+provider snapshots its entire in-heap map per commit; RocksDB commits
+are incremental and state lives off-heap).
+
+Usage: python scripts/bench_stream_scale.py [--provider rocksdb] [sf_dir ...]
 """
 
 from __future__ import annotations
@@ -19,7 +26,13 @@ import json
 import subprocess
 import sys
 
-DIRS = sys.argv[1:] or ["/tmp/testdata/sf1", "/tmp/testdata/sf3"]
+_ARGS = sys.argv[1:]
+PROVIDER = "default"
+if "--provider" in _ARGS:
+    i = _ARGS.index("--provider")
+    PROVIDER = _ARGS[i + 1]
+    del _ARGS[i : i + 2]
+DIRS = _ARGS or ["/tmp/testdata/sf1", "/tmp/testdata/sf3"]
 
 QUERIES = ["stream_session_window", "stream_dedup_hourly"]
 
@@ -31,7 +44,13 @@ from overturelink_data_pipeline_spark import registry
 from overturelink_data_pipeline_spark.streaming.events import run_to_completion
 registry.load_all()
 spark = get_spark(app_name="stream-scale-child", cpus="32")
-name, sf = sys.argv[1], sys.argv[2]
+name, sf, provider = sys.argv[1], sys.argv[2], sys.argv[3]
+if provider == "rocksdb":
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
 registry.QUERIES["q1_pricing_summary"](spark, sf).count()
 registry.QUERIES[name](spark, sf).count()  # warm-up (JVM + state-store init)
 ts, metrics = [], None
@@ -50,7 +69,7 @@ def main() -> None:
         for name in QUERIES:
             try:
                 out = subprocess.run(
-                    [sys.executable, "-c", _CHILD, name, d],
+                    [sys.executable, "-c", _CHILD, name, d, PROVIDER],
                     capture_output=True,
                     text=True,
                     timeout=600,
@@ -66,7 +85,12 @@ def main() -> None:
             if res is None:
                 print(f"{name} @ {d}: CHILD FAILED {out.stderr[-300:]}")
                 continue
-            print(json.dumps({"query": name, "sf_dir": d, **res}), flush=True)
+            print(
+                json.dumps(
+                    {"query": name, "sf_dir": d, "provider": PROVIDER, **res}
+                ),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -125,6 +125,19 @@ def minhash_pairs(rows: list[tuple[int, str]]) -> list[tuple[int, int]]:
             hs.add(h)
         doc_sh[doc_id] = np.fromiter(hs, dtype=np.uint64, count=len(hs))
 
+    # regen-log pin (ADVICE r6): the uncapped DuckDB oracles of the
+    # shingle families (dedup_incremental et al.) stay hash-exact only
+    # while no shingle's doc-frequency reaches NGRAM_DF_CAP on the
+    # corpus being checked — print the headroom at every regen so a
+    # cap approach is seen here (and in tests/test_cap_headroom.py)
+    # before it becomes a driver mismatch.
+    all_h = np.concatenate(list(doc_sh.values()))
+    _, counts = np.unique(all_h, return_counts=True)
+    print(
+        f"  max shingle df: {int(counts.max())} "
+        f"(uncapped-oracle parity needs this well below NGRAM_DF_CAP=128)"
+    )
+
     seeds = np.array([hash_int(i, 42) for i in range(N_HASHES)], dtype=np.uint64)
     buckets: dict[tuple[int, tuple], list[int]] = defaultdict(list)
     for doc_id, hs in doc_sh.items():

@@ -81,21 +81,31 @@ def test_pii_redact_scrubs_planted_rows_and_only_them(spark, sf_dir):
 
 
 def test_stratified_sample_is_deterministic_and_rate_shaped(spark, sf_dir):
-    """Sampling twice yields the identical id set; per-stratum rates
-    land within a loose binomial envelope; zh keeps everything."""
-    a = {r["doc_id"] for r in registry.QUERIES["sample_stratified"](spark, sf_dir).collect()}
-    b = {r["doc_id"] for r in registry.QUERIES["sample_stratified"](spark, sf_dir).collect()}
-    assert a == b
+    """The stratified leg of sample_hash_audit: auditing twice yields
+    identical rows (hash sampling is partitioning-independent); per-
+    stratum rates land within a loose binomial envelope; zh keeps
+    everything. The per-doc kept-rows variant (stratified_keep as a
+    filter) must agree row-for-row with the audited counts."""
+    from overturelink_data_pipeline_spark.operators.curation import stratified_keep
+
+    rows_a = registry.QUERIES["sample_hash_audit"](spark, sf_dir).collect()
+    rows_b = registry.QUERIES["sample_hash_audit"](spark, sf_dir).collect()
+    assert [r.asDict() for r in rows_a] == [r.asDict() for r in rows_b]
     docs = read_table(spark, sf_dir, "documents")
     totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
-    kept = {
+    kept: dict[str, int] = {}
+    for r in rows_a:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + r["n_strat"]
+    assert kept.get("zh", 0) == totals.get("zh", 0)
+    # audit counts == the filter predicate applied per-doc
+    filtered = {
         r["lang"]: r["n"]
-        for r in registry.QUERIES["sample_stratified"](spark, sf_dir)
+        for r in docs.filter(stratified_keep())
         .groupBy("lang")
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    assert kept.get("zh", 0) == totals.get("zh", 0)
+    assert {k: v for k, v in kept.items() if v} == filtered
     rates = {"en": 0.5, "es": 0.25, "de": 0.25, "fr": 0.125}
     for lang, rate in rates.items():
         n = totals.get(lang, 0)

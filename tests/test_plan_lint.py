@@ -86,9 +86,21 @@ def test_substring_postings_single_exchange(spark, sf_dir):
         )
         if re.search(r"\bh#\d+", m.group(1))
     }
+    # classification aid (ADVICE r6): a failure with multiple DISTINCT
+    # plan_ids and no reuse markers means the recipe itself regressed
+    # (a second repartition was introduced); multiple plan_ids that
+    # also show ReusedExchange / repeated ShuffleQueryStage ids means
+    # AQE's exchange-reuse behavior drifted (Spark version/config), not
+    # the recipe — the two need different fixes.
+    reuse_markers = sorted(
+        set(re.findall(r"ReusedExchange|ShuffleQueryStage \d+", plan))
+    )
     assert len(h_exchanges) == 1, (
         f"expected exactly one executed h-keyed posting exchange "
-        f"(REPARTITION_BY_COL), got plan_ids {sorted(h_exchanges)}"
+        f"(REPARTITION_BY_COL), got plan_ids {sorted(h_exchanges)}; "
+        f"reuse markers present in the final plan: {reuse_markers} "
+        f"(none -> second repartition introduced; markers repeating a "
+        f"stage id -> AQE reuse regression)"
     )
 
 

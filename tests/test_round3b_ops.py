@@ -98,14 +98,23 @@ def test_quality_classifier_integer_score_contract(spark, sf_dir):
 
 
 def test_sample_weighted_rate_audit(spark, sf_dir):
-    rows = registry.QUERIES["sample_weighted"](spark, sf_dir).collect()
+    """The importance-weighted leg of sample_hash_audit (merged r7)."""
+    rows = registry.QUERIES["sample_hash_audit"](spark, sf_dir).collect()
     assert rows
+    per_source: dict[str, list[float]] = {}
     for r in rows:
-        assert 0 <= r["n_sampled"] <= r["n_docs"]
-        assert 0.0 <= r["expected_rate"] <= 1.0
-        # hash-Bernoulli keep-rate tracks the expected inclusion
-        # probability (loose bound: per-source strata are small)
-        assert abs(r["actual_rate"] - r["expected_rate"]) < 0.35
+        assert 0 <= r["n_weight"] <= r["n_docs"]
+        assert 0 <= r["n_strat"] <= r["n_docs"]
+        assert 0.0 <= r["expected_weight_rate"] <= 1.0
+        agg = per_source.setdefault(r["source"], [0.0, 0.0, 0.0])
+        agg[0] += r["n_docs"]
+        agg[1] += r["n_weight"]
+        agg[2] += r["expected_weight_rate"] * r["n_docs"]
+    # hash-Bernoulli keep-rate tracks the expected inclusion
+    # probability; bound at SOURCE granularity — the audit's
+    # (source, lang) strata are too small for a rate envelope
+    for source, (n, kept, expected) in per_source.items():
+        assert abs(kept / n - expected / n) < 0.35, source
 
 
 def test_char_fold_hash_lockstep_with_python(spark):

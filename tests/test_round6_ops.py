@@ -40,9 +40,7 @@ def test_incremental_finds_planted_snapshot_dups(spark, sf_dir):
     assert found >= 0.9 * len(delta_ids), (found, len(delta_ids))
 
 
-def test_incremental_delta_delta_reported_from_both_sides(
-    spark, tmp_path, monkeypatch
-):
+def test_incremental_delta_delta_reported_from_both_sides(spark, tmp_path):
     """Two near-identical docs arriving in the SAME delta must each
     report the other (ordered-pair contract: the per-new-doc
     admit/reject decision reads only its own rows)."""
