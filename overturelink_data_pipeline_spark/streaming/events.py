@@ -24,6 +24,22 @@ Sessionization uses ``applyInPandasWithState`` (the custom stateful
 operator path SURVEY.md §2.8 reserves for semantics Spark's built-in
 windows can't express): per-user session assembly with a 30-minute
 inactivity gap and processing-time timeout flushing.
+
+**State-store provider recommendation** (r7 A/B,
+``scripts/bench_stream_scale.py --provider rocksdb``, BENCH_SF1.md):
+the default HDFS-backed provider snapshots its entire in-heap map per
+commit, and that term grows SUPERLINEARLY with wide per-key state —
+stream_session_window walled 4.3 s (sf1) → 27.2 s (sf3, 3x events,
+6.3x wall; 1.01 GB peak heap state) on the default vs 6.0 → 21.6 s
+(3.6x, near-linear; 77 MB state) on RocksDB. Narrow-key state
+(stream_dedup_hourly's seen-set) stays LINEAR on both and the default
+wins outright (3.7 → 13.3 s vs RocksDB's flat ~2x JNI get/put toll,
+7.4 → 25.9 s). So: default provider for narrow-key, heap-sized state;
+RocksDB once per-key state is wide (session structs, stream-stream
+joins) or per-executor state approaches heap scale — at the 100 TB
+design point state exceeds heap and RocksDB (incremental commits,
+off-heap) is the only viable provider for every stateful operator
+here.
 """
 
 from __future__ import annotations
