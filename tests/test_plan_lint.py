@@ -104,6 +104,38 @@ def test_substring_postings_single_exchange(spark, sf_dir):
     )
 
 
+def test_incremental_minhash_band_single_exchange(spark, sf_dir):
+    """dedup_incremental_minhash's frozen-LSH-table stand-in: the band
+    table is clustered by ONE explicit (band, bucket) repartition and
+    persisted, so the bucket-cap census, the delta filter, and both
+    probe-join sides consume it partition-local — the executed plan
+    must carry exactly one DISTINCT band-keyed exchange (the
+    REPARTITION_BY_COL; the cached-plan subtree prints it once per
+    InMemoryTableScan reference, so count plan_ids, not occurrences).
+    A second distinct band exchange means the probe re-shuffled the
+    corpus — the exact cost the operator exists to avoid."""
+    import re
+
+    from overturelink_data_pipeline_spark import registry
+
+    df = registry.QUERIES["dedup_incremental_minhash"](spark, sf_dir)
+    df.collect()
+    plan = _strip_aqe_initial_sections(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    band_exchanges = {
+        m.group(2)
+        for m in re.finditer(
+            r"Exchange hashpartitioning\(([^)]*)\).*?\[plan_id=(\d+)\]", plan
+        )
+        if re.search(r"\bband#\d+", m.group(1))
+    }
+    assert len(band_exchanges) == 1, (
+        f"expected exactly one distinct band-keyed exchange, "
+        f"got plan_ids {sorted(band_exchanges)}"
+    )
+
+
 def test_cms_probe_plan_has_no_joins(spark, sf_dir):
     """agg_count_min_tokens probes the driver-collected grid via
     constant-folded literal arrays: the final plan must contain NO
