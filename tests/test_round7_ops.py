@@ -1,0 +1,114 @@
+"""Round-7 operators beyond their oracles: dedup_incremental_minhash's
+ordered-pair reporting contract, frozen-frozen exclusion, and the LSH
+bucket-cap guard; sample_hash_audit's predicate exports."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from overturelink_data_pipeline_spark import registry
+
+registry.load_all()
+
+
+def test_incremental_minhash_rows_are_delta_anchored(spark, sf_dir):
+    """Every reported row must have a DELTA new_id (the per-new-doc
+    admit decision reads only its own rows), and the planted 80%-prefix
+    copies must surface their frozen originals at banding-limited
+    recall (prefix jaccard ~0.67 -> per-band catch ~0.2, 8 bands ->
+    ~0.83 expected; assert a loose floor, the exact pair set is pinned
+    by the golden-parquet oracle in the driver gate)."""
+    out = registry.QUERIES["dedup_incremental_minhash"](spark, sf_dir).collect()
+    assert out, "no incremental minhash matches at all"
+    assert all(r["new_id"] >= 1_000_000 for r in out)
+    matched = {(r["new_id"], r["match_id"]) for r in out}
+    from overturelink_data_pipeline_spark.operators.dedup import _prefix_corpus
+
+    delta_ids = [
+        r["doc_id"]
+        for r in _prefix_corpus(spark, sf_dir)
+        .filter(
+            (F.col("doc_id") >= 1_000_000)
+            & (F.size(F.split(F.trim("text"), r"\s+")) >= 30)
+        )
+        .select("doc_id")
+        .collect()
+    ]
+    assert delta_ids, "fixture too small: no plantable delta docs"
+    found = sum((d, d - 1_000_000) in matched for d in delta_ids)
+    assert found >= 0.5 * len(delta_ids), (found, len(delta_ids))
+
+
+def test_incremental_minhash_delta_delta_and_frozen_exclusion(spark, tmp_path):
+    """Two identical docs arriving in the SAME delta report each other
+    from both sides (identical signatures share every band bucket;
+    jaccard exactly 1.0); identical FROZEN docs never surface — the
+    probe's d-side is delta-only by construction."""
+    from tests.test_round4_fixes import _write_docs
+
+    text = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"oth{i}" for i in range(40))
+    # 7 and 14 hit the planted-copy modulus -> identical delta prefixes;
+    # 1 and 2 are an identical FROZEN pair with no delta member
+    rows = [
+        (7, text, "en", "web"),
+        (14, text, "en", "web"),
+        (1, other, "en", "web"),
+        (2, other, "en", "web"),
+    ]
+    d = _write_docs(tmp_path, rows)
+    out = {
+        (r["new_id"], r["match_id"]): r["jaccard"]
+        for r in registry.QUERIES["dedup_incremental_minhash"](spark, d).collect()
+    }
+    assert (1000007, 1000014) in out and (1000014, 1000007) in out, sorted(out)
+    assert out[(1000007, 1000014)] == 1.0
+    assert all(n >= 1_000_000 for (n, _) in out), sorted(out)
+    # the identical frozen pair is invisible to the incremental probe
+    assert all({n, m} != {1, 2} for (n, m) in out), sorted(out)
+
+
+def test_incremental_minhash_hot_bucket_suppressed(spark, tmp_path, monkeypatch):
+    """A band bucket larger than BAND_BUCKET_CAP is non-discriminative
+    boilerplate by definition: its candidates are skipped (the standard
+    LSH cap recall trade, mirrored in the golden replica), while
+    under-cap buckets keep matching in the same run."""
+    from tests.test_round4_fixes import _write_docs
+
+    from overturelink_data_pipeline_spark.operators import dedup
+
+    text_a = " ".join(f"tok{i}" for i in range(40))
+    text_b = " ".join(f"boil{i}" for i in range(40))
+    rows = [(7, text_a, "en", "web"), (14, text_a, "en", "web")]
+    # a 22-strong identical-text cluster; id 21 (multiple of 7) also
+    # spawns a delta copy whose matches must be cap-suppressed
+    hot_ids = [21] + [i for i in range(22, 50) if i % 7 != 0][:21]
+    rows += [(i, text_b, "en", "web") for i in hot_ids]
+    d = _write_docs(tmp_path, rows)
+    monkeypatch.setattr(dedup, "BAND_BUCKET_CAP", 8)  # cluster is 22 > 8
+    out = {
+        (r["new_id"], r["match_id"])
+        for r in registry.QUERIES["dedup_incremental_minhash"](spark, d).collect()
+    }
+    # the under-cap delta-delta pair still matches...
+    assert (1000007, 1000014) in out and (1000014, 1000007) in out, sorted(out)
+    # ...while the hot cluster's delta member reports nothing
+    assert all(n != 1_000_021 for (n, _) in out), sorted(out)
+
+
+def test_sample_hash_audit_predicates_match_rollup(spark, sf_dir):
+    """The exported per-row predicates (stratified_keep, weighted_keep)
+    must agree exactly with the audited counts — the kept-rows variant
+    IS the same predicate as a filter."""
+    from overturelink_data_pipeline_spark.operators.curation import (
+        stratified_keep,
+        weighted_keep,
+    )
+    from overturelink_data_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    audited = registry.QUERIES["sample_hash_audit"](spark, sf_dir).collect()
+    n_strat = sum(r["n_strat"] for r in audited)
+    n_weight = sum(r["n_weight"] for r in audited)
+    assert docs.filter(stratified_keep()).count() == n_strat
+    assert docs.filter(weighted_keep()).count() == n_weight
