@@ -150,12 +150,20 @@ def main() -> None:
     # ALSO write a round-stamped copy (VERDICT r6 ask #2): the driver
     # overwrites BENCH_LOCAL.json every round, so regressions in the
     # batched total were unattributable after the fact. Round number =
-    # latest CORRECTNESS artifact + 1 (the round currently being built,
-    # same derivation registry.load_all() uses). Committed per round,
-    # these make every future >20% mover diffable query-by-query.
+    # latest CORRECTNESS artifact FILE + 1 (the round currently being
+    # built) — by filename, NOT by latest green row: a fully-red round
+    # still produced an artifact, and deriving from green rows would
+    # make the next bench overwrite the red round's committed copy.
     try:
-        rounds = registry.latest_driver_rounds(repo_dir)
-        rnd = (max(rounds.values()) if rounds else 0) + 1
+        import glob
+        import re as _re
+
+        nums = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
+            if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+        ]
+        rnd = (max(nums) if nums else 0) + 1
         with open(
             os.path.join(repo_dir, f"BENCH_LOCAL_r{rnd:02d}.json"), "w"
         ) as fh:

@@ -1015,6 +1015,69 @@ def minhash_signatures_agg(post: DataFrame, n_hashes: int = N_HASHES) -> DataFra
     )
 
 
+def _band_table(sig: DataFrame) -> DataFrame:
+    """doc_id → (band, bucket) LSH rows: N_BANDS hashes of
+    rows-per-band signature slices. THE one banding definition — both
+    LSH operators (dedup_minhash_lsh, dedup_incremental_minhash) must
+    stay bit-identical to the SAME golden parquet, and the committed
+    goldens replicate exactly these semantics
+    (scripts/gen_dedup_goldens.py); edit here or nowhere."""
+    rows_per_band = N_HASHES // N_BANDS
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def _band_census(bands: DataFrame) -> DataFrame:
+    """Over-cap (band, bucket) keys. Skew guard: a bucket with d
+    members emits d(d-1)/2 candidates, and boilerplate-dominated docs
+    collapse whole bands into ONE bucket. Hot buckets are counted with
+    a map-side-combined agg (fixed state per key — never a
+    collect_list that would OOM on the hot bucket itself), then
+    anti-joined away broadcast-side; the over-cap list is bounded by
+    the boilerplate population, not the corpus. A skipped bucket is
+    non-discriminative by definition — the standard LSH bucket-cap
+    recall trade, mirrored in the golden replica."""
+    return (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > BAND_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+
+
+def _jaccard_verify(
+    cand: DataFrame, sh: DataFrame, left: str, right: str, tau: float = 0.5
+) -> DataFrame:
+    """Exact-jaccard verification of candidate id pairs against the
+    persisted shingle table: the shingle arrays join back AFTER
+    candidate dedup, so the wide payload never rides the
+    (band, bucket) exchange. Shared by both LSH operators for the
+    same single-definition reason as _band_table."""
+    verif = (
+        cand.join(sh.withColumnRenamed("doc_id", left), left)
+        .withColumnRenamed("sh", "sh_a")
+        .join(sh.withColumnRenamed("doc_id", right), right)
+        .withColumnRenamed("sh", "sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        verif.filter(jac >= tau)
+        .select(left, right, F.round(jac, 6).alias("jaccard"))
+        .orderBy(left, right)
+    )
+
+
 @spark_query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -1077,39 +1140,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache write. Simhash differs because its vote agg feeds legs
     # with non-identical exchanges.
     sig = minhash_signatures_agg(post)  # codegen'd, not interpreted HOFs
-    rows_per_band = N_HASHES // N_BANDS
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
-                    for i in range(N_BANDS)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
-    # Skew guard: a (band, bucket) with d members emits d(d-1)/2
-    # candidates, and boilerplate-dominated docs collapse whole bands
-    # into ONE bucket. Hot buckets are counted with a map-side-combined
-    # agg (fixed state per key — never a collect_list that would OOM on
-    # the hot bucket itself), then anti-joined away broadcast-side; the
-    # list of over-cap buckets is bounded by the boilerplate population,
-    # not the corpus. A skipped bucket is non-discriminative by
-    # definition — the standard LSH bucket-cap recall trade, mirrored
-    # in the golden replica (scripts/gen_dedup_goldens.py).
-    big = (
-        bands.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > BAND_BUCKET_CAP)
-        .select("band", "bucket")
-    )
+    bands = _band_table(sig)
     # kept IN-PLAN (no driver-side census short-circuit here — also
     # tried in r5, reverted with the persist above): without a cached
     # upstream, the decision head(1) would run the whole signature
     # pipeline as its own job, costing more than the empty broadcast
     # anti-join it would remove
-    bands = bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+    bands = bands.join(F.broadcast(_band_census(bands)), ["band", "bucket"], "left_anti")
     # candidate pairs carry IDs only through the band shuffle — the
     # shingle arrays join back AFTER dedup, so the wide payload never
     # rides the (band, bucket) exchange
@@ -1127,20 +1164,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    verif = (
-        cand.join(sh.withColumnRenamed("doc_id", "id_a"), "id_a")
-        .withColumnRenamed("sh", "sh_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b"), "id_b")
-        .withColumnRenamed("sh", "sh_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter / union
-    return (
-        verif.filter(jac >= 0.5)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
-    )
+    return _jaccard_verify(cand, sh, "id_a", "id_b")
 
 
 @spark_query(
@@ -1219,32 +1243,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     post = sh.select("doc_id", F.explode("sh").alias("h"))
     sig = minhash_signatures_agg(post)
-    rows_per_band = N_HASHES // N_BANDS
     # the frozen LSH table stand-in: ONE exchange on the band key,
     # persisted — census, delta filter, and both probe-join sides all
     # consume it partition-local (the dedup_incremental posting
     # recipe lifted to signature level)
     bands = _fresh_persist(
-        "incr_mh_bands",
-        sig.select(
-            "doc_id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
-                        for i in range(N_BANDS)
-                    ]
-                )
-            ).alias("band", "bucket"),
-        ).repartition("band", "bucket"),
+        "incr_mh_bands", _band_table(sig).repartition("band", "bucket")
     )
-    big = _fresh_persist(
-        "incr_mh_census",
-        bands.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > BAND_BUCKET_CAP)
-        .select("band", "bucket"),
-    )
+    big = _fresh_persist("incr_mh_census", _band_census(bands))
     kept = (
         bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
         if big.head(1)
@@ -1264,20 +1270,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["new_id", "match_id"])
     )
-    verif = (
-        cand.join(sh.withColumnRenamed("doc_id", "new_id"), "new_id")
-        .withColumnRenamed("sh", "sh_a")
-        .join(sh.withColumnRenamed("doc_id", "match_id"), "match_id")
-        .withColumnRenamed("sh", "sh_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter / union
-    return (
-        verif.filter(jac >= 0.5)
-        .select("new_id", "match_id", F.round(jac, 6).alias("jaccard"))
-        .orderBy("new_id", "match_id")
-    )
+    return _jaccard_verify(cand, sh, "new_id", "match_id")
 
 
 # ---------------------------------------------------------------------------

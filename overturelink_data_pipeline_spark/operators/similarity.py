@@ -850,6 +850,34 @@ def _pq_oracle() -> str:
     return "".join(parts)
 
 
+def _pq_codebook_arrays(cbooks: list[dict[int, list[float]]]):
+    """Codebook dicts → (C, ids) numpy arrays in sorted-cluster-id
+    order. THE one PQ codebook layout — the encode UDF and the Lloyd
+    update kernel must assign against identical arrays or centroids
+    and codes drift apart (the oracle's a1/a2 CTEs assume one
+    assignment function)."""
+    import numpy as np
+
+    cls = [sorted(cbooks[s]) for s in range(PQ_M)]
+    C = [
+        np.array([cbooks[s][c] for c in cls[s]], dtype=np.float64)
+        for s in range(PQ_M)
+    ]
+    ids = [np.array(cls[s], dtype=np.int64) for s in range(PQ_M)]
+    return C, ids
+
+
+def _pq_assign_sub(V, C, s: int):
+    """Per-subspace squared-distance argmin: returns (Vs, assignment
+    POSITIONS into C[s]). Ties break to the first (lowest-id) centroid
+    (np.argmin), matching the oracle's ORDER BY distance, cl LIMIT 1.
+    The matrix form's pairwise summation is shared by every PQ caller,
+    so a near-tie flip cannot split encode from update."""
+    Vs = V[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+    d2 = ((Vs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+    return Vs, d2.argmin(axis=1)
+
+
 @spark_query("ann_pq_topk", oracle=_pq_oracle())
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC approximate nearest neighbours: per-subspace k-means
@@ -885,23 +913,17 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def codes_udf(cbooks: list[dict[int, list[float]]]):
-        import numpy as np
-
-        cls = [sorted(cbooks[s]) for s in range(PQ_M)]
-        C = [
-            np.array([cbooks[s][c] for c in cls[s]], dtype=np.float64)
-            for s in range(PQ_M)
-        ]
-        ids = [np.array(cls[s], dtype=np.int64) for s in range(PQ_M)]
+        C, ids = _pq_codebook_arrays(cbooks)
 
         @F.pandas_udf("array<bigint>")
         def codes(vcol: pd.Series) -> pd.Series:
+            import numpy as np
+
             V = np.stack(vcol.to_numpy())
             out = np.empty((len(vcol), PQ_M), dtype=np.int64)
             for s in range(PQ_M):
-                Vs = V[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
-                d2 = ((Vs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
-                out[:, s] = ids[s][d2.argmin(axis=1)]
+                _, a = _pq_assign_sub(V, C, s)
+                out[:, s] = ids[s][a]
             return pd.Series(out.tolist())
 
         return codes
@@ -943,12 +965,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     def update_partials():
-        cls = [sorted(cents[s]) for s in range(PQ_M)]
-        C = [
-            np.array([cents[s][c] for c in cls[s]], dtype=np.float64)
-            for s in range(PQ_M)
-        ]
-        ids = [np.array(cls[s], dtype=np.int64) for s in range(PQ_M)]
+        # the SAME codebook arrays + per-subspace argmin as codes_udf
+        # (_pq_codebook_arrays / _pq_assign_sub): centroids computed
+        # under one assignment and codes under another would drift the
+        # oracle's a1 CTE — sharing the kernel makes parity structural.
+        C, ids = _pq_codebook_arrays(cents)
+        n_cls = [len(i) for i in ids]
 
         def gen(batches):
             sums = np.zeros((PQ_M, PQ_K, PQ_SUBDIM), dtype=np.float64)
@@ -958,10 +980,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 V = np.stack(pdf["v"].to_numpy())
                 for s in range(PQ_M):
-                    Vs = V[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
-                    d2 = ((Vs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
-                    a = d2.argmin(axis=1)
-                    for k in range(len(cls[s])):
+                    Vs, a = _pq_assign_sub(V, C, s)
+                    for k in range(n_cls[s]):
                         m = a == k
                         if m.any():
                             sums[s, k] += Vs[m].sum(axis=0)
@@ -969,7 +989,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = [
                 (s, int(ids[s][k]), int(cnts[s, k]), sums[s, k].tolist())
                 for s in range(PQ_M)
-                for k in range(len(cls[s]))
+                for k in range(n_cls[s])
                 if cnts[s, k]
             ]
             yield pd.DataFrame(rows, columns=["s", "cl", "n", "sums"])

@@ -190,13 +190,15 @@ def run_to_completion(
     # the caller's session; both overrides sit inside the try so a
     # failure between them cannot leave one unrestored.
     _PROG_KEY = "spark.sql.streaming.numRecentProgressUpdates"
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    _PARTS_KEY = "spark.sql.shuffle.partitions"
     # get(key, None) bypasses the entry-default fallback: None means
-    # "was not explicitly set in this session".
+    # "was not explicitly set in this session" — the same unset-aware
+    # save/restore for BOTH overridden confs.
+    old_parts = spark.conf.get(_PARTS_KEY, None)
     old_prog = spark.conf.get(_PROG_KEY, None)
     try:
         if shuffle_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+            spark.conf.set(_PARTS_KEY, str(shuffle_partitions))
         spark.conf.set(_PROG_KEY, "100000")
         q = (
             streaming_df.writeStream.format("memory")
@@ -234,7 +236,10 @@ def run_to_completion(
         else:
             spark.conf.set(_PROG_KEY, old_prog)
         if shuffle_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+            if old_parts is None:
+                spark.conf.unset(_PARTS_KEY)
+            else:
+                spark.conf.set(_PARTS_KEY, old_parts)
     return spark.table(name)
 
 

@@ -134,18 +134,29 @@ def probe_frame(target_docs):
     dns = dpost.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     return _incremental_probe(cold_index, dcold, ns.unionByName(dns), hot)
 
-# plan-shape assertion: the index side must read the bucketed table
-# with NO shuffle Exchange above it — the whole point of the
-# release-time bucketBy. (The delta side and the pair agg may exchange
-# freely.) A "plan mentions a bucketed scan" string check is not
-# enough (ADVICE r6): a bucketed scan can still sit under an Exchange
-# (bucket count mismatching shuffle partitions, bucketed joins
-# disabled), which would silently void the cost-∝-delta claim while
-# the scan itself stays bucketed. So walk the physical tree, take the
-# INNERMOST join child whose subtree holds the frozen_post bucketed
-# scan (= the probe join's index side), and assert no
-# ShuffleExchangeExec inside it. BroadcastExchange (the census
-# anti-join on a skewed corpus) is fine — it never moves the corpus.
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shared tail for both child scripts: the plan-shape assertion and the
+# probe measurement loop. ONE copy, formatted with the bucketed index
+# table's name — the two modes assert the same contract by
+# construction, not by keeping two blocks in sync by hand.
+# ---------------------------------------------------------------------------
+
+_PLAN_ASSERT_AND_MEASURE = r"""
+# plan-shape assertion: the probe join's index side must read the
+# bucketed __TABLE__ table with NO shuffle Exchange above it — the
+# whole point of the release-time bucketBy. (The delta side and the
+# pair agg may exchange freely.) A "plan mentions a bucketed scan"
+# string check is not enough (ADVICE r6): a bucketed scan can still
+# sit under an Exchange (bucket count mismatching shuffle partitions,
+# bucketed joins disabled), which would silently void the
+# cost-∝-delta claim while the scan itself stays bucketed. So walk
+# the physical tree, take the INNERMOST join child whose subtree
+# holds the bucketed scan, and assert no ShuffleExchangeExec inside
+# it. BroadcastExchange (the census anti-join on a skewed corpus) is
+# fine — it never moves the corpus.
 def _nodes(n):
     yield n
     ch = n.children()
@@ -164,11 +175,11 @@ for n in _nodes(root):
     for i in range(ch.size()):
         sub = ch.apply(i)
         s = sub.toString()
-        if "frozen_post" in s and (
+        if "__TABLE__" in s and (
             "SelectedBucketsCount" in s or "Bucketed: true" in s
         ):
             cands.append(sub)
-assert cands, "no join child contains the bucketed frozen_post scan:\n" + (
+assert cands, "no join child contains the bucketed __TABLE__ scan:\n" + (
     root.toString()[:3000]
 )
 index_side = min(cands, key=lambda x: len(x.toString()))
@@ -181,7 +192,9 @@ assert not shuffles, (
     "shuffle Exchange above the bucketed index scan: "
     + str(shuffles) + "\n" + index_side.toString()[:3000]
 )
-scan_bucketed = True
+# the assertion OUTCOME, not a constant: both conditions the asserts
+# enforced (a bucketed index-side scan exists, no shuffle above it)
+scan_bucketed = bool(cands) and not shuffles
 
 rows = []
 for target in (500, 1500, 5000):
@@ -358,69 +371,6 @@ def probe_frame(target_docs):
         "new_id", "match_id", F.round(jac, 6).alias("jaccard")
     )
 
-# plan-shape assertion — same contract as the exact mode: the probe
-# join's index side reads the bucketed frozen_bands table with NO
-# shuffle Exchange inside its subtree.
-def _nodes(n):
-    yield n
-    ch = n.children()
-    for i in range(ch.size()):
-        yield from _nodes(ch.apply(i))
-
-qe = probe_frame(5000)._jdf.queryExecution()
-root = qe.executedPlan()
-if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-    root = root.inputPlan()
-cands = []
-for n in _nodes(root):
-    if "Join" not in n.getClass().getSimpleName():
-        continue
-    ch = n.children()
-    for i in range(ch.size()):
-        sub = ch.apply(i)
-        s = sub.toString()
-        if "frozen_bands" in s and (
-            "SelectedBucketsCount" in s or "Bucketed: true" in s
-        ):
-            cands.append(sub)
-assert cands, "no join child contains the bucketed frozen_bands scan:\n" + (
-    root.toString()[:3000]
-)
-index_side = min(cands, key=lambda x: len(x.toString()))
-shuffles = [
-    x.getClass().getSimpleName()
-    for x in _nodes(index_side)
-    if "ShuffleExchange" in x.getClass().getSimpleName()
-]
-assert not shuffles, (
-    "shuffle Exchange above the bucketed band scan: "
-    + str(shuffles) + "\n" + index_side.toString()[:3000]
-)
-
-rows = []
-for target in (500, 1500, 5000):
-    f = probe_frame(target)
-    f.write.format("noop").mode("overwrite").save()  # warm
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        probe_frame(target).write.format("noop").mode("overwrite").save()
-        times.append(time.time() - t0)
-    times.sort()
-    rows.append(
-        {
-            "corpus": corpus_dir,
-            "n_docs": n_docs,
-            "delta_docs": target,
-            "probe_s": round(times[1], 2),
-            "matches": probe_frame(target).count(),
-        }
-    )
-
-print(
-    "RESULT "
-    + json.dumps({"build_s": build_s, "bucketed_scan": True, "rows": rows})
-)
 """
 
 
@@ -428,7 +378,9 @@ def main() -> None:
     args = sys.argv[1:]
     minhash = "--minhash" in args
     args = [a for a in args if a != "--minhash"]
-    child = _CHILD_MH if minhash else _CHILD
+    child = (_CHILD_MH if minhash else _CHILD) + _PLAN_ASSERT_AND_MEASURE.replace(
+        "__TABLE__", "frozen_bands" if minhash else "frozen_post"
+    )
     tag = "mh_" if minhash else ""
     corpora = args or ["/tmp/testdata/sf1", "/tmp/testdata/sf3"]
     out = []

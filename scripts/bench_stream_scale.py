@@ -30,8 +30,15 @@ _ARGS = sys.argv[1:]
 PROVIDER = "default"
 if "--provider" in _ARGS:
     i = _ARGS.index("--provider")
+    if i + 1 >= len(_ARGS):
+        sys.exit("--provider needs a value: default | rocksdb")
     PROVIDER = _ARGS[i + 1]
     del _ARGS[i : i + 2]
+# validate HERE, not in the child: a typo ('rocksd') would otherwise
+# silently measure the default provider while labeling every output
+# row with the requested name — mislabeled A/B evidence
+if PROVIDER not in ("default", "rocksdb"):
+    sys.exit(f"unknown provider {PROVIDER!r}: default | rocksdb")
 DIRS = _ARGS or ["/tmp/testdata/sf1", "/tmp/testdata/sf3"]
 
 QUERIES = ["stream_session_window", "stream_dedup_hourly"]
