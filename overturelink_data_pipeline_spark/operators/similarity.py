@@ -1175,3 +1175,130 @@ def semantic_prune(
         .applyInPandas(block_prune, schema=out_schema)
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental SemDeDup — the semantic leg of the frozen-index lifecycle
+# (dedup_incremental = exact shingles, dedup_incremental_minhash = LSH
+# signatures, THIS = embedding cells). Unregistered for now: the query
+# registry sits at its 100-slot ceiling (registry.py) — this is the
+# round-8 registration candidate; until then it is covered by
+# tests/test_round7_ops.py and scripts/bench_semantic_scale.py
+# --incremental.
+# ---------------------------------------------------------------------------
+
+#: Snapshot boundary shared with the other incremental operators
+#: (dedup.INCR_DELTA_MIN) — ids below are the FROZEN release, at or
+#: above are the DELTA crawl.
+SEM_INCR_DELTA_MIN = 1_000_000
+
+
+def semantic_prune_incremental(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K
+) -> DataFrame:
+    """Incremental SemDeDup: admit a DELTA crawl's embeddings against a
+    FROZEN release without re-clustering (or re-shuffling) the corpus.
+
+    Release time (amortized): k-means fit + per-vector cell assignment
+    of the frozen corpus (in production: centroids are a k x dim
+    sidecar file and the assigned corpus a ``bucketBy(cl)`` table —
+    scripts/bench_semantic_scale.py --incremental measures exactly
+    that plan). Probe time (per crawl): assign ONLY the delta with the
+    frozen centroids (Arrow argmin kernel, embarrassingly parallel
+    scan), then per cell compute the delta-vs-(frozen + delta) cosine
+    block — a (|delta ∩ cell| x |cell|) GEMM, linear in the delta at
+    bounded cell size, never |cell|². A delta vector is pruned iff
+    some LOWER-id vector in its cell (frozen always wins; earlier
+    delta beats later delta) has rounded cosine >= SEMDEDUP_TAU; one
+    row per PRUNED delta vector, keeper = the lowest-id such
+    neighbor — the same keep-earliest rule as semantic_prune, so on a
+    frozen corpus already SemDeDup'd at release time the union of
+    (release prune-list + this probe's prune-list) IS the corpus-wide
+    policy, up to cell drift from the frozen-only fit (the honest
+    approximation every incremental-clustering shape makes).
+
+    Scale posture mirrors dedup_incremental: centroids are bounded
+    driver state, the frozen side moves ZERO bytes at probe time when
+    read from the bucketed release table, and the only shuffles are
+    the delta's assignment output and the (delta-bounded) cogroup
+    exchange."""
+    emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    perturbed = F.concat(
+        F.array(F.element_at("v", 1) + 0.05),
+        F.slice("v", 2, F.size("v") - 1),
+    )
+    corpus = with_planted_copies(
+        emb, SEMDEDUP_MODULUS, mangle={"v": perturbed}, id_col="vec_id"
+    )
+    frozen = corpus.filter(F.col("vec_id") < SEM_INCR_DELTA_MIN)
+    delta = corpus.filter(F.col("vec_id") >= SEM_INCR_DELTA_MIN)
+    cents = _lloyd_fit(frozen, k=k)  # the release-time artifact
+    return incremental_cell_prune(
+        _lloyd_assign(frozen, cents), _lloyd_assign(delta, cents)
+    )
+
+
+def incremental_cell_prune(
+    frozen_assigned: DataFrame,
+    delta_assigned: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """Core of semantic_prune_incremental, parameterized on the two
+    assigned frames so the bench can feed the frozen side from a
+    bucketed release table. Cogroup per cell: the kernel computes
+    ONLY the delta-vs-all block (rows = delta, cols = frozen + delta
+    sorted by id), so per-cell work is delta-proportional."""
+    out_schema = "cluster long, vec_id long, keeper_id long, cos_sim double"
+
+    def prune(key, frozen_pdf: pd.DataFrame, delta_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "cluster": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "keeper_id": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        if not len(delta_pdf):
+            return empty
+
+        def norm_rows(pdf):
+            m = np.stack(pdf["v"].to_numpy())
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            return m / norms
+
+        all_pdf = pd.concat([frozen_pdf, delta_pdf]).sort_values("vec_id")
+        all_ids = all_pdf["vec_id"].to_numpy()
+        an = norm_rows(all_pdf)
+        delta_pdf = delta_pdf.sort_values("vec_id")
+        delta_ids = delta_pdf["vec_id"].to_numpy()
+        dn = norm_rows(delta_pdf)
+        # same rounding boundary as semantic_prune/block_prune: the
+        # ROUNDED cosine decides, so engine drift cannot flip a pair
+        sims = np.round(dn @ an.T, 5)
+        qual = (sims >= tau) & (all_ids[None, :] < delta_ids[:, None])
+        has = qual.any(axis=1)
+        if not has.any():
+            return empty
+        first = qual.argmax(axis=1)  # first True = lowest id (cols id-sorted)
+        i = np.nonzero(has)[0]
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(i), int(key[0]), dtype="int64"),
+                "vec_id": delta_ids[i],
+                "keeper_id": all_ids[first[i]],
+                "cos_sim": sims[i, first[i]],
+            }
+        )
+
+    return (
+        frozen_assigned.groupBy("cl")
+        .cogroup(delta_assigned.groupBy("cl"))
+        .applyInPandas(prune, schema=out_schema)
+        .orderBy("vec_id")
+    )

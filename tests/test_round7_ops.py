@@ -112,3 +112,61 @@ def test_sample_hash_audit_predicates_match_rollup(spark, sf_dir):
     n_weight = sum(r["n_weight"] for r in audited)
     assert docs.filter(stratified_keep()).count() == n_strat
     assert docs.filter(weighted_keep()).count() == n_weight
+
+
+def test_semantic_incremental_prunes_planted_copies(spark, sf_dir):
+    """semantic_prune_incremental: every planted perturbed delta copy
+    must be pruned against (w.h.p.) its frozen original — the frozen-
+    only k-means fit still lands a near-identical copy in its
+    original's cell — and only DELTA vectors may appear as pruned."""
+    from overturelink_data_pipeline_spark.operators.similarity import (
+        SEM_INCR_DELTA_MIN,
+        SEMDEDUP_MODULUS,
+        semantic_prune_incremental,
+    )
+    from overturelink_data_pipeline_spark.session import read_table
+
+    out = semantic_prune_incremental(spark, sf_dir).collect()
+    assert out, "no incremental semantic prunes at all"
+    assert all(r["vec_id"] >= SEM_INCR_DELTA_MIN for r in out)
+    pruned = {r["vec_id"]: r["keeper_id"] for r in out}
+    donors = [
+        r["vec_id"]
+        for r in read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % SEMDEDUP_MODULUS == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    assert donors
+    hits = sum(
+        pruned.get(d + SEM_INCR_DELTA_MIN) == d for d in donors
+    )
+    assert hits >= 0.9 * len(donors), (hits, len(donors))
+    for r in out:
+        assert r["cos_sim"] >= 0.9
+        assert r["keeper_id"] < r["vec_id"]
+
+
+def test_semantic_incremental_cell_prune_delta_only_cell(spark):
+    """A cell with NO frozen members still prunes later-arriving delta
+    vectors against earlier ones (the cogroup's frozen side is empty),
+    and a lone dissimilar frozen vector never qualifies as keeper."""
+    from overturelink_data_pipeline_spark.operators.similarity import (
+        incremental_cell_prune,
+    )
+
+    va = [1.0] + [0.0] * 7
+    vb = [0.0] * 7 + [1.0]
+    frozen = spark.createDataFrame(
+        [(0, 1, va)], "cl long, vec_id long, v array<double>"
+    )
+    delta = spark.createDataFrame(
+        [(0, 1000005, vb), (0, 1000009, vb), (1, 1000011, va)],
+        "cl long, vec_id long, v array<double>",
+    )
+    rows = {r["vec_id"]: r for r in incremental_cell_prune(frozen, delta).collect()}
+    # later identical delta pruned by the earlier one, not by frozen
+    assert set(rows) == {1000009}
+    assert rows[1000009]["keeper_id"] == 1000005
+    assert rows[1000009]["cos_sim"] == 1.0
+    assert rows[1000009]["cluster"] == 0
