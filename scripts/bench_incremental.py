@@ -411,18 +411,20 @@ def main() -> None:
     # headline: same ABSOLUTE delta probed across corpus sizes —
     # flat probe_s at 3x the corpus is the incremental property
     if len(out) == 2:
+        a = os.path.basename(out[0]["rows"][0]["corpus"].rstrip("/"))
+        b = os.path.basename(out[1]["rows"][0]["corpus"].rstrip("/"))
         print(
             json.dumps(
                 {
                     "metric": (
                         ("minhash " if minhash else "")
-                        + "probe_s at same absolute delta, sf1 vs sf3 corpus"
+                        + f"probe_s at same absolute delta, {a} vs {b} corpus"
                     ),
                     "delta_docs": [r["delta_docs"] for r in out[0]["rows"]],
-                    "sf1_probe_s": [r["probe_s"] for r in out[0]["rows"]],
-                    "sf3_probe_s": [r["probe_s"] for r in out[1]["rows"]],
-                    "sf1_build_s": out[0]["build_s"],
-                    "sf3_build_s": out[1]["build_s"],
+                    f"{a}_probe_s": [r["probe_s"] for r in out[0]["rows"]],
+                    f"{b}_probe_s": [r["probe_s"] for r in out[1]["rows"]],
+                    f"{a}_build_s": out[0]["build_s"],
+                    f"{b}_build_s": out[1]["build_s"],
                 }
             )
         )
