@@ -253,3 +253,37 @@ def test_session_window_merges_across_micro_batches(spark, tmp_path):
     # ONE merged session 10000 -> 11500+gap, all 3 events — not two
     # fragments split at the batch boundary
     assert u1 == [(10000.0, 11500.0 + 1800.0, 3)]
+
+
+def test_run_to_completion_restores_conf_unset_state(spark, sf_dir):
+    """The replay's conf overrides (shuffle partitions, progress-ring
+    size) must restore the PRIOR state exactly: a conf that was not
+    explicitly set before the call must be UNSET after it — never left
+    pinned at a resolved default (ADVICE r6 + the same hazard on
+    shuffle.partitions found in the r7 review)."""
+    from overturelink_data_pipeline_spark.operators.streaming_ops import (
+        read_event_stream,
+    )
+    from overturelink_data_pipeline_spark.streaming.events import (
+        run_to_completion,
+        sessionize_stream,
+    )
+
+    prog_key = "spark.sql.streaming.numRecentProgressUpdates"
+    parts_key = "spark.sql.shuffle.partitions"
+    # the shared test session sets shuffle.partitions; emulate both
+    # prior states across the two keys: parts explicitly set (by
+    # conftest), prog unset
+    spark.conf.unset(prog_key)
+    before_parts = spark.conf.get(parts_key, None)
+    assert spark.conf.get(prog_key, None) is None
+    run_to_completion(
+        sessionize_stream(read_event_stream(spark, sf_dir)),
+        spark,
+        output_mode="append",
+        shuffle_partitions=4,
+    ).count()
+    assert spark.conf.get(prog_key, None) is None, (
+        "replay pinned the progress-ring conf into the session"
+    )
+    assert spark.conf.get(parts_key, None) == before_parts
