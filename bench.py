@@ -19,6 +19,23 @@ from overturelink_data_pipeline_spark import registry
 from overturelink_data_pipeline_spark.session import get_spark
 
 
+def _write_round_stamped(repo_dir: str, full: dict) -> None:
+    """BENCH_LOCAL_r{N:02d}.json for the round currently being built
+    (N = latest CORRECTNESS artifact file + 1)."""
+    import glob
+    import re as _re
+
+    nums = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
+        if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    rnd = (max(nums) if nums else 0) + 1
+    with open(os.path.join(repo_dir, f"BENCH_LOCAL_r{rnd:02d}.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -154,21 +171,12 @@ def main() -> None:
     # built) — by filename, NOT by latest green row: a fully-red round
     # still produced an artifact, and deriving from green rows would
     # make the next bench overwrite the red round's committed copy.
+    # Only stamped at the driver's bench shape (no SF override): local
+    # verification runs at sf0.001 would otherwise clobber the round's
+    # authoritative sf0.1 numbers.
     try:
-        import glob
-        import re as _re
-
-        nums = [
-            int(m.group(1))
-            for f in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
-            if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", f))
-        ]
-        rnd = (max(nums) if nums else 0) + 1
-        with open(
-            os.path.join(repo_dir, f"BENCH_LOCAL_r{rnd:02d}.json"), "w"
-        ) as fh:
-            json.dump(full, fh, indent=1)
-            fh.write("\n")
+        if not os.environ.get("SPARK_GRAFT_SF_DIR"):
+            _write_round_stamped(repo_dir, full)
     except Exception:
         pass  # the stamped copy is evidence hygiene, never a bench failure
     slowest = dict(

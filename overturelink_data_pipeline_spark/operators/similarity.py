@@ -1302,3 +1302,41 @@ def incremental_cell_prune(
         .applyInPandas(prune, schema=out_schema)
         .orderBy("vec_id")
     )
+
+
+_KM_ASSIGN_FROM = """
+  SELECT e.vec_id, e.v,
+         (SELECT c.cl FROM {cents} c ORDER BY list_distance(e.v, c.c), c.cl LIMIT 1) AS cl
+  FROM {src} e
+"""
+
+#: DuckDB oracle for semantic_prune_incremental — ready for round-8
+#: registration (the registry's 100-slot ceiling defers it); until
+#: then tests/test_round7_ops.py runs the full driver-style parity
+#: gate (rows + schema + value hash) against it at the driver SFs.
+#: Recipe: frozen-ONLY k-means CTEs (init = first k frozen vectors,
+#: two 1e-6-rounded updates — dedup_semantic's structure restricted to
+#: the frozen side), both sides assigned under the final centroids,
+#: delta-only prune rows with the lowest-id keeper via QUALIFY.
+SEM_INCR_ORACLE = f"""
+    WITH emb AS ({_SD_EMB}),
+    frozen AS (SELECT * FROM emb WHERE vec_id < {SEM_INCR_DELTA_MIN}),
+    delta  AS (SELECT * FROM emb WHERE vec_id >= {SEM_INCR_DELTA_MIN}),
+    c0 AS (SELECT vec_id AS cl, v AS c FROM frozen WHERE vec_id < {KMEANS_K}),
+    a1 AS ({_KM_ASSIGN_FROM.format(cents="c0", src="frozen")}),
+    c1 AS ({_KM_UPDATE.format(assigned="a1")}),
+    a2 AS ({_KM_ASSIGN_FROM.format(cents="c1", src="frozen")}),
+    c2 AS ({_KM_UPDATE.format(assigned="a2")}),
+    af AS ({_KM_ASSIGN_FROM.format(cents="c2", src="frozen")}),
+    ad AS ({_KM_ASSIGN_FROM.format(cents="c2", src="delta")}),
+    allv AS (SELECT * FROM af UNION ALL SELECT * FROM ad),
+    pairs AS (
+      SELECT d.cl AS cluster, d.vec_id AS vec_id, a.vec_id AS keeper_id,
+             ROUND(list_cosine_similarity(a.v, d.v), 5) AS cos_sim
+      FROM ad d JOIN allv a ON a.cl = d.cl AND a.vec_id < d.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, d.v), 5) >= {SEMDEDUP_TAU}
+    )
+    SELECT cluster, vec_id, keeper_id, cos_sim FROM pairs
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY keeper_id) = 1
+    ORDER BY vec_id
+"""

@@ -170,3 +170,24 @@ def test_semantic_incremental_cell_prune_delta_only_cell(spark):
     assert rows[1000009]["keeper_id"] == 1000005
     assert rows[1000009]["cos_sim"] == 1.0
     assert rows[1000009]["cluster"] == 0
+
+
+def test_semantic_incremental_oracle_parity(spark):
+    """semantic_prune_incremental vs its staged DuckDB oracle
+    (SEM_INCR_ORACLE) through the driver's exact gate — rows + sorted
+    schema + order-insensitive value hash — at both driver SFs, so
+    round-8 registration is a wrapper, not a verification event."""
+    from overturelink_data_pipeline_spark.operators.similarity import (
+        SEM_INCR_ORACLE,
+        semantic_prune_incremental,
+    )
+    from overturelink_data_pipeline_spark.testing import compare, duckdb_connect
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        duck = duckdb_connect(sf_dir)
+        r = compare(
+            "semantic_incremental",
+            semantic_prune_incremental(spark, sf_dir),
+            duck.sql(SEM_INCR_ORACLE).df(),
+        )
+        assert r.rows_match and r.schema_match and r.hash_match, (sf_dir, r)
