@@ -191,3 +191,73 @@ def test_semantic_incremental_oracle_parity(spark):
             duck.sql(SEM_INCR_ORACLE).df(),
         )
         assert r.rows_match and r.schema_match and r.hash_match, (sf_dir, r)
+
+
+def test_incremental_index_merge_equals_rebuild(spark, tmp_path):
+    """The monthly lifecycle COMPOSES: appending an admitted crawl's
+    postings into the bucketed release index (insert-into, same bucket
+    spec) then probing the next crawl gives exactly the matches of a
+    from-scratch rebuild over (release ∪ crawl). This is the property
+    that lets a 100 TB index be maintained by appends instead of
+    monthly rebuilds."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from overturelink_data_pipeline_spark.operators.dedup import (
+        _gram_hashes,
+        _incremental_probe,
+    )
+
+    def posts(df):
+        toked = df.withColumn("toks", F.split(F.trim(F.col("text")), "\\s+")).filter(
+            F.size("toks") >= 3
+        )
+        return toked.select(
+            "doc_id", F.explode(F.array_distinct(_gram_hashes())).alias("h")
+        )
+
+    def mk_docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    body = lambda tag, n=30: " ".join(f"{tag}{i}" for i in range(n))
+    release = mk_docs([(i, body(f"a{i}")) for i in range(1, 11)] + [(11, body("dup"))])
+    # crawl B: one dup of release doc 11, one novel doc
+    crawl_b = mk_docs([(1_000_011, body("dup")), (1_000_050, body("nov"))])
+    # crawl C: dups of release doc 3, of B's novel doc, and a fresh doc
+    crawl_c = mk_docs(
+        [
+            (2_000_003, body("a3")),
+            (2_000_050, body("nov")),
+            (2_000_099, body("zz")),
+        ]
+    )
+
+    tbl = "merge_post_" + uuid.uuid4().hex[:8]
+    try:
+        # release-time write + APPEND of crawl B (same bucket spec)
+        posts(release).write.bucketBy(4, "h").sortBy("h").saveAsTable(tbl)
+        posts(crawl_b).write.bucketBy(4, "h").sortBy("h").mode("append").saveAsTable(tbl)
+        merged = spark.table(tbl)
+
+        def probe(index_post, crawl):
+            ns = index_post.unionByName(posts(crawl)).groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_sh")
+            )
+            return {
+                (r["new_id"], r["match_id"], r["jaccard"])
+                for r in _incremental_probe(
+                    index_post, posts(crawl), ns, hot=None
+                ).collect()
+            }
+
+        via_append = probe(merged, crawl_c)
+        via_rebuild = probe(posts(release.unionByName(crawl_b)), crawl_c)
+        assert via_append == via_rebuild
+        # and the probe actually found the planted cross-release dups
+        matched = {(n, m) for (n, m, _) in via_append}
+        assert (2_000_003, 3) in matched
+        assert (2_000_050, 1_000_050) in matched
+        assert all(n != 2_000_099 for (n, _) in matched)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
