@@ -227,10 +227,11 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 QSAMPLE_K = 199
 
 
-@spark_query(
-    "agg_quantile_sampled",
-    oracle=f"""
-    WITH keyed AS (
+#: Sampled-quantile oracle CTEs (keyed → samp → qest), shared between
+#: the historical standalone oracle and the merged agg_sketch_audit
+#: oracle so the two can never drift.
+_QSAMPLE_CTES = f"""
+    keyed AS (
       SELECT l_returnflag AS f, l_extendedprice AS v,
              md5(CAST(l_orderkey AS VARCHAR) || '-'
                  || CAST(l_linenumber AS VARCHAR)) AS h
@@ -241,14 +242,17 @@ QSAMPLE_K = 199
         SELECT f, v, ROW_NUMBER() OVER (PARTITION BY f ORDER BY h) AS rk
         FROM keyed) t
       WHERE rk <= {QSAMPLE_K}
+    ),
+    qest AS (
+      SELECT f,
+             CAST(COUNT(*) AS BIGINT) AS n_sample,
+             CAST(ROUND(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY v)
+                             AS DECIMAL(18,4)), 2) AS DOUBLE) AS est_p50
+      FROM samp GROUP BY f
     )
-    SELECT f AS l_returnflag,
-           CAST(COUNT(*) AS BIGINT) AS n_sample,
-           CAST(ROUND(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY v)
-                           AS DECIMAL(18,4)), 2) AS DOUBLE) AS est_p50
-    FROM samp GROUP BY f ORDER BY l_returnflag
-    """,
-)
+"""
+
+
 def agg_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile SKETCH by deterministic hash reservoir: per group, the
     QSAMPLE_K rows with the smallest md5(unique key) are a uniform
@@ -260,6 +264,12 @@ def agg_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     error included, is bit-reproducible and hash-checked against
     DuckDB, where the engine-native sketches (agg_approx_sketches) can
     only ever be rows-only.
+
+    Registry note: standalone registration retired in the r8 merge —
+    this frame now rides inside ``agg_sketch_audit`` (one audit row
+    per stratum, paired with its exact-p50 accuracy audit), which
+    carries the driver hash gate; the sampling-accuracy property stays
+    pinned in tests/test_round4_ops.py via a direct call.
 
     100 TB plan shape: the reservoir is the sample_reservoir two-phase
     grouped top-k (partition-local rank then final rank — no
@@ -326,7 +336,8 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     one rows-only slot — engine-native sketches can never hash-match a
     DuckDB oracle, and their hash-verifiable cousins
     (agg_hll_distinct_users / agg_count_min_tokens /
-    agg_quantile_sampled) already cover cardinality/frequency/quantile
+    agg_quantile_sampled — both riding inside agg_sketch_audit since
+    the r8 merge) already cover cardinality/frequency/quantile
     under the driver's full gate. Accuracy vs the exact aggregates
     stays pinned in tests/test_analytics.py, which calls this function
     directly; the freed registry slot funds dedup_incremental."""
@@ -358,10 +369,10 @@ HLL_M = 1 << HLL_B
 _HLL_NUMER = 0.7182725932495458 * HLL_M * HLL_M * float(1 << 61)
 
 
-@spark_query(
-    "agg_hll_distinct_users",
-    oracle=f"""
-    WITH h AS (
+#: Deterministic-HLL oracle CTEs (h → ranked → regs → est → exact →
+#: raw), shared with the merged agg_sketch_audit oracle.
+_HLL_CTES = f"""
+    h AS (
       SELECT event_type,
              substr(md5(CAST(user_id AS VARCHAR)), 1, 17) AS hx
       FROM events
@@ -404,17 +415,19 @@ _HLL_NUMER = 0.7182725932495458 * HLL_M * HLL_M * float(1 << 61)
                  + CAST({HLL_M} - est.n_regs AS HUGEINT)
                    * CAST(CAST(1 AS BIGINT) << 61 AS HUGEINT) AS DOUBLE) AS r
       FROM est
+    ),
+    hll AS (
+      SELECT e.event_type,
+             ROUND(CASE WHEN raw.r <= 2.5 * {HLL_M} AND raw.n_regs < {HLL_M}
+                        THEN {HLL_M} * ln({HLL_M} * 1.0 / ({HLL_M} - raw.n_regs))
+                        ELSE raw.r END, 2) AS est_distinct,
+             CAST({HLL_M} - raw.n_regs AS BIGINT) AS zero_registers,
+             CAST(e.x AS BIGINT) AS exact_distinct
+      FROM exact e JOIN raw USING (event_type)
     )
-    SELECT e.event_type,
-           ROUND(CASE WHEN raw.r <= 2.5 * {HLL_M} AND raw.n_regs < {HLL_M}
-                      THEN {HLL_M} * ln({HLL_M} * 1.0 / ({HLL_M} - raw.n_regs))
-                      ELSE raw.r END, 2) AS est_distinct,
-           CAST({HLL_M} - raw.n_regs AS BIGINT) AS zero_registers,
-           CAST(e.x AS BIGINT) AS exact_distinct
-    FROM exact e JOIN raw USING (event_type)
-    ORDER BY event_type
-    """,
-)
+"""
+
+
 def agg_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type by a DETERMINISTIC HyperLogLog:
     bucket = md5 byte 0 (256 registers), rank = leading-zero count of
@@ -434,7 +447,13 @@ def agg_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Includes the small-range linear-counting branch (m·ln(m/V) when
     the raw estimate is <= 2.5m), so low-cardinality groups stay
     accurate too; see the in-code note on why the ln() is safe under
-    the 2-decimal hash contract."""
+    the 2-decimal hash contract.
+
+    Registry note: standalone registration retired in the r8 merge —
+    this frame now rides inside ``agg_sketch_audit`` (est/exact/aux
+    rows under the 'hll_distinct' sketch tag), which carries the
+    driver hash gate; the 3-sigma accuracy property stays pinned in
+    tests/test_round4_ops.py via a direct call."""
     from overturelink_data_pipeline_spark.session import read_events
 
     ev = read_events(spark, sf_dir)
@@ -494,6 +513,84 @@ def agg_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@spark_query(
+    "agg_sketch_audit",
+    oracle=f"""
+    WITH {_HLL_CTES},
+    {_QSAMPLE_CTES},
+    qexact AS (
+      SELECT l_returnflag AS f,
+             CAST(ROUND(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                             AS DECIMAL(18,4)), 2) AS DOUBLE) AS exact_p50
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'hll_distinct' AS sketch, event_type AS grp,
+           est_distinct AS est,
+           CAST(exact_distinct AS DOUBLE) AS exact,
+           zero_registers AS aux
+    FROM hll
+    UNION ALL
+    SELECT 'quantile_sample' AS sketch, qest.f AS grp,
+           qest.est_p50 AS est, qexact.exact_p50 AS exact,
+           qest.n_sample AS aux
+    FROM qest JOIN qexact ON qest.f = qexact.f
+    ORDER BY sketch, grp
+    """,
+)
+def agg_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verifiable sketch audit, both sketches in one tall rollup
+    (r8 registry merge of agg_hll_distinct_users + agg_quantile_sampled
+    — the two queries shared the shape "deterministic md5-derived
+    sketch + its exact accuracy audit, bit-reproducible across
+    engines" and differed only in which statistic they sketched):
+    one row per (sketch, stratum) with the sketch estimate ``est``,
+    the exact value of the sketched statistic ``exact`` (distinct
+    users / population p50), and the sketch-size audit ``aux``
+    (zero registers / sample rows).
+
+    100 TB plan shape: the HLL leg's exchange is O(groups × 256
+    registers) and the reservoir leg's is O(groups × K) — both
+    map-side combinable and independent of cardinality; the exact
+    audit columns are the O(distinct) / O(domain) shuffles the
+    sketches exist to avoid, ridden along here precisely so the
+    driver gate hashes the *approximation error*, not just the
+    estimate. The exact p50 reuses agg_percentiles_exact's mergeable
+    histogram plan (groupBy value domain → one cumulative window →
+    two conditional mins), not Spark's single-reducer ``percentile``
+    aggregate."""
+    hll = agg_hll_distinct_users(spark, sf_dir).select(
+        F.lit("hll_distinct").alias("sketch"),
+        F.col("event_type").alias("grp"),
+        F.col("est_distinct").alias("est"),
+        F.col("exact_distinct").cast("double").alias("exact"),
+        F.col("zero_registers").alias("aux"),
+    )
+    qs = agg_quantile_sampled(spark, sf_dir)
+    li = read_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    w_all = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    qexact = cum.groupBy("l_returnflag").agg(
+        _interpolated_quantile("cum", "l_extendedprice", 0.5).alias("exact_p50")
+    )
+    quant = qs.join(F.broadcast(qexact), "l_returnflag").select(
+        F.lit("quantile_sample").alias("sketch"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("est_p50").alias("est"),
+        F.col("exact_p50").alias("exact"),
+        F.col("n_sample").alias("aux"),
+    )
+    return hll.unionByName(quant).orderBy("sketch", "grp")
 
 
 # ---------------------------------------------------------------------------

@@ -1180,11 +1180,10 @@ def semantic_prune(
 # ---------------------------------------------------------------------------
 # Incremental SemDeDup — the semantic leg of the frozen-index lifecycle
 # (dedup_incremental = exact shingles, dedup_incremental_minhash = LSH
-# signatures, THIS = embedding cells). Unregistered for now: the query
-# registry sits at its 100-slot ceiling (registry.py) — this is the
-# round-8 registration candidate; until then it is covered by
-# tests/test_round7_ops.py and scripts/bench_semantic_scale.py
-# --incremental.
+# signatures, THIS = embedding cells). Built+tested r7, registered r8
+# once the agg_sketch_audit merge funded a slot under the registry's
+# 100-slot ceiling; also covered by tests/test_round7_ops.py and
+# scripts/bench_semantic_scale.py --incremental.
 # ---------------------------------------------------------------------------
 
 #: Snapshot boundary shared with the other incremental operators
@@ -1310,10 +1309,10 @@ _KM_ASSIGN_FROM = """
   FROM {src} e
 """
 
-#: DuckDB oracle for semantic_prune_incremental — ready for round-8
-#: registration (the registry's 100-slot ceiling defers it); until
-#: then tests/test_round7_ops.py runs the full driver-style parity
-#: gate (rows + schema + value hash) against it at the driver SFs.
+#: DuckDB oracle for semantic_prune_incremental — baked r7, wired to
+#: the registration below in r8; tests/test_round7_ops.py additionally
+#: runs the full driver-style parity gate (rows + schema + value hash)
+#: against it at the driver SFs.
 #: Recipe: frozen-ONLY k-means CTEs (init = first k frozen vectors,
 #: two 1e-6-rounded updates — dedup_semantic's structure restricted to
 #: the frozen side), both sides assigned under the final centroids,
@@ -1340,3 +1339,12 @@ SEM_INCR_ORACLE = f"""
     QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY keeper_id) = 1
     ORDER BY vec_id
 """
+
+# Registered r8 (VERDICT r7 ask #1): the oracle above was baked in r7
+# while the registry sat at its 100-slot ceiling; the r8 merge of
+# agg_hll_distinct_users + agg_quantile_sampled into agg_sketch_audit
+# funded this slot. Registration happens post-definition because the
+# oracle's CTE constants are assembled below the function.
+spark_query("semantic_prune_incremental", oracle=SEM_INCR_ORACLE)(
+    semantic_prune_incremental
+)

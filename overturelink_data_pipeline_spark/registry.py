@@ -130,8 +130,13 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "text_minhash_containment",
     "agg_count_min_tokens",
     "stream_session_window",
-    "agg_hll_distinct_users",
-    "agg_quantile_sampled",
+    # agg_hll_distinct_users + agg_quantile_sampled merged into
+    # agg_sketch_audit r8 (both deterministic md5-derived sketch audits
+    # over one scan; VERDICT r7 ask #1): the freed slot funds
+    # semantic_prune_incremental, completing the incremental trio's
+    # driver attestation.
+    "agg_sketch_audit",
+    "semantic_prune_incremental",
     # --- Tail: r3-green queries, rotate back into the r5 window ---------
     "ann_ivf_topk",
     "anti_join_parts_never_ordered",

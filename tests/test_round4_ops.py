@@ -161,7 +161,13 @@ def test_session_window_consistent_with_batch_sessions(spark, sf_dir):
 
 def test_hll_estimate_within_sketch_error(spark, sf_dir):
     """256-register HLL has ~6.5% standard error; allow 3 sigma."""
-    rows = registry.QUERIES["agg_hll_distinct_users"](spark, sf_dir).collect()
+    # direct call: deregistered in the r8 agg_sketch_audit merge, but
+    # the accuracy property stays pinned here
+    from overturelink_data_pipeline_spark.operators.analytics import (
+        agg_hll_distinct_users,
+    )
+
+    rows = agg_hll_distinct_users(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r["exact_distinct"] > 0
@@ -262,7 +268,13 @@ def test_sampled_quantile_tracks_exact_median(spark, sf_dir):
     """K=199 hash-reservoir median lands within ~3/sqrt(K) quantile
     error of the exact population median (loose 3-sigma band on the
     value scale via the exact p25-p75 spread)."""
-    rows = registry.QUERIES["agg_quantile_sampled"](spark, sf_dir).collect()
+    # direct call: deregistered in the r8 agg_sketch_audit merge, but
+    # the accuracy property stays pinned here
+    from overturelink_data_pipeline_spark.operators.analytics import (
+        agg_quantile_sampled,
+    )
+
+    rows = agg_quantile_sampled(spark, sf_dir).collect()
     assert rows
     li = read_table(spark, sf_dir, "lineitem")
     for r in rows:
