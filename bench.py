@@ -21,17 +21,34 @@ from overturelink_data_pipeline_spark.session import get_spark
 
 def _write_round_stamped(repo_dir: str, full: dict) -> None:
     """BENCH_LOCAL_r{N:02d}.json for the round currently being built
-    (N = latest CORRECTNESS artifact file + 1)."""
+    (N = latest CORRECTNESS artifact file + 1, or the explicit
+    ``$SPARK_GRAFT_ROUND`` override — ADVICE r7: a bench re-run after
+    the current round's correctness artifact lands would otherwise
+    infer N+1 and mislabel). Refuses to overwrite an existing stamped
+    file (re-stamping intentionally goes through an explicit
+    ``rm`` + re-run, never a silent clobber of committed evidence)."""
     import glob
     import re as _re
 
-    nums = [
-        int(m.group(1))
-        for f in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
-        if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", f))
-    ]
-    rnd = (max(nums) if nums else 0) + 1
-    with open(os.path.join(repo_dir, f"BENCH_LOCAL_r{rnd:02d}.json"), "w") as fh:
+    env_round = os.environ.get("SPARK_GRAFT_ROUND")
+    if env_round:
+        rnd = int(env_round)
+    else:
+        nums = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
+            if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+        ]
+        rnd = (max(nums) if nums else 0) + 1
+    path = os.path.join(repo_dir, f"BENCH_LOCAL_r{rnd:02d}.json")
+    if os.path.exists(path):
+        print(
+            f"bench: NOT overwriting existing {os.path.basename(path)} "
+            "(set SPARK_GRAFT_ROUND or remove the file to re-stamp)",
+            file=sys.stderr,
+        )
+        return
+    with open(path, "w") as fh:
         json.dump(full, fh, indent=1)
         fh.write("\n")
 
@@ -177,8 +194,10 @@ def main() -> None:
     try:
         if not os.environ.get("SPARK_GRAFT_SF_DIR"):
             _write_round_stamped(repo_dir, full)
-    except Exception:
-        pass  # the stamped copy is evidence hygiene, never a bench failure
+    except Exception as exc:
+        # the stamped copy is evidence hygiene, never a bench failure —
+        # but a swallowed anomaly must still be visible (ADVICE r7)
+        print(f"bench: round-stamped copy failed: {exc!r}", file=sys.stderr)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )

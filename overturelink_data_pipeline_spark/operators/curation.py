@@ -564,8 +564,20 @@ def weighted_keep() -> Column:
     threshold, weight = min(n_chars, cap)/cap (stand-in for any
     quality score). All INTEGER arithmetic (multiplicative hash,
     cross-multiplied threshold test — no floats), so the sample is
-    bit-reproducible across engines, re-runs, and partitionings."""
-    h = (F.col("doc_id") * WS_MIX) % F.lit(4294967296) % WS_BUCKETS
+    bit-reproducible across engines, re-runs, and partitionings.
+
+    Overflow guard (ADVICE r7): doc_id is masked to 31 bits BEFORE the
+    Knuth multiply — the raw product wraps int64 above doc_id ≈ 3.47e9
+    (Spark would silently go negative and admit every row; DuckDB
+    raises), while (2^31−1) × 2654435761 ≈ 5.70e18 stays inside int64
+    in both engines. A 32-bit mask would NOT be enough (2^32 × WS_MIX
+    ≈ 1.14e19 > int64 max); the 31-bit mask keeps the hash mixing over
+    the full bucket range and is the identity for every doc_id below
+    2^31, so existing sampled sets are unchanged. doc_id ≥ 0 by
+    schema, so `%` agrees between engines."""
+    h = ((F.col("doc_id") % F.lit(2147483648)) * WS_MIX) % F.lit(
+        4294967296
+    ) % WS_BUCKETS
     w = F.least(F.col("n_chars"), F.lit(WS_CAP))
     return h * WS_CAP < w * WS_BUCKETS
 
@@ -576,7 +588,7 @@ def weighted_keep() -> Column:
     WITH d AS (
       SELECT source, lang,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
-             (doc_id * {WS_MIX}) % 4294967296 % {WS_BUCKETS} AS h,
+             ((doc_id % 2147483648) * {WS_MIX}) % 4294967296 % {WS_BUCKETS} AS h,
              least(n_chars, {WS_CAP}) AS w
       FROM documents
     ),
@@ -602,7 +614,7 @@ def weighted_keep() -> Column:
 )
 def sample_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic-sampling audit, both flavors in one bounded
-    rollup (r6 registry merge of sample_stratified + sample_weighted —
+    rollup (r7 registry merge of sample_stratified + sample_weighted —
     the two queries shared the scan + the hash-threshold idea and
     differed only in which predicate they audited): per (source, lang)
     stratum, the document count, how many rows each keep-predicate

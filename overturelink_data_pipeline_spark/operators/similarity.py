@@ -878,6 +878,83 @@ def _pq_assign_sub(V, C, s: int):
     return Vs, d2.argmin(axis=1)
 
 
+def _pq_lloyd_update(
+    emb: DataFrame, cents: list[dict[int, list[float]]]
+) -> list[dict[int, list[float]]]:
+    """One PQ Lloyd update, fused across subspaces INSIDE the encode
+    kernel (r7): one mapInPandas pass assigns with the IDENTICAL
+    squared-distance matrix codes_udf evaluates (argmin parity with
+    the oracle's a1 CTE is inherited, not re-derived) and emits
+    per-batch partial sums — a frame bounded by partitions x PQ_M x
+    PQ_K rows — so the r6 shape's posexplode x64 of every vector and
+    its groupBy(s, cl, dim) shuffle are gone; the rounded avg
+    finishes on the driver from exact partial sums + counts.
+    Summation ORDER differs from both F.avg and DuckDB's AVG either
+    way — the 1e-6 rounding both engines apply is what pins the
+    downstream boundaries (the kmeans/IVF/PCA recipe).
+
+    Extracted as a function in r8 so the centroid VALUES themselves
+    are pinned in a committed fixture (fixtures/pq_centroids/,
+    tests/test_round8_ops.py — ADVICE r7): if a near-boundary mean
+    ever flips the 1e-6 round, the fixture diff attributes it to this
+    kernel instead of surfacing as an opaque driver hash mismatch."""
+    import numpy as np
+
+    def update_partials():
+        # the SAME codebook arrays + per-subspace argmin as codes_udf
+        # (_pq_codebook_arrays / _pq_assign_sub): centroids computed
+        # under one assignment and codes under another would drift the
+        # oracle's a1 CTE — sharing the kernel makes parity structural.
+        C, ids = _pq_codebook_arrays(cents)
+        n_cls = [len(i) for i in ids]
+
+        def gen(batches):
+            sums = np.zeros((PQ_M, PQ_K, PQ_SUBDIM), dtype=np.float64)
+            cnts = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["v"].to_numpy())
+                for s in range(PQ_M):
+                    Vs, a = _pq_assign_sub(V, C, s)
+                    for k in range(n_cls[s]):
+                        m = a == k
+                        if m.any():
+                            sums[s, k] += Vs[m].sum(axis=0)
+                            cnts[s, k] += int(m.sum())
+            rows = [
+                (s, int(ids[s][k]), int(cnts[s, k]), sums[s, k].tolist())
+                for s in range(PQ_M)
+                for k in range(n_cls[s])
+                if cnts[s, k]
+            ]
+            yield pd.DataFrame(rows, columns=["s", "cl", "n", "sums"])
+
+        return gen
+
+    partials = emb.select("v").mapInPandas(
+        update_partials(), schema="s int, cl long, n long, sums array<double>"
+    )
+    agg: dict[tuple[int, int], list] = {}
+    for r in partials.collect():
+        acc = agg.setdefault(
+            (int(r["s"]), int(r["cl"])), [np.zeros(PQ_SUBDIM), 0]
+        )
+        acc[0] += np.asarray(r["sums"], dtype=np.float64)
+        acc[1] += int(r["n"])
+    return [
+        {
+            cl: [
+                _round_half_away(float(sv) / n, 6)
+                for sv in acc_sum
+            ]
+            for (s_, cl), (acc_sum, n) in agg.items()
+            if s_ == s
+        }
+        for s in range(PQ_M)
+    ]
+
+
 @spark_query("ann_pq_topk", oracle=_pq_oracle())
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC approximate nearest neighbours: per-subspace k-means
@@ -951,72 +1028,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(PQ_M)
     ]
 
-    # --- one Lloyd update, fused across subspaces INSIDE the encode
-    # kernel (r7): one mapInPandas pass assigns with the IDENTICAL
-    # squared-distance matrix codes_udf evaluates (argmin parity with
-    # the oracle's a1 CTE is inherited, not re-derived) and emits
-    # per-batch partial sums — a frame bounded by partitions x PQ_M x
-    # PQ_K rows — so the r6 shape's posexplode x64 of every vector and
-    # its groupBy(s, cl, dim) shuffle are gone; the rounded avg
-    # finishes on the driver from exact partial sums + counts.
-    # Summation ORDER differs from both F.avg and DuckDB's AVG either
-    # way — the 1e-6 rounding both engines apply is what pins the
-    # downstream boundaries (the kmeans/IVF/PCA recipe).
-    import numpy as np
-
-    def update_partials():
-        # the SAME codebook arrays + per-subspace argmin as codes_udf
-        # (_pq_codebook_arrays / _pq_assign_sub): centroids computed
-        # under one assignment and codes under another would drift the
-        # oracle's a1 CTE — sharing the kernel makes parity structural.
-        C, ids = _pq_codebook_arrays(cents)
-        n_cls = [len(i) for i in ids]
-
-        def gen(batches):
-            sums = np.zeros((PQ_M, PQ_K, PQ_SUBDIM), dtype=np.float64)
-            cnts = np.zeros((PQ_M, PQ_K), dtype=np.int64)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                V = np.stack(pdf["v"].to_numpy())
-                for s in range(PQ_M):
-                    Vs, a = _pq_assign_sub(V, C, s)
-                    for k in range(n_cls[s]):
-                        m = a == k
-                        if m.any():
-                            sums[s, k] += Vs[m].sum(axis=0)
-                            cnts[s, k] += int(m.sum())
-            rows = [
-                (s, int(ids[s][k]), int(cnts[s, k]), sums[s, k].tolist())
-                for s in range(PQ_M)
-                for k in range(n_cls[s])
-                if cnts[s, k]
-            ]
-            yield pd.DataFrame(rows, columns=["s", "cl", "n", "sums"])
-
-        return gen
-
-    partials = emb.select("v").mapInPandas(
-        update_partials(), schema="s int, cl long, n long, sums array<double>"
-    )
-    agg: dict[tuple[int, int], list] = {}
-    for r in partials.collect():
-        acc = agg.setdefault(
-            (int(r["s"]), int(r["cl"])), [np.zeros(PQ_SUBDIM), 0]
-        )
-        acc[0] += np.asarray(r["sums"], dtype=np.float64)
-        acc[1] += int(r["n"])
-    cents = [
-        {
-            cl: [
-                _round_half_away(float(sv) / n, 6)
-                for sv in acc_sum
-            ]
-            for (s_, cl), (acc_sum, n) in agg.items()
-            if s_ == s
-        }
-        for s in range(PQ_M)
-    ]
+    cents = _pq_lloyd_update(emb, cents)
 
     # --- ADC partial-distance table (driver-side: PQ_M x PQ_K doubles)
     partial: list[dict[int, float]] = []

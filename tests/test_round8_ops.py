@@ -225,3 +225,153 @@ def test_semantic_release_table_merge_equals_rebuild(spark):
         assert 2_000_099 not in pruned
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_state_provider_auto_selection(spark, sf_dir, monkeypatch):
+    """VERDICT r7 ask #5: run_to_completion auto-selects the state
+    store — RocksDB for wide per-key state, default provider for
+    narrow-key state (the measured A/B in streaming/events.py's
+    docstring) — with $SPARK_GRAFT_STATE_PROVIDER as the one override
+    knob. The provider is physical-only: results are identical, and
+    the session conf is restored afterward."""
+    from overturelink_data_pipeline_spark.streaming.events import (
+        DEFAULT_PROVIDER,
+        ROCKSDB_PROVIDER,
+        STATE_PROVIDER_ENV,
+        _resolve_state_provider,
+        read_event_stream,
+        run_to_completion,
+        windowed_event_counts,
+    )
+
+    # pure resolution logic
+    monkeypatch.delenv(STATE_PROVIDER_ENV, raising=False)
+    assert _resolve_state_provider(None, wide_state=True) == (
+        "rocksdb",
+        ROCKSDB_PROVIDER,
+    )
+    assert _resolve_state_provider(None, wide_state=False) == (
+        "default",
+        DEFAULT_PROVIDER,
+    )
+    assert _resolve_state_provider("rocksdb", wide_state=False)[0] == "rocksdb"
+    monkeypatch.setenv(STATE_PROVIDER_ENV, "default")
+    assert _resolve_state_provider(None, wide_state=True)[0] == "default"
+    monkeypatch.setenv(STATE_PROVIDER_ENV, "rocksdb")
+    assert _resolve_state_provider(None, wide_state=False)[0] == "rocksdb"
+    monkeypatch.delenv(STATE_PROVIDER_ENV, raising=False)
+    with pytest.raises(ValueError):
+        _resolve_state_provider("levelDB", wide_state=False)
+
+    # end-to-end: the same windowed rollup drained under both
+    # providers yields identical rows, the applied provider is
+    # recorded, and the session conf is restored
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(conf_key, None)
+    agg = windowed_event_counts(read_event_stream(spark, sf_dir))
+    narrow = run_to_completion(agg, spark, shuffle_partitions=4)
+    assert run_to_completion.last_state_provider == "default"
+    narrow_rows = sorted(map(tuple, narrow.collect()))
+
+    agg2 = windowed_event_counts(read_event_stream(spark, sf_dir))
+    wide = run_to_completion(
+        agg2, spark, shuffle_partitions=4, wide_state=True
+    )
+    assert run_to_completion.last_state_provider == "rocksdb"
+    assert sorted(map(tuple, wide.collect())) == narrow_rows
+    assert spark.conf.get(conf_key, None) == before
+
+
+def test_pq_centroids_match_pinned_fixture(spark, sf_dir):
+    """ADVICE r7: ann_pq_topk's Lloyd update finishes driver-side with
+    _round_half_away(sum/n, 6) — a different summation order AND
+    rounding path than the oracle's ROUND(AVG(x), 6); the 1e-6 round
+    absorbing the drift is what driver hash parity rests on. Pinning
+    the post-update centroid VALUES (fixtures/pq_centroids/,
+    scripts/gen_pq_centroid_fixture.py) makes a near-boundary flip
+    attributable to this kernel instead of an opaque hash mismatch."""
+    import json
+    import os
+
+    from overturelink_data_pipeline_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        _pq_lloyd_update,
+    )
+    from overturelink_data_pipeline_spark.session import read_table
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    fix = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "pq_centroids",
+        f"{sf}.json",
+    )
+    if not os.path.exists(fix):
+        pytest.skip(f"no pinned fixture for {sf}")
+    with open(fix) as fh:
+        pinned = json.load(fh)
+
+    raw = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    init = sorted(
+        raw.filter(F.col("vec_id") < PQ_K).collect(),
+        key=lambda r: int(r["vec_id"]),
+    )
+    cents = [
+        {
+            int(r["vec_id"]): list(r["v"])[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            for r in init
+        }
+        for s in range(PQ_M)
+    ]
+    updated = _pq_lloyd_update(raw, cents)
+    got = {
+        f"{s}:{cl}": vals
+        for s, book in enumerate(updated)
+        for cl, vals in book.items()
+    }
+    assert got.keys() == pinned.keys()
+    for key in pinned:
+        assert got[key] == pinned[key], (
+            f"centroid {key} drifted: {got[key]} != pinned {pinned[key]} — "
+            "the update kernel's summation/rounding path changed"
+        )
+
+
+def test_weighted_keep_no_int64_overflow(spark):
+    """ADVICE r7: the raw doc_id × 2654435761 product wraps int64
+    above doc_id ≈ 3.47e9 (negative h admits every row); the 31-bit
+    pre-mask keeps the hash in [0, WS_BUCKETS) at the 100 TB id range
+    and matches an exact big-int Python reference — and is the
+    identity below 2^31, so historical samples are unchanged."""
+    from overturelink_data_pipeline_spark.operators.curation import (
+        WS_BUCKETS,
+        WS_CAP,
+        WS_MIX,
+        weighted_keep,
+    )
+
+    ids = [0, 1, 7, 2**31 - 1, 2**31, 3_470_000_000, 2**40 + 123, 2**62]
+    docs = spark.createDataFrame(
+        [(i, 1 + (i % WS_CAP)) for i in ids], "doc_id long, n_chars int"
+    )
+    got = {
+        r["doc_id"]: r["kept"]
+        for r in docs.select(
+            "doc_id", weighted_keep().alias("kept")
+        ).collect()
+    }
+
+    def ref(doc_id: int, n_chars: int) -> bool:
+        h = ((doc_id % 2**31) * WS_MIX) % 4294967296 % WS_BUCKETS
+        assert 0 <= h < WS_BUCKETS
+        return h * WS_CAP < min(n_chars, WS_CAP) * WS_BUCKETS
+
+    for i in ids:
+        assert got[i] == ref(i, 1 + (i % WS_CAP)), f"doc_id {i}"
+    # the predicate discriminates (not the wrapped-negative admit-all)
+    assert set(got.values()) == {True, False}
