@@ -1260,7 +1260,27 @@ def incremental_cell_prune(
     assigned frames so the bench can feed the frozen side from a
     bucketed release table. Cogroup per cell: the kernel computes
     ONLY the delta-vs-all block (rows = delta, cols = frozen + delta
-    sorted by id), so per-cell work is delta-proportional."""
+    sorted by id), so per-cell work is delta-proportional.
+
+    Self-lineage guard (r8): when BOTH sides derive from the same
+    in-plan corpus (the registered query; the production bench feeds
+    the frozen side from a bucketed table, a disjoint lineage), the
+    two cogroup children share attribute exprIds, and under a
+    consumer that requires no output columns (``.count()``)
+    Spark 4.1's dedup + column pruning delivers the RIGHT side with
+    only the grouping key — the kernel then crashes on the missing
+    ``v`` (observed: collect() fine, count() broken, same plan). The
+    re-select below is semantics- and cost-free (a pure projection
+    that collapses in the optimizer) but every ``Alias`` mints a
+    fresh exprId, making the sides' attribute sets disjoint so
+    pruning resolves correctly under every consumer. Pinned by the
+    count()-path smoke in tests/test_round8_ops.py."""
+    frozen_assigned = frozen_assigned.select(
+        [F.col(c).alias(c) for c in frozen_assigned.columns]
+    )
+    delta_assigned = delta_assigned.select(
+        [F.col(c).alias(c) for c in delta_assigned.columns]
+    )
     out_schema = "cluster long, vec_id long, keeper_id long, cos_sim double"
 
     def prune(key, frozen_pdf: pd.DataFrame, delta_pdf: pd.DataFrame) -> pd.DataFrame:

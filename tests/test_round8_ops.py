@@ -227,6 +227,24 @@ def test_semantic_release_table_merge_equals_rebuild(spark):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_semantic_incremental_count_path(spark, sf_dir):
+    """Regression (r8): with both cogroup sides built from the same
+    in-plan corpus, Spark 4.1's dedup + column pruning under a
+    no-output-columns consumer (count()) delivered the delta side
+    with ONLY the grouping key — collect() worked, count() crashed in
+    the kernel. incremental_cell_prune now re-projects both sides
+    (fresh exprIds) so every consumer sees complete input; count()
+    must agree with the collect() path's row count."""
+    from overturelink_data_pipeline_spark.operators.similarity import (
+        semantic_prune_incremental,
+    )
+
+    df = semantic_prune_incremental(spark, sf_dir)
+    n_count = df.count()
+    n_collect = len(semantic_prune_incremental(spark, sf_dir).collect())
+    assert n_count == n_collect > 0
+
+
 def test_state_provider_auto_selection(spark, sf_dir, monkeypatch):
     """VERDICT r7 ask #5: run_to_completion auto-selects the state
     store — RocksDB for wide per-key state, default provider for
