@@ -50,14 +50,25 @@ from overturelink_data_pipeline_spark.session import get_spark
 from overturelink_data_pipeline_spark import registry
 from overturelink_data_pipeline_spark.streaming.events import run_to_completion
 registry.load_all()
-spark = get_spark(app_name="stream-scale-child", cpus="32")
+# maxResultSize: run_to_completion's replay drains into a MEMORY sink
+# (that is what makes streaming results oracle-comparable), so the
+# full output lands in driver memory — at sf10 stream_session_window
+# emits ~9.5M closed sessions (>1 GiB serialized), over the 1 GiB
+# default. A production writeStream goes to a real sink and never
+# pays this; the sweep raises the cap rather than switching sinks so
+# the measured plan stays the one the driver gate runs.
+spark = get_spark(
+    app_name="stream-scale-child",
+    cpus="32",
+    extra_conf={"spark.driver.maxResultSize": "8g"},
+)
 name, sf, provider = sys.argv[1], sys.argv[2], sys.argv[3]
-if provider == "rocksdb":
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
+# Since the r8 wiring, run_to_completion sets the provider conf
+# per-run (wide-state ops auto-select RocksDB), so a session-level
+# conf here would be silently overridden. The env knob is the
+# documented override lever for exactly this A/B.
+import os
+os.environ["SPARK_GRAFT_STATE_PROVIDER"] = provider
 registry.QUERIES["q1_pricing_summary"](spark, sf).count()
 registry.QUERIES[name](spark, sf).count()  # warm-up (JVM + state-store init)
 ts, metrics = [], None
