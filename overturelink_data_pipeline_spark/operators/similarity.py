@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from overturelink_data_pipeline_spark.operators.dedup import (
+    _fresh_persist,
     with_planted_copies,
     cosine,
 )
@@ -587,17 +588,25 @@ def _lloyd_assign(
 
 
 def _lloyd_fit(
-    emb: DataFrame, k: int = KMEANS_K, updates: int = KMEANS_UPDATES
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    updates: int = KMEANS_UPDATES,
+    kernel: str = "auto",
 ) -> dict[int, list[float]]:
     """Lloyd's k-means fit with deterministic init (first ``k`` vectors
     by vec_id) and 1e-6-rounded centroid updates; returns the fitted
     centroids. Each iteration is one scan + one bounded k x dim shuffle
-    (posexplode -> groupBy(cluster, dim) avg, map-side combinable)."""
+    (posexplode -> groupBy(cluster, dim) avg, map-side combinable).
+    ``kernel`` passes through to ``_lloyd_assign`` — callers whose fit
+    runs over a persisted frame several times (the in-query incremental
+    lifecycle) force "arrow"; the Arrow kernel is pinned bit-identical
+    to the Catalyst fold, so the centroids (and every oracle boundary
+    downstream) are unchanged."""
     init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents: dict[int, list[float]] = {int(r["vec_id"]): list(r["v"]) for r in init}
     for _ in range(updates):
         rows = (
-            _lloyd_assign(emb, cents)
+            _lloyd_assign(emb, cents, kernel=kernel)
             .select("cl", F.posexplode("v").alias("dim", "x"))
             .groupBy("cl", "dim")
             .agg(F.round(F.avg("x"), 6).alias("cx"))
@@ -1240,14 +1249,33 @@ def semantic_prune_incremental(
         F.array(F.element_at("v", 1) + 0.05),
         F.slice("v", 2, F.size("v") - 1),
     )
-    corpus = with_planted_copies(
-        emb, SEMDEDUP_MODULUS, mangle={"v": perturbed}, id_col="vec_id"
+    # persist: the planted corpus feeds FIVE jobs in this in-query
+    # lifecycle (fit init collect, two Lloyd update rounds, and both
+    # final assigns under the cogroup) — without the cache each one
+    # re-runs scan + cast + planted-copy explode (measured 3.86 →
+    # 3.43 s fresh-session at sf1; the production probe never pays the
+    # fit at all, the release table is the cache). _fresh_persist
+    # releases the previous invocation's partitions in long-lived
+    # bench/correctness sessions.
+    corpus = _fresh_persist(
+        "sem_incr_corpus",
+        with_planted_copies(
+            emb, SEMDEDUP_MODULUS, mangle={"v": perturbed}, id_col="vec_id"
+        ),
     )
     frozen = corpus.filter(F.col("vec_id") < SEM_INCR_DELTA_MIN)
     delta = corpus.filter(F.col("vec_id") >= SEM_INCR_DELTA_MIN)
-    cents = _lloyd_fit(frozen, k=k)  # the release-time artifact
+    # kernel="arrow": this in-query lifecycle runs FIVE assigns over
+    # the corpus (fit init + 2 update rounds + both final sides); the
+    # interpreted Catalyst fold costs ~0.8 s/round at sf1 where the
+    # Arrow argmin kernel — pinned bit-identical to the fold in
+    # tests/test_llm_ops.py, so all oracle boundaries are unchanged —
+    # runs the same jobs in 2.7 s total vs 3.5 s (fresh-session A/B;
+    # the auto threshold keeps single-assign queries Catalyst/UDF-free)
+    cents = _lloyd_fit(frozen, k=k, kernel="arrow")  # release-time artifact
     return incremental_cell_prune(
-        _lloyd_assign(frozen, cents), _lloyd_assign(delta, cents)
+        _lloyd_assign(frozen, cents, kernel="arrow"),
+        _lloyd_assign(delta, cents, kernel="arrow"),
     )
 
 
