@@ -1,0 +1,165 @@
+"""The lifecycle API (operators/lifecycle.py) end-to-end: build →
+probe → append → probe, append-equals-rebuild, for all three
+incremental modalities. The raw-recipe pins live in
+tests/test_round7_ops.py / test_round8_ops.py; these tests assert the
+PRODUCT API reproduces them, including the sidecar-count maintenance
+(per-key counts as appended rows summed partition-local) that replaces
+from-scratch census recomputes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from overturelink_data_pipeline_spark.operators.lifecycle import (
+    BandIndex,
+    PostingIndex,
+    SemanticRelease,
+    temp_name,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _body(tag: str, n: int = 30) -> str:
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+RELEASE = lambda: [(i, _body(f"a{i}")) for i in range(1, 11)] + [(11, _body("dup"))]
+CRAWL_B = lambda: [(1_000_011, _body("dup")), (1_000_050, _body("nov"))]
+CRAWL_C = lambda: [
+    (2_000_003, _body("a3")),
+    (2_000_050, _body("nov")),
+    (2_000_099, _body("zz")),
+]
+
+
+def _pairs(df):
+    return {(r["new_id"], r["match_id"], r["jaccard"]) for r in df.collect()}
+
+
+@pytest.mark.parametrize("cls", [PostingIndex, BandIndex])
+def test_text_index_lifecycle(spark, cls):
+    """build(release) → probe(B) finds the planted release dup;
+    append(B) → probe(C) finds both cross-release dups AND equals a
+    from-scratch rebuild over (release ∪ B)."""
+    idx = cls(spark, temp_name(cls.__name__.lower()))
+    rebuilt = cls(spark, temp_name("rebuild"))
+    try:
+        idx.build(_docs(spark, RELEASE()))
+        probe_b = _pairs(idx.probe(_docs(spark, CRAWL_B())))
+        matched_b = {(n, m) for (n, m, _) in probe_b}
+        assert (1_000_011, 11) in matched_b
+        assert all(n != 1_000_050 for (n, _) in matched_b)
+
+        idx.append(_docs(spark, CRAWL_B()))
+        via_append = _pairs(idx.probe(_docs(spark, CRAWL_C())))
+
+        rebuilt.build(_docs(spark, RELEASE() + CRAWL_B()))
+        via_rebuild = _pairs(rebuilt.probe(_docs(spark, CRAWL_C())))
+
+        assert via_append == via_rebuild
+        matched_c = {(n, m) for (n, m, _) in via_append}
+        assert (2_000_003, 3) in matched_c
+        assert (2_000_050, 1_000_050) in matched_c
+        assert all(n != 2_000_099 for (n, _) in matched_c)
+    finally:
+        idx.drop()
+        rebuilt.drop()
+
+
+def test_posting_index_crawl_can_push_key_over_cap(spark):
+    """The probe merges the crawl's keys into the stored count sidecar
+    BEFORE the cap filter: a crawl that pushes a shingle over the cap
+    suppresses it exactly as a rebuild would (and the hot add-back
+    keeps surviving pairs' Jaccard exact)."""
+    boiler = _body("bp", 12)
+    release = _docs(
+        spark,
+        [(i, f"{boiler} {_body(f'u{i}', 20)}") for i in range(1, 4)],
+    )
+    # crawl: 2 docs sharing the boilerplate prefix + unique tails, one
+    # of them a true near-dup of release doc 1
+    crawl = _docs(
+        spark,
+        [
+            (1_000_001, f"{boiler} {_body('u1', 20)}"),
+            (1_000_777, f"{boiler} {_body('zz', 20)}"),
+        ],
+    )
+    # cap low enough that the boilerplate shingles go hot only once the
+    # crawl lands on top of the release's three carriers
+    idx = PostingIndex(spark, temp_name("hotcap"), cap=4)
+    rebuilt = PostingIndex(spark, temp_name("hotcap_rb"), cap=4)
+    try:
+        idx.build(release)
+        via_index = _pairs(idx.probe(crawl))
+        rebuilt.build(release)  # identical content, fresh sidecars
+        via_rebuild = _pairs(rebuilt.probe(crawl))
+        assert via_index == via_rebuild
+        matched = {(n, m) for (n, m, _) in via_index}
+        assert (1_000_001, 1) in matched  # true dup survives the cap
+        # the boilerplate-only pairing must NOT reach tau (unique tails
+        # dominate), even though the shared prefix is hot
+        assert (1_000_777, 2) not in matched
+    finally:
+        idx.drop()
+        rebuilt.drop()
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def test_semantic_release_lifecycle(spark):
+    """build fits + freezes centroids (persisted as a table sidecar);
+    append assigns under them; probe equals a rebuild-with-the-same-
+    centroids — and the centroid sidecar round-trips exactly."""
+
+    def base(i, eps=0.0):
+        anchor = [(10.0, 0.0, 0.0), (0.0, 10.0, 0.0), (0.0, 0.0, 10.0)][i % 3]
+        return [anchor[0] + eps, anchor[1] + 0.01 * i, anchor[2]]
+
+    release = _vecs(spark, [(i, base(i)) for i in range(12)])
+    crawl_b = _vecs(
+        spark, [(1_000_004, base(4, eps=0.001)), (1_000_007, [5.0, 5.0, 0.0])]
+    )
+    crawl_c = _vecs(
+        spark,
+        [
+            (2_000_002, base(2, eps=0.001)),
+            (2_000_007, [5.0, 5.001, 0.0]),
+            (2_000_099, [-7.0, 1.0, 1.0]),
+        ],
+    )
+    rel = SemanticRelease(spark, temp_name("semrel"), k=3)
+    try:
+        rel.build(release)
+        cents = rel.centroids()
+        assert len(cents) == 3 and all(len(c) == 3 for c in cents.values())
+
+        rel.append(crawl_b)
+        got = {
+            (r["vec_id"], r["keeper_id"]) for r in rel.probe(crawl_c).collect()
+        }
+        # rebuild under the SAME frozen centroids
+        from overturelink_data_pipeline_spark.operators.similarity import (
+            _lloyd_assign,
+            incremental_cell_prune,
+        )
+
+        rebuilt = incremental_cell_prune(
+            _lloyd_assign(release.unionByName(crawl_b), cents, kernel="arrow"),
+            _lloyd_assign(crawl_c, cents, kernel="arrow"),
+        )
+        assert got == {
+            (r["vec_id"], r["keeper_id"]) for r in rebuilt.collect()
+        }
+        pruned = dict(got)
+        assert pruned.get(2_000_002) == 2
+        assert pruned.get(2_000_007) == 1_000_007
+        assert 2_000_099 not in pruned
+    finally:
+        rel.drop()
