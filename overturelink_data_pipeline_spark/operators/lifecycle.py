@@ -169,15 +169,11 @@ class PostingIndex:
             .agg(F.sum("n").alias("n"))
         )
         hot_keys = counts.filter(F.col("n") > self.cap).select("h")
-        # probe semantics mirror dedup_incremental: the `o` side is the
-        # FULL posting set (index ∪ crawl) so delta-delta dups report
-        # from both sides; the `d` side is the crawl alone
-        all_post = index_post.unionByName(delta_post)
         has_hot = bool(hot_keys.head(1))
-        cold_all = (
-            all_post.join(F.broadcast(hot_keys), "h", "left_anti")
+        cold_index = (
+            index_post.join(F.broadcast(hot_keys), "h", "left_anti")
             if has_hot
-            else all_post
+            else index_post
         )
         cold_delta = (
             delta_post.join(F.broadcast(hot_keys), "h", "left_anti")
@@ -191,8 +187,25 @@ class PostingIndex:
         )
         # hot add-back: per-doc over-cap arrays so surviving pairs
         # report the TRUE shared count (dedup_incremental's recipe)
-        hot = _hot_doc_arrays(all_post, hot_keys) if has_hot else None
-        return _incremental_probe(cold_all, cold_delta, ns, hot, tau=tau)
+        hot = (
+            _hot_doc_arrays(index_post.unionByName(delta_post), hot_keys)
+            if has_hot
+            else None
+        )
+        # Delta-delta completeness WITHOUT moving the corpus: the
+        # registered query unions delta into the `o` side, which is
+        # fine for an in-plan index but would re-exchange the stored
+        # corpus here whenever the crawl is too big to broadcast (the
+        # union discards the bucket-derived partitioning). Instead the
+        # probe splits by where the match lives — index matches join
+        # the bucketed table (only the crawl side may shuffle),
+        # delta-delta matches come from a crawl-bounded self-probe —
+        # and the union of the two IS the full pair set (a match's
+        # postings live wholly on one side, so every pair's
+        # intersection count is complete within its leg).
+        vs_index = _incremental_probe(cold_index, cold_delta, ns, hot, tau=tau)
+        vs_delta = _incremental_probe(cold_delta, cold_delta, ns, hot, tau=tau)
+        return vs_index.unionByName(vs_delta).orderBy("new_id", "match_id")
 
     def drop(self) -> None:
         _drop(self.spark, self._post, self._ns, self._hcount)
@@ -276,23 +289,29 @@ class BandIndex:
         big = counts.filter(F.col("n") > self.cap).select("band", "bucket")
         kept_index = index_bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
         kept_delta = delta_bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
-        all_kept = kept_index.unionByName(kept_delta)
-        d, o = kept_delta.alias("d"), all_kept.alias("o")
-        cand = (
-            d.join(
+
+        # same two-leg split as PostingIndex.probe: crawl-vs-table (the
+        # bucketed side never shuffles) + crawl-vs-crawl (bounded by the
+        # crawl) — the union is the full candidate set
+        def cand(o_side: DataFrame) -> DataFrame:
+            d, o = kept_delta.alias("d"), o_side.alias("o")
+            return d.join(
                 o,
                 (F.col("d.band") == F.col("o.band"))
                 & (F.col("d.bucket") == F.col("o.bucket"))
                 & (F.col("d.doc_id") != F.col("o.doc_id")),
-            )
-            .select(
+            ).select(
                 F.col("d.doc_id").alias("new_id"),
                 F.col("o.doc_id").alias("match_id"),
             )
+
+        cands = (
+            cand(kept_index)
+            .unionByName(cand(kept_delta))
             .dropDuplicates(["new_id", "match_id"])
         )
         sh = spark.table(self._sh).unionByName(delta_sh).dropDuplicates(["doc_id"])
-        return _jaccard_verify(cand, sh, "new_id", "match_id", tau=tau)
+        return _jaccard_verify(cands, sh, "new_id", "match_id", tau=tau)
 
     def drop(self) -> None:
         _drop(self.spark, self._bands, self._sh, self._bcount)

@@ -109,6 +109,59 @@ def test_posting_index_crawl_can_push_key_over_cap(spark):
         rebuilt.drop()
 
 
+def _phys_nodes(n):
+    yield n
+    ch = n.children()
+    for i in range(ch.size()):
+        yield from _phys_nodes(ch.apply(i))
+
+
+def test_posting_probe_index_side_is_exchange_free(spark):
+    """The scale property the bucketed layout exists for, asserted at
+    the API level with the physical-tree walk (not a string match —
+    ADVICE r6): the probe join's child holding the bucketed
+    ``{name}_post`` scan contains no ShuffleExchange, so the index
+    side moves zero bytes at probe time. BroadcastExchange (the hot
+    census) is allowed — it never moves the corpus."""
+    idx = PostingIndex(spark, temp_name("exfree"))
+    try:
+        idx.build(_docs(spark, RELEASE()))
+        qe = idx.probe(_docs(spark, CRAWL_B()))._jdf.queryExecution()
+        root = qe.executedPlan()
+        if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            root = root.inputPlan()
+        cands = []
+        for n in _phys_nodes(root):
+            if "Join" not in n.getClass().getSimpleName():
+                continue
+            ch = n.children()
+            for i in range(ch.size()):
+                sub = ch.apply(i)
+                s = sub.toString()
+                if idx._post in s and (
+                    "SelectedBucketsCount" in s or "Bucketed: true" in s
+                ):
+                    cands.append(sub)
+        assert cands, (
+            "no join child contains the bucketed index scan:\n"
+            + root.toString()[:3000]
+        )
+        index_side = min(cands, key=lambda x: len(x.toString()))
+        shuffles = [
+            x.getClass().getSimpleName()
+            for x in _phys_nodes(index_side)
+            if "ShuffleExchange" in x.getClass().getSimpleName()
+        ]
+        assert not shuffles, (
+            "shuffle above the bucketed index scan: "
+            + str(shuffles)
+            + "\n"
+            + index_side.toString()[:3000]
+        )
+    finally:
+        idx.drop()
+
+
 def _vecs(spark, rows):
     return spark.createDataFrame(rows, "vec_id long, v array<double>")
 
