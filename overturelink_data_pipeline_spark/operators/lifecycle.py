@@ -53,6 +53,7 @@ from overturelink_data_pipeline_spark.operators.dedup import (
     BAND_BUCKET_CAP,
     NGRAM_DF_CAP,
     _band_table,
+    _fresh_persist,
     _gram_hashes,
     _hot_doc_arrays,
     _incremental_probe,
@@ -86,8 +87,20 @@ def shingle_table(docs: DataFrame) -> DataFrame:
 
 
 def _postings(docs: DataFrame) -> DataFrame:
-    """(doc_id, h) exploded distinct shingle postings."""
-    return shingle_table(docs).select("doc_id", F.explode("sh").alias("h"))
+    """(doc_id, h) exploded distinct shingle postings.
+
+    INLINE explode(expr), never explode of the aliased ``sh`` column:
+    InferFiltersFromGenerate substitutes an alias into the inferred
+    size/isnotnull filter and pushes it below the materializing
+    Project, where interpreted predicates have no CSE — O(tokens²)
+    string work per doc on the scan side (the pinned r7 lesson;
+    re-measured here: 7.0 s → sub-second for a 5 k-doc crawl at sf1)."""
+    toked = docs.withColumn("toks", F.split(F.trim(F.col("text")), "\\s+")).filter(
+        F.size("toks") >= 3
+    )
+    return toked.select(
+        "doc_id", F.explode(F.array_distinct(_gram_hashes())).alias("h")
+    )
 
 
 def _drop(spark: SparkSession, *tables: str) -> None:
@@ -158,17 +171,35 @@ class PostingIndex:
         cap filter, so a crawl pushing a key over the cap suppresses it
         exactly as a rebuild would."""
         spark = self.spark
-        delta_post = _postings(crawl)
+        # the crawl's postings feed SIX consumers (count merge, both
+        # cold sides, ns, hot arrays, the self-probe leg) — persist the
+        # delta-bounded frame once per probe
+        delta_post = _fresh_persist(f"{self.name}_probe_dpost", _postings(crawl))
         index_post = spark.table(self._post)
-        # current per-key counts = stored sidecar rows + delta rows;
-        # both sides keyed on h (sidecar bucketed, partial agg map-side)
-        counts = (
-            spark.table(self._hcount)
-            .unionByName(delta_post.groupBy("h").agg(F.count(F.lit(1)).alias("n")))
-            .groupBy("h")
-            .agg(F.sum("n").alias("n"))
+        # current per-key counts = stored sidecar rows + delta rows.
+        # NOT a union-then-groupBy: the union would discard the
+        # sidecar's bucket layout and re-exchange the whole count
+        # table per probe. Instead the stored side aggregates
+        # partition-local on its buckets and the (crawl-bounded) delta
+        # counts broadcast-join in; keys the crawl alone pushes over
+        # the cap come from the second (tiny) leg.
+        delta_counts = delta_post.groupBy("h").agg(
+            F.count(F.lit(1)).alias("n_delta")
         )
-        hot_keys = counts.filter(F.col("n") > self.cap).select("h")
+        stored = spark.table(self._hcount).groupBy("h").agg(
+            F.sum("n").alias("n_stored")
+        )
+        hot_keys = (
+            stored.join(F.broadcast(delta_counts), "h", "left_outer")
+            .filter(
+                F.col("n_stored") + F.coalesce("n_delta", F.lit(0)) > self.cap
+            )
+            .select("h")
+            .unionByName(
+                delta_counts.filter(F.col("n_delta") > self.cap).select("h")
+            )
+            .dropDuplicates(["h"])
+        )
         has_hot = bool(hot_keys.head(1))
         cold_index = (
             index_post.join(F.broadcast(hot_keys), "h", "left_anti")
@@ -240,9 +271,11 @@ class BandIndex:
         return f"{self.name}_bcount"
 
     def _band_rows(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-        sh = shingle_table(docs)
-        post = sh.select("doc_id", F.explode("sh").alias("h"))
-        return _band_table(minhash_signatures_agg(post)), sh
+        # postings via the inline-explode shape (_postings docstring);
+        # the shingle-ARRAY frame is built separately for the verify
+        # sidecar — never explode the aliased array
+        post = _postings(docs)
+        return _band_table(minhash_signatures_agg(post)), shingle_table(docs)
 
     def build(self, docs: DataFrame) -> "BandIndex":
         bands, sh = self._band_rows(docs)
@@ -275,18 +308,30 @@ class BandIndex:
     def probe(self, crawl: DataFrame, tau: float = 0.5) -> DataFrame:
         spark = self.spark
         delta_bands, delta_sh = self._band_rows(crawl)
+        # band rows feed the count merge, both cands legs' delta side;
+        # persist the delta-bounded frame once per probe
+        delta_bands = _fresh_persist(f"{self.name}_probe_dbands", delta_bands)
         index_bands = spark.table(self._bands)
-        counts = (
-            spark.table(self._bcount)
+        # same bucket-local + broadcast count merge as PostingIndex.probe
+        delta_counts = delta_bands.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("n_delta")
+        )
+        stored = spark.table(self._bcount).groupBy("band", "bucket").agg(
+            F.sum("n").alias("n_stored")
+        )
+        big = (
+            stored.join(F.broadcast(delta_counts), ["band", "bucket"], "left_outer")
+            .filter(
+                F.col("n_stored") + F.coalesce("n_delta", F.lit(0)) > self.cap
+            )
+            .select("band", "bucket")
             .unionByName(
-                delta_bands.groupBy("band", "bucket").agg(
-                    F.count(F.lit(1)).alias("n")
+                delta_counts.filter(F.col("n_delta") > self.cap).select(
+                    "band", "bucket"
                 )
             )
-            .groupBy("band", "bucket")
-            .agg(F.sum("n").alias("n"))
+            .dropDuplicates(["band", "bucket"])
         )
-        big = counts.filter(F.col("n") > self.cap).select("band", "bucket")
         kept_index = index_bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
         kept_delta = delta_bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
 
