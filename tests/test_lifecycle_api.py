@@ -162,6 +162,38 @@ def test_posting_probe_index_side_is_exchange_free(spark):
         idx.drop()
 
 
+@pytest.mark.parametrize("seed", [3, 17])
+def test_posting_lifecycle_random_property(spark, seed):
+    """Seeded-random property: for arbitrary small corpora with random
+    token overlap, two appended crawls then a probe equals a
+    from-scratch rebuild over everything appended — not just the
+    planted-dup cases."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"tok{v}" for v in range(40)]
+
+    def rand_doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25)))
+
+    release = [(i, rand_doc()) for i in range(1, 16)]
+    crawl_b = [(1_000_000 + i, rand_doc()) for i in range(6)]
+    crawl_c = [(2_000_000 + i, rand_doc()) for i in range(6)]
+
+    idx = PostingIndex(spark, temp_name(f"rand{seed}"))
+    rebuilt = PostingIndex(spark, temp_name(f"randrb{seed}"))
+    try:
+        idx.build(_docs(spark, release))
+        idx.append(_docs(spark, crawl_b))
+        via_append = _pairs(idx.probe(_docs(spark, crawl_c)))
+        rebuilt.build(_docs(spark, release + crawl_b))
+        via_rebuild = _pairs(rebuilt.probe(_docs(spark, crawl_c)))
+        assert via_append == via_rebuild
+    finally:
+        idx.drop()
+        rebuilt.drop()
+
+
 def _vecs(spark, rows):
     return spark.createDataFrame(rows, "vec_id long, v array<double>")
 
