@@ -517,6 +517,72 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spark_query(
+    "dedup_lifecycle_probe",
+    oracle=f"""
+    WITH corpus AS ({_PREFIX_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             ))) AS g
+      FROM toks WHERE len(tk) >= 3
+    ),
+    ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT d.doc_id AS new_id, o.doc_id AS match_id, COUNT(*) AS i
+      FROM sh d JOIN sh o ON d.g = o.g AND o.doc_id != d.doc_id
+      WHERE d.doc_id >= {INCR_DELTA_MIN} AND d.doc_id % 2 = 1
+      GROUP BY 1, 2
+    )
+    SELECT new_id, match_id,
+           ROUND(i * 1.0 / (nn.n + nm.n - i), 6) AS jaccard
+    FROM inter
+    JOIN ns nn ON nn.doc_id = new_id
+    JOIN ns nm ON nm.doc_id = match_id
+    WHERE i * 1.0 / (nn.n + nm.n - i) >= 0.5
+    ORDER BY new_id, match_id
+    """,
+)
+def dedup_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lifecycle API's TABLE-FED probe under the driver gate
+    (VERDICT r8 ask #1): build a PostingIndex release from the frozen
+    half of the prefix corpus, APPEND the even-id half of the crawl as
+    last month's admitted delta, then probe this month's (odd-id)
+    crawl — returning exactly dedup_incremental's pair semantics for
+    the odd crawl against everything else.
+
+    What this attests that ``dedup_incremental`` does not: that query
+    feeds the frozen side in-plan; here the index side is three
+    BUCKETED TABLES spanning a build AND an append, so the driver row
+    covers the count-sidecar merge (stored rows summed partition-local
+    + broadcast delta counts), the full-corpus ns union (stored sidecar
+    ∪ crawl counts), the admission guard, and the two-leg probe split
+    (crawl-vs-table + crawl-bounded self-probe) that keeps the corpus
+    exchange-free — lifecycle.py:168-250, the one load-bearing r8
+    surface that had only local-suite coverage.
+
+    Oracle: the dedup_incremental golden recipe over the SAME corpus
+    with the probe restricted to odd delta ids (the crawl leg); the
+    appended even ids sit on the match side like any frozen doc, which
+    is precisely the append-equals-rebuild property the API pins.
+
+    Reference analog: cache-then-refilter lifecycle (SURVEY §2 S4-S6)
+    — build = cache write, append = cache refresh, probe = refilter."""
+    from overturelink_data_pipeline_spark.operators.lifecycle import PostingIndex
+
+    corpus = _prefix_corpus(spark, sf_dir)
+    delta = F.col("doc_id") >= INCR_DELTA_MIN
+    idx = PostingIndex(spark, "dlp_index")
+    idx.build(corpus.filter(~delta))
+    idx.append(corpus.filter(delta & (F.col("doc_id") % 2 == 0)))
+    return idx.probe(corpus.filter(delta & (F.col("doc_id") % 2 == 1)))
+
+
 def _over_cap_keys(postings: DataFrame, cap: int) -> DataFrame:
     """Posting keys whose doc-frequency exceeds ``cap`` — bounded by
     the boilerplate vocabulary, not the corpus, hence broadcastable

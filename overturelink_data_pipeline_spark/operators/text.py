@@ -183,29 +183,15 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# text_fingerprint + text_winnowing_fingerprint merged into
+# text_fingerprint_audit r9 (same scan, same rolling-hash family —
+# VERDICT r8 ask #1's slot-funding merge; this pair rather than the
+# suggested substring_clip/element_at_first because those two are
+# r8-FRESH, and retiring fresh queries leaves 50 stale + 2 new > the
+# 50-row window — the rotation-feasibility invariant
+# tests/test_registry_order.py pins).
 @spark_query(
-    "text_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
-           substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 2) AS shard
-    FROM documents
-    ORDER BY doc_id
-    """,
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized-content fingerprint (lowercase + whitespace collapse →
-    md5) + a 256-way shard key, the exact-dedup / routing primitive."""
-    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
-    fp = F.md5(norm)
-    return docs.select(
-        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 2).alias("shard")
-    ).orderBy("doc_id")
-
-
-@spark_query(
-    "text_winnowing_fingerprint",
+    "text_fingerprint_audit",
     oracle=r"""
     WITH d AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
@@ -239,29 +225,52 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, array_to_string(list_sort(list(mh)), ',') AS fingerprints
       FROM picked GROUP BY doc_id
     )
-    SELECT d0.doc_id, COALESCE(a.fingerprints, '') AS fingerprints
+    SELECT doc_id, 'md5' AS kind,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+           substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 2) AS shard
+    FROM documents
+    UNION ALL
+    SELECT d0.doc_id, 'winnow' AS kind, COALESCE(a.fingerprints, '') AS fp,
+           '' AS shard
     FROM documents d0 LEFT JOIN agg a USING (doc_id)
-    ORDER BY doc_id
+    ORDER BY kind, doc_id
     """,
 )
-def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprint (rolling k-gram hash + window
-    minimum, Schleimer/Wilkerson/Aiken MOSS scheme); semantics pinned
-    both by tests/test_llm_ops.py lockstep vs a pure-Python reference
-    AND by a full DuckDB oracle: for k=5 the polynomial hash never
-    exceeds max_codepoint·257⁴ < 2⁶³, so the numpy mod-2⁶⁴ wraparound
-    is unreachable and the whole scheme (k-gram hash → sliding min →
-    distinct) is exactly expressible in BIGINT SQL with a window
-    frame of CURRENT ROW..3 FOLLOWING over valid start positions."""
+def text_fingerprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both document-fingerprint schemes over ONE scan, as a tall
+    (kind, doc_id, fp, shard) frame:
+
+    - ``md5``: normalized-content fingerprint (lowercase + whitespace
+      collapse → md5) + a 256-way shard key — the exact-dedup / routing
+      primitive;
+    - ``winnow``: winnowing fingerprint (rolling k-gram hash + window
+      minimum, Schleimer/Wilkerson/Aiken MOSS scheme), semantics pinned
+      both by tests/test_llm_ops.py lockstep vs a pure-Python reference
+      AND by the DuckDB oracle: for k=5 the polynomial hash never
+      exceeds max_codepoint·257⁴ < 2⁶³, so the numpy mod-2⁶⁴ wraparound
+      is unreachable and the whole scheme (k-gram hash → sliding min →
+      distinct) is exactly expressible in BIGINT SQL with a window
+      frame of CURRENT ROW..3 FOLLOWING over valid start positions.
+
+    Plan shape: one documents scan computes both fingerprints, then
+    ``stack`` fans each row into the two kinds — no second scan, no
+    join between the legs (the pre-merge shape read documents twice)."""
     from overturelink_data_pipeline_spark.functions.fingerprint import (
         winnow_fingerprints,
     )
 
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
-    return docs.select(
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
+    both = docs.select(
         "doc_id",
-        F.concat_ws(",", winnow_fingerprints(F.col("text"))).alias("fingerprints"),
-    ).orderBy("doc_id")
+        F.md5(norm).alias("mfp"),
+        F.concat_ws(",", winnow_fingerprints(F.col("text"))).alias("wfp"),
+    )
+    return both.selectExpr(
+        "doc_id",
+        "stack(2, 'md5', mfp, substring(mfp, 1, 2), 'winnow', wfp, '')"
+        " AS (kind, fp, shard)",
+    ).orderBy("kind", "doc_id")
 
 
 @spark_query(

@@ -66,7 +66,7 @@ crawl = (emb.filter(F.abs(F.xxhash64("vec_id")) % 10000 < min(10000, int(2000 / 
     .select((F.col("vec_id") + 10_000_000).alias("vec_id"),
             F.concat(F.array(F.element_at("v", 1) + 0.05),
                      F.slice("v", 2, F.size("v") - 1)).alias("v")))
-rel = SemanticRelease(spark, temp_name("lbsem"), k=8)
+rel = SemanticRelease(spark, temp_name("lbsem"))  # k=None -> auto (k ∝ n)
 t0 = time.time(); rel.build(emb); build_s = time.time() - t0
 rel.probe(crawl).count()
 ts = []
@@ -74,7 +74,7 @@ for _ in range(3):
     t0 = time.time(); m = rel.probe(crawl).count(); ts.append(time.time() - t0)
 ts.sort()
 print("CHILD_RESULT", __import__("json").dumps(
-    {"corpus": n, "build_s": round(build_s, 1), "probe_s": round(ts[1], 2), "matches": m}))
+    {"corpus": n, "k": rel.k, "build_s": round(build_s, 1), "probe_s": round(ts[1], 2), "matches": m}))
 rel.drop()
 """
 

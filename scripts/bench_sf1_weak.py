@@ -18,7 +18,7 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata/sf1"
 
 DEFAULT = [
     "dedup_ngram_jaccard",
-    "text_winnowing_fingerprint",
+    "text_fingerprint_audit",
     "text_lang_id",
     "text_quality_score",
     "dedup_minhash_lsh",

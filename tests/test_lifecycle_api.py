@@ -248,3 +248,185 @@ def test_semantic_release_lifecycle(spark):
         assert 2_000_099 not in pruned
     finally:
         rel.drop()
+
+
+# ---------------------------------------------------------------------------
+# Round-9 maintenance surfaces: admission guard, sidecar compaction,
+# partial-append recovery, auto-k (ADVICE r8 + VERDICT r8 asks #4/#5).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("cls", [PostingIndex, BandIndex])
+def test_append_overlap_rejected(spark, cls):
+    """Re-appending a crawl (the retried-monthly-job case) must raise,
+    not silently duplicate sidecar rows — and probe() rejects an
+    overlapping crawl too (it would corrupt Jaccard denominators)."""
+    idx = cls(spark, temp_name("ovl"))
+    try:
+        idx.build(_docs(spark, RELEASE()))
+        idx.append(_docs(spark, CRAWL_B()))
+        with pytest.raises(ValueError, match="overlap"):
+            idx.append(_docs(spark, CRAWL_B()))
+        with pytest.raises(ValueError, match="overlap"):
+            idx.probe(_docs(spark, CRAWL_B()))
+        # disjoint crawl still admitted after the rejected retry
+        probe_c = _pairs(idx.probe(_docs(spark, CRAWL_C())))
+        assert (2_000_003, 3) in {(n, m) for (n, m, _) in probe_c}
+    finally:
+        idx.drop()
+
+
+def test_semantic_overlap_rejected(spark):
+    rel = SemanticRelease(spark, temp_name("semovl"), k=3)
+    crawl = _vecs(spark, [(1_000_001, [1.0, 2.0, 3.0])])
+    try:
+        rel.build(_vecs(spark, [(i, [float(i), 1.0, 0.0]) for i in range(12)]))
+        rel.append(crawl)
+        with pytest.raises(ValueError, match="overlap"):
+            rel.append(crawl)
+        with pytest.raises(ValueError, match="overlap"):
+            rel.probe(crawl)
+    finally:
+        rel.drop()
+
+
+@pytest.mark.parametrize("cls", [PostingIndex, BandIndex])
+def test_compact_preserves_probe_and_bounds_sidecar(spark, cls):
+    """After ≥5 appends the count sidecar holds one row per key PER
+    APPEND; compact() collapses it to one row per key under the same
+    bucket spec, probe results unchanged (VERDICT r8 ask #5)."""
+    idx = cls(spark, temp_name("cmp"))
+    count_table = idx._hcount if cls is PostingIndex else idx._bcount
+    try:
+        idx.build(_docs(spark, RELEASE()))
+        for i in range(5):
+            idx.append(
+                _docs(
+                    spark,
+                    [
+                        ((i + 1) * 1_000_000 + 111, _body("dup")),
+                        ((i + 1) * 1_000_000 + 500, _body(f"c{i}")),
+                    ],
+                )
+            )
+        crawl = _docs(spark, CRAWL_C())
+        before_rows = spark.table(count_table).count()
+        before_probe = _pairs(idx.probe(crawl))
+        idx.compact()
+        after_rows = spark.table(count_table).count()
+        after_probe = _pairs(idx.probe(crawl))
+        assert after_probe == before_probe
+        assert after_rows < before_rows  # the 'dup' keys appeared 6x
+        # compacted table is still keyed uniquely
+        key_cols = ["h"] if cls is PostingIndex else ["band", "bucket"]
+        distinct_keys = (
+            spark.table(count_table).select(*key_cols).dropDuplicates().count()
+        )
+        assert after_rows == distinct_keys
+    finally:
+        idx.drop()
+
+
+def test_compact_keeps_probe_index_side_exchange_free(spark):
+    """The rename-based rewrite must preserve the bucket layout: the
+    count merge's stored-side SUM stays partition-local after
+    compact() (same physical-tree walk as the build-time assert)."""
+    idx = PostingIndex(spark, temp_name("cmpex"))
+    try:
+        idx.build(_docs(spark, RELEASE()))
+        idx.append(_docs(spark, CRAWL_B()))
+        idx.compact()
+        qe = idx.probe(_docs(spark, CRAWL_C()))._jdf.queryExecution()
+        root = qe.executedPlan()
+        if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            root = root.inputPlan()
+        offenders = []
+        for n in _phys_nodes(root):
+            s = n.toString()
+            if (
+                "ShuffleExchange" in n.getClass().getSimpleName()
+                and idx._hcount in s
+            ):
+                offenders.append(s[:500])
+        assert not offenders, "hcount scan re-exchanged after compact:\n" + "\n".join(
+            offenders
+        )
+    finally:
+        idx.drop()
+
+
+def test_posting_reconcile_and_repair(spark):
+    """A partial append (postings written, sidecars not — the
+    between-jobs crash) is detected by reconcile() and healed by
+    repair(): probe equals a clean rebuild afterwards."""
+    from overturelink_data_pipeline_spark.operators.lifecycle import _postings
+
+    idx = PostingIndex(spark, temp_name("rec"))
+    rebuilt = PostingIndex(spark, temp_name("recrb"))
+    try:
+        idx.build(_docs(spark, RELEASE()))
+        assert idx.reconcile()["consistent"]
+        # simulate the crash: postings land, sidecars never do
+        _postings(_docs(spark, CRAWL_B())).write.bucketBy(
+            idx.buckets, "h"
+        ).sortBy("h").mode("append").saveAsTable(idx._post)
+        rec = idx.reconcile()
+        assert not rec["consistent"]
+        assert rec["postings"] > rec["hcount_sum"]
+        idx.repair()
+        assert idx.reconcile()["consistent"]
+        via_repaired = _pairs(idx.probe(_docs(spark, CRAWL_C())))
+        rebuilt.build(_docs(spark, RELEASE() + CRAWL_B()))
+        assert via_repaired == _pairs(rebuilt.probe(_docs(spark, CRAWL_C())))
+    finally:
+        idx.drop()
+        rebuilt.drop()
+
+
+def test_band_reconcile_and_repair(spark):
+    from overturelink_data_pipeline_spark.operators.lifecycle import _postings
+    from overturelink_data_pipeline_spark.operators.dedup import (
+        _band_table,
+        minhash_signatures_agg,
+    )
+
+    idx = BandIndex(spark, temp_name("brec"))
+    try:
+        idx.build(_docs(spark, RELEASE()))
+        assert idx.reconcile()["consistent"]
+        bands = _band_table(minhash_signatures_agg(_postings(_docs(spark, CRAWL_B()))))
+        bands.write.bucketBy(idx.buckets, "band", "bucket").sortBy(
+            "band", "bucket"
+        ).mode("append").saveAsTable(idx._bands)
+        rec = idx.reconcile()
+        assert not rec["consistent"]
+        idx.repair()
+        rec2 = idx.reconcile()
+        # bcount healed from _bands; the _sh gap is the documented
+        # unrecoverable half (needs the crawl itself) and stays flagged
+        assert rec2["band_rows"] == rec2["bcount_sum"]
+        assert rec2["band_docs"] != rec2["sh_docs"]
+    finally:
+        idx.drop()
+
+
+def test_semantic_auto_k(spark):
+    """k=None sizes k ∝ n at build (TARGET_CELL mean cell); tiny corpora
+    floor at 8, and a corpus past the target scales k up."""
+    rel = SemanticRelease(spark, temp_name("autok"))
+    big = SemanticRelease(spark, temp_name("autokb"))
+    try:
+        rel.build(_vecs(spark, [(i, [float(i), 1.0, 0.0]) for i in range(12)]))
+        assert rel.k == 8
+        assert len(rel.centroids()) == 8
+        n = SemanticRelease.TARGET_CELL * 20
+        big.build(
+            _vecs(
+                spark,
+                [(i, [float(i % 97), float(i % 13), 1.0]) for i in range(n)],
+            )
+        )
+        assert big.k == 20
+    finally:
+        rel.drop()
+        big.drop()

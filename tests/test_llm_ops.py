@@ -58,7 +58,13 @@ def test_simhash_finds_planted_pairs(spark, sf_dir, q):
 
 
 def test_winnow_reference_and_spark_agree(spark, sf_dir, q):
-    out = q["text_winnowing_fingerprint"](spark, sf_dir).limit(50).toPandas()
+    out = (
+        q["text_fingerprint_audit"](spark, sf_dir)
+        .filter("kind = 'winnow'")
+        .selectExpr("doc_id", "fp AS fingerprints")
+        .limit(50)
+        .toPandas()
+    )
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")
