@@ -602,6 +602,7 @@ class SemanticRelease:
     buckets: int = DEFAULT_BUCKETS
     k: int | None = None
     guard_overlap: bool = True
+    _frozen_df: DataFrame | None = field(default=None, repr=False, compare=False)
 
     #: Mean vectors per cell the auto-k mode targets (mirrors
     #: scripts/bench_semantic_scale.py's TARGET_CELL — measured there:
@@ -634,6 +635,7 @@ class SemanticRelease:
         _lloyd_assign(emb, cents, kernel="arrow").write.bucketBy(
             self.buckets, "cl"
         ).sortBy("cl").mode("overwrite").saveAsTable(self._assigned)
+        self._frozen_df = None  # release contents changed
         self.spark.createDataFrame(
             [(cl, list(map(float, c))) for cl, c in sorted(cents.items())],
             "cl long, c array<double>",
@@ -645,6 +647,24 @@ class SemanticRelease:
             int(r["cl"]): list(r["c"])
             for r in self.spark.table(self._cents).collect()
         }
+
+    def _frozen(self) -> DataFrame:
+        """The assigned release repartitioned to HashPartitioning(cl)
+        and persisted once per instance. Python cogroup
+        (FlatMapCoGroupsInPandas) is NOT satisfied by the bucketBy
+        layout — it demands exact HashPartitioning(key,
+        shuffle.partitions) — so feeding probe() straight from the
+        table re-exchanges the whole release PER PROBE (measured: the
+        sf10 decade creep, 2.04→2.70 s at 10× corpus, was exactly this
+        term). One exchange paid here at first probe; every later
+        probe is exchange-free on the corpus side. Invalidated by
+        build()/append()."""
+        if self._frozen_df is None:
+            self._frozen_df = _fresh_persist(
+                f"{self.name}_frozen_assigned",
+                self.spark.table(self._assigned).repartition("cl"),
+            )
+        return self._frozen_df
 
     def _assign(self, emb: DataFrame) -> DataFrame:
         from overturelink_data_pipeline_spark.operators.similarity import (
@@ -667,6 +687,7 @@ class SemanticRelease:
         self._assign(crawl).write.bucketBy(self.buckets, "cl").sortBy("cl").mode(
             "append"
         ).saveAsTable(self._assigned)
+        self._frozen_df = None  # release contents changed
 
     def probe(self, crawl: DataFrame, tau: float | None = None) -> DataFrame:
         from overturelink_data_pipeline_spark.operators.similarity import (
@@ -674,15 +695,17 @@ class SemanticRelease:
             incremental_cell_prune,
         )
 
+        frozen = self._frozen()
         if self.guard_overlap:
             # a vec_id already in the release would cos=1 self-match
-            # and prune itself spuriously
+            # and prune itself spuriously; the check rides the cached
+            # frozen frame, so it never rescans the table
             _assert_disjoint(
-                self.spark.table(self._assigned), crawl, "vec_id",
+                frozen, crawl, "vec_id",
                 f"SemanticRelease({self.name}).probe",
             )
         return incremental_cell_prune(
-            self.spark.table(self._assigned),
+            frozen,
             self._assign(crawl),
             tau=SEMDEDUP_TAU if tau is None else tau,
         )
