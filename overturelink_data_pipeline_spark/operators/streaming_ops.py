@@ -449,3 +449,75 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     ).orderBy("user_id", "session_start_us")
+
+
+def stream_stream_attribution(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 30
+) -> DataFrame:
+    """TRUE stream-stream interval join — the one streaming topology
+    where state grows on BOTH sides (every other stateful op here keys
+    state on one stream): purchase events join the SAME user's view
+    events from the preceding ``window_minutes``, one output row per
+    (purchase, view) pair with the view→purchase gap.
+
+    NOT in the registry (the 100-query ceiling has no free slot —
+    BENCH_SF1.md round-9 section); correctness is pinned by
+    tests/test_round9_ops.py against the identical-predicate BATCH
+    join, and scripts/bench_stream_scale.py --queries sweeps it for
+    the both-sides state telemetry.
+
+    Semantics/state mechanics: both sides carry an event-time
+    watermark at 2× the join window and the join condition bounds
+    view_time to [purchase_time − window, purchase_time], so Spark can
+    evict a buffered view once the purchase-side watermark passes
+    view_time + window (and vice versa) — without the interval bound,
+    stream-stream state grows forever. Under the drain harness
+    (Trigger.AvailableNow over a static file directory = one
+    micro-batch) no row can arrive behind its partner's watermark, so
+    the inner join equals the batch join bit-for-bit; in a live
+    multi-batch deployment the watermark is the documented
+    completeness bound, exactly as for the windowed aggregates.
+    RocksDB is auto-selected (wide_state=True): the join buffers whole
+    rows per key on both sides — the canonical
+    state-exceeds-heap-first operator at the 100 TB design point."""
+    read_table(spark, sf_dir, "events")  # sets nanosAsLong defensively
+    stream = read_event_stream(spark, sf_dir)
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("event_time").alias("view_time"),
+        )
+        .withWatermark("view_time", f"{2 * window_minutes} minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", f"{2 * window_minutes} minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (
+            F.col("view_time")
+            >= F.col("purchase_time") - F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+        & (F.col("view_time") <= F.col("purchase_time")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("purchase_time") - F.unix_micros("view_time")).alias(
+            "gap_us"
+        ),
+    )
+    result = run_to_completion(
+        joined, spark, output_mode="append", shuffle_partitions=8, wide_state=True
+    )
+    return result.orderBy("purchase_id", "view_id")

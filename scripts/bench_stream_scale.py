@@ -73,11 +73,15 @@ name, sf, provider = sys.argv[1], sys.argv[2], sys.argv[3]
 import os
 os.environ["SPARK_GRAFT_STATE_PROVIDER"] = provider
 registry.QUERIES["q1_pricing_summary"](spark, sf).count()
-registry.QUERIES[name](spark, sf).count()  # warm-up (JVM + state-store init)
+# unregistered streaming ops (e.g. stream_stream_attribution — no
+# registry slot at the 100-query ceiling) resolve from the module
+from overturelink_data_pipeline_spark.operators import streaming_ops as _so
+fn = registry.QUERIES.get(name) or getattr(_so, name)
+fn(spark, sf).count()  # warm-up (JVM + state-store init)
 ts, metrics = [], None
 for _ in range(3):
     t0 = time.time()
-    registry.QUERIES[name](spark, sf).count()
+    fn(spark, sf).count()
     ts.append(time.time() - t0)
     metrics = getattr(run_to_completion, "last_state_metrics", None)
 ts.sort()

@@ -35,3 +35,50 @@ def test_shard_manifest_matches_disk(spark, sf_dir):
     from overturelink_data_pipeline_spark.operators.curation import SHARD_MAX_ROWS
 
     assert man.filter(f"rows > {SHARD_MAX_ROWS}").count() == 0
+
+
+def test_stream_stream_attribution_equals_batch_join(spark, sf_dir):
+    """The drained stream-stream interval join must equal the
+    identical-predicate batch join (single-batch drain: no row can
+    arrive behind its partner's watermark)."""
+    from pyspark.sql import functions as F
+
+    from overturelink_data_pipeline_spark.operators.streaming_ops import (
+        stream_stream_attribution,
+    )
+    from overturelink_data_pipeline_spark.session import read_events
+
+    got = {
+        (r["purchase_id"], r["view_id"], r["gap_us"])
+        for r in stream_stream_attribution(spark, sf_dir).collect()
+    }
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.col("ts").alias("ns")
+    )
+    v = ev.filter("event_type = 'view'").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ns").alias("v_ns"),
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ns").alias("p_ns"),
+    )
+    win_ns = 30 * 60 * 1_000_000_000
+    batch = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ns") >= F.col("p_ns") - win_ns)
+        & (F.col("v_ns") <= F.col("p_ns")),
+    ).select(
+        "purchase_id",
+        "view_id",
+        ((F.col("p_ns") - F.col("v_ns")) / 1000).cast("long").alias("gap_us"),
+    )
+    want = {
+        (r["purchase_id"], r["view_id"], r["gap_us"]) for r in batch.collect()
+    }
+    assert got == want
+    assert want  # non-degenerate at every test SF
