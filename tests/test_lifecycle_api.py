@@ -430,3 +430,39 @@ def test_semantic_auto_k(spark):
     finally:
         rel.drop()
         big.drop()
+
+
+@pytest.mark.parametrize("cls", [PostingIndex, BandIndex])
+def test_append_after_compact_still_equals_rebuild(spark, cls):
+    """compact() rewrites the count sidecar via temp-table + catalog
+    RENAME — this pins that the bucket spec survives the rename for
+    SUBSEQUENT appends (mode('append').saveAsTable must keep landing
+    rows in the same layout) and that the whole
+    build→append→compact→append→probe chain still equals a rebuild."""
+    idx = cls(spark, temp_name("cmpapp"))
+    rebuilt = cls(spark, temp_name("cmpapp_rb"))
+    try:
+        idx.build(_docs(spark, RELEASE()))
+        idx.append(_docs(spark, CRAWL_B()))
+        idx.compact()
+        extra = [(3_000_003, _body("a3")), (3_000_777, _body("qq"))]
+        idx.append(_docs(spark, extra))
+        via_compacted = _pairs(idx.probe(_docs(spark, CRAWL_C())))
+        rebuilt.build(_docs(spark, RELEASE() + CRAWL_B() + extra))
+        assert via_compacted == _pairs(rebuilt.probe(_docs(spark, CRAWL_C())))
+        # and the index side is still exchange-free after rename+append
+        if cls is PostingIndex:
+            qe = idx.probe(_docs(spark, CRAWL_C()))._jdf.queryExecution()
+            root = qe.executedPlan()
+            if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+                root = root.inputPlan()
+            offenders = [
+                n.toString()[:300]
+                for n in _phys_nodes(root)
+                if "ShuffleExchange" in n.getClass().getSimpleName()
+                and idx._hcount in n.toString()
+            ]
+            assert not offenders
+    finally:
+        idx.drop()
+        rebuilt.drop()
