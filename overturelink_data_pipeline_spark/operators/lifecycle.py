@@ -70,9 +70,27 @@ __all__ = [
 ]
 
 #: Bucket count for the index tables. Sized for the test/bench corpora;
-#: a real deployment picks buckets so each holds O(100 MB) — the knob
-#: is per-index via the ``buckets`` build argument.
+#: a real deployment picks buckets so each holds O(100 MB) AND gives
+#: enough writer parallelism (see _bucket_aligned) — the knob is
+#: per-index via the ``buckets`` build argument.
 DEFAULT_BUCKETS = 16
+
+
+def _bucket_aligned(df: DataFrame, buckets: int, *cols: str) -> DataFrame:
+    """Repartition to EXACTLY the table's bucket partitioning before a
+    bucketed write. Spark's V1 bucketed write never adds an exchange:
+    every input task writes its own file for every bucket it holds
+    rows for, so a 32-task frame × 16 buckets committed ~512 files PER
+    WRITE — the r9 profile found 1,025 files under one posting table
+    (two generations), and the file count, not the data, dominated
+    build/append/probe wall at sf1. ``repartition(buckets, cols)``
+    uses the same Murmur3-pmod HashPartitioning as the bucket
+    assignment, so partition i holds exactly bucket i and each write
+    lands ONE file per bucket. At 100 TB this is also the small-file
+    guard (a month of appends × 512 files/write is an object-store
+    listing pathology); writer parallelism == buckets, so deployments
+    size ``buckets`` for both file size and write width."""
+    return df.repartition(buckets, *[F.col(c) for c in cols])
 
 
 def shingle_table(docs: DataFrame) -> DataFrame:
@@ -125,6 +143,49 @@ def _clean_orphan_location(spark: SparkSession, table: str) -> None:
     fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if fs.exists(path):
         fs.delete(path, True)
+
+
+def release_stamp(spark: SparkSession, name: str) -> str | None:
+    """The stored release stamp for index ``name`` (None if absent).
+    Together with write_release_stamp this makes release maintenance
+    IDEMPOTENT: a monthly job computes a cheap corpus fingerprint,
+    compares it to the stamp, and skips the build/append entirely when
+    the release is already current — re-running a crashed or retried
+    orchestration never rebuilds a 100 TB index that is already there.
+    The stamp is written LAST (after every index write), so a job that
+    died mid-build leaves a stale/absent stamp and the retry rebuilds."""
+    t = f"{name}_meta"
+    if not spark.catalog.tableExists(t):
+        return None
+    rows = spark.table(t).collect()
+    return rows[0]["stamp"] if rows else None
+
+
+def write_release_stamp(spark: SparkSession, name: str, stamp: str) -> None:
+    t = f"{name}_meta"
+    _clean_orphan_location(spark, t)
+    spark.createDataFrame([(stamp,)], "stamp string").write.mode(
+        "overwrite"
+    ).saveAsTable(t)
+
+
+def corpus_fingerprint(docs: DataFrame, *cols: str) -> str:
+    """Order-insensitive corpus fingerprint for release stamps: row
+    count + a SUM of per-row xxhash64 over ``cols`` — one cheap scan,
+    collision-resistant enough to distinguish releases (a 64-bit sum
+    over distinct row hashes), and computable identically at any
+    scale."""
+    # DECIMAL(38,0) accumulator: a SUM over int64 hashes overflows long
+    # almost immediately and ANSI mode (the driver session default)
+    # turns that into ARITHMETIC_OVERFLOW; 38 digits hold the exact sum
+    # to ~1e19 rows
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+        ).alias("hs"),
+    ).first()
+    return f"v1:{row['n']}:{row['hs']}"
 
 
 def _assert_disjoint(stored: DataFrame, incoming: DataFrame, key: str, what: str) -> None:
@@ -212,13 +273,28 @@ class PostingIndex:
     def _hcount(self) -> str:
         return f"{self.name}_hcount"
 
+    def exists(self) -> bool:
+        """All three index tables present in the catalog — the guard a
+        stamped caller pairs with release_stamp before skipping a
+        build (a matching stamp with dropped tables must rebuild)."""
+        return all(
+            self.spark.catalog.tableExists(t)
+            for t in (self._post, self._ns, self._hcount)
+        )
+
     def build(self, docs: DataFrame) -> "PostingIndex":
         """Release-time build: write all three sidecars from scratch.
         The postings frame is persisted ONCE so the three write jobs
         share one tokenize/explode pass (ADVICE r8)."""
         for t in (self._post, self._ns, self._hcount):
             _clean_orphan_location(self.spark, t)
-        post = _fresh_persist(f"{self.name}_build_post", _postings(docs))
+        # persisted ALREADY bucket-aligned: the postings write lands one
+        # file per bucket, and the hcount groupBy(h) below is
+        # partition-local on the same layout
+        post = _fresh_persist(
+            f"{self.name}_build_post",
+            _bucket_aligned(_postings(docs), self.buckets, "h"),
+        )
         post.write.bucketBy(self.buckets, "h").sortBy("h").mode(
             "overwrite"
         ).saveAsTable(self._post)
@@ -232,7 +308,10 @@ class PostingIndex:
         partition-local on the bucket layout. The crawl's postings are
         persisted once for the guard + three writes; see the class
         docstring for recovery if the job dies mid-trio."""
-        post = _fresh_persist(f"{self.name}_append_post", _postings(crawl))
+        post = _fresh_persist(
+            f"{self.name}_append_post",
+            _bucket_aligned(_postings(crawl), self.buckets, "h"),
+        )
         if self.guard_overlap:
             _assert_disjoint(
                 self.spark.table(self._ns), post, "doc_id",
@@ -244,8 +323,14 @@ class PostingIndex:
         self._write_sidecars(post, mode="append")
 
     def _write_sidecars(self, post: DataFrame, mode: str) -> None:
-        post.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_sh")
+        # ns changes keys (doc_id), so it aligns explicitly; hcount's
+        # groupBy(h) inherits the caller's h-aligned layout (the
+        # persisted build/append frame, or the bucketed table read in
+        # repair()) and is already one partition per bucket
+        _bucket_aligned(
+            post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")),
+            self.buckets,
+            "doc_id",
         ).write.bucketBy(self.buckets, "doc_id").mode(mode).saveAsTable(self._ns)
         post.groupBy("h").agg(F.count(F.lit(1)).alias("n")).write.bucketBy(
             self.buckets, "h"
@@ -260,6 +345,10 @@ class PostingIndex:
         # the crawl's postings feed SIX consumers (count merge, both
         # cold sides, ns, hot arrays, the self-probe leg) — persist the
         # delta-bounded frame once per probe
+        # NOT bucket-aligned (unlike the writes): A/B'd — pinning the
+        # crawl to `buckets` partitions halves probe parallelism on a
+        # wide executor for no exchange saved that matters (the join
+        # re-exchanges only the crawl side, which is delta-bounded)
         delta_post = _fresh_persist(f"{self.name}_probe_dpost", _postings(crawl))
         if self.guard_overlap:
             # an overlapping crawl would duplicate ns rows below and
@@ -293,6 +382,12 @@ class PostingIndex:
             )
             .dropDuplicates(["h"])
         )
+        # EAGER census short-circuit, kept after an r9 A/B: the lazy
+        # alternative (census as broadcast build side + AQE empty
+        # propagation, the dedup_exact_substring pattern) measured
+        # 5.2 → 9.9 s per invocation at sf1 — the extra broadcast
+        # stages and AQE re-planning cost far more than this one
+        # bounded head(1) job against the bucket-local count sums.
         has_hot = bool(hot_keys.head(1))
         cold_index = (
             index_post.join(F.broadcast(hot_keys), "h", "left_anti")
@@ -415,6 +510,13 @@ class BandIndex:
         post = _postings(docs)
         return _band_table(minhash_signatures_agg(post)), shingle_table(docs)
 
+    def exists(self) -> bool:
+        """See PostingIndex.exists."""
+        return all(
+            self.spark.catalog.tableExists(t)
+            for t in (self._bands, self._sh, self._bcount)
+        )
+
     def build(self, docs: DataFrame) -> "BandIndex":
         # persist the band rows so the bands write + count write share
         # one tokenize/minhash pass (ADVICE r8); the sh sidecar is a
@@ -422,19 +524,25 @@ class BandIndex:
         for t in (self._bands, self._sh, self._bcount):
             _clean_orphan_location(self.spark, t)
         bands, sh = self._band_rows(docs)
-        bands = _fresh_persist(f"{self.name}_build_bands", bands)
+        bands = _fresh_persist(
+            f"{self.name}_build_bands",
+            _bucket_aligned(bands, self.buckets, "band", "bucket"),
+        )
         bands.write.bucketBy(self.buckets, "band", "bucket").sortBy(
             "band", "bucket"
         ).mode("overwrite").saveAsTable(self._bands)
-        sh.write.bucketBy(self.buckets, "doc_id").mode("overwrite").saveAsTable(
-            self._sh
-        )
+        _bucket_aligned(sh, self.buckets, "doc_id").write.bucketBy(
+            self.buckets, "doc_id"
+        ).mode("overwrite").saveAsTable(self._sh)
         self._write_counts(bands, mode="overwrite")
         return self
 
     def append(self, crawl: DataFrame) -> None:
         bands, sh = self._band_rows(crawl)
-        bands = _fresh_persist(f"{self.name}_append_bands", bands)
+        bands = _fresh_persist(
+            f"{self.name}_append_bands",
+            _bucket_aligned(bands, self.buckets, "band", "bucket"),
+        )
         if self.guard_overlap:
             _assert_disjoint(
                 self.spark.table(self._sh), bands, "doc_id",
@@ -443,12 +551,15 @@ class BandIndex:
         bands.write.bucketBy(self.buckets, "band", "bucket").sortBy(
             "band", "bucket"
         ).mode("append").saveAsTable(self._bands)
-        sh.write.bucketBy(self.buckets, "doc_id").mode("append").saveAsTable(
-            self._sh
-        )
+        _bucket_aligned(sh, self.buckets, "doc_id").write.bucketBy(
+            self.buckets, "doc_id"
+        ).mode("append").saveAsTable(self._sh)
         self._write_counts(bands, mode="append")
 
     def _write_counts(self, bands: DataFrame, mode: str) -> None:
+        # partition-local + one file per bucket: the caller's frame is
+        # (band, bucket)-aligned (persisted build/append frame or the
+        # bucketed table read in repair())
         bands.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("n")
         ).write.bucketBy(self.buckets, "band", "bucket").mode(mode).saveAsTable(
@@ -617,6 +728,13 @@ class SemanticRelease:
     def _cents(self) -> str:
         return f"{self.name}_cents"
 
+    def exists(self) -> bool:
+        """See PostingIndex.exists."""
+        return all(
+            self.spark.catalog.tableExists(t)
+            for t in (self._assigned, self._cents)
+        )
+
     def build(self, emb: DataFrame) -> "SemanticRelease":
         """Fit k-means on the release corpus (frozen thereafter), write
         the assigned corpus bucketed by cell + the centroid sidecar.
@@ -632,9 +750,11 @@ class SemanticRelease:
         if self.k is None:
             self.k = max(8, math.ceil(emb.count() / self.TARGET_CELL))
         cents = _lloyd_fit(emb, k=self.k, kernel="arrow")
-        _lloyd_assign(emb, cents, kernel="arrow").write.bucketBy(
-            self.buckets, "cl"
-        ).sortBy("cl").mode("overwrite").saveAsTable(self._assigned)
+        _bucket_aligned(
+            _lloyd_assign(emb, cents, kernel="arrow"), self.buckets, "cl"
+        ).write.bucketBy(self.buckets, "cl").sortBy("cl").mode(
+            "overwrite"
+        ).saveAsTable(self._assigned)
         self._frozen_df = None  # release contents changed
         self.spark.createDataFrame(
             [(cl, list(map(float, c))) for cl, c in sorted(cents.items())],
@@ -684,9 +804,9 @@ class SemanticRelease:
                 self.spark.table(self._assigned), crawl, "vec_id",
                 f"SemanticRelease({self.name}).append",
             )
-        self._assign(crawl).write.bucketBy(self.buckets, "cl").sortBy("cl").mode(
-            "append"
-        ).saveAsTable(self._assigned)
+        _bucket_aligned(self._assign(crawl), self.buckets, "cl").write.bucketBy(
+            self.buckets, "cl"
+        ).sortBy("cl").mode("append").saveAsTable(self._assigned)
         self._frozen_df = None  # release contents changed
 
     def probe(self, crawl: DataFrame, tau: float | None = None) -> DataFrame:

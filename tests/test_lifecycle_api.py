@@ -466,3 +466,35 @@ def test_append_after_compact_still_equals_rebuild(spark, cls):
     finally:
         idx.drop()
         rebuilt.drop()
+
+
+def test_release_stamp_idempotence(spark):
+    """The stamp makes release maintenance idempotent: same fingerprint
+    → skip; changed corpus → different fingerprint; stamp absent until
+    written; and a rebuild-after-change is what the caller does."""
+    from overturelink_data_pipeline_spark.operators.lifecycle import (
+        corpus_fingerprint,
+        release_stamp,
+        write_release_stamp,
+    )
+
+    name = temp_name("stamp")
+    try:
+        assert release_stamp(spark, name) is None
+        a = _docs(spark, RELEASE())
+        fp_a = corpus_fingerprint(a, "doc_id", "text")
+        # order-insensitive: same rows, different frame order
+        fp_a2 = corpus_fingerprint(
+            _docs(spark, list(reversed(RELEASE()))), "doc_id", "text"
+        )
+        assert fp_a == fp_a2
+        fp_b = corpus_fingerprint(
+            _docs(spark, RELEASE() + CRAWL_B()), "doc_id", "text"
+        )
+        assert fp_a != fp_b
+        write_release_stamp(spark, name, fp_a)
+        assert release_stamp(spark, name) == fp_a
+        write_release_stamp(spark, name, fp_b)  # re-stamp after change
+        assert release_stamp(spark, name) == fp_b
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_meta")
