@@ -831,6 +831,12 @@ class SemanticRelease:
         )
 
     def drop(self) -> None:
+        if self._frozen_df is not None:
+            try:
+                self._frozen_df.unpersist(blocking=False)
+            except Exception:
+                pass
+            self._frozen_df = None
         _drop(self.spark, self._assigned, self._cents)
 
 
