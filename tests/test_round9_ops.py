@@ -82,3 +82,25 @@ def test_stream_stream_attribution_equals_batch_join(spark, sf_dir):
     }
     assert got == want
     assert want  # non-degenerate at every test SF
+
+
+def test_sink_gpkg_audit_matches_oracle(spark, sf_dir):
+    """Local replica of the driver gate for the r10-staged GPKG audit
+    query (unregistered in r9 — no free slot): rows + sorted schema +
+    value hash vs DuckDB, exactly what registration will run."""
+    from overturelink_data_pipeline_spark.operators.geospatial import (
+        SINK_GPKG_AUDIT_ORACLE,
+        sink_gpkg_audit,
+    )
+    from overturelink_data_pipeline_spark.testing import compare, duckdb_connect
+
+    duck = duckdb_connect(sf_dir)
+    got = sink_gpkg_audit(spark, sf_dir)
+    r = compare("sink_gpkg_audit", got, duck.sql(SINK_GPKG_AUDIT_ORACLE).df())
+    assert r.rows_match and r.schema_match and r.hash_match, r
+    # and the file really is a GeoPackage with both layers
+    from overturelink_data_pipeline_spark.sinks.gpkg import list_gpkg_layers
+    import os, tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "gpkg_audit", "export.gpkg")
+    assert list_gpkg_layers(path) == ["ovt_places", "ovt_roads"]
