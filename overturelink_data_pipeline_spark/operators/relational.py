@@ -180,36 +180,54 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# F4/F5: the reference's declared-filter dialect (`subtype IN (...)` etc.,
-# reference source.py:456-457, data/queries.yml:60-61) — our filter engine
-# IS `F.expr` over the same strict SQL subset (SURVEY.md §7.0).
+# F4/F5 + CASE-WHEN bucketing: the reference's declared-filter dialect
+# (`subtype IN (...)` etc., reference source.py:456-457,
+# data/queries.yml:60-61) feeding the geometry-family-style CASE rollup
+# (source.py:966-1003) in ONE orders scan. Merged r10 from the r8-green
+# pair filter_in_dialect + case_when_bucket (both stale-in-r10, so the
+# merged query re-attests in the r10 window and the freed slot funds
+# stream_stream_attribution — VERDICT r9 ask #2). Our filter engine IS
+# `F.expr` over the same strict SQL subset (SURVEY.md §7.0).
 # ---------------------------------------------------------------------------
 @spark_query(
-    "filter_in_dialect",
+    "filter_dialect_bucket",
     oracle="""
-    SELECT o_orderkey, o_orderstatus, o_orderpriority,
-           ROUND(o_totalprice, 2) AS total_price
+    SELECT CASE
+             WHEN o_totalprice < 50000 THEN 'small'
+             WHEN o_totalprice < 200000 THEN 'medium'
+             ELSE 'large'
+           END AS bucket,
+           CAST(COUNT(*) AS BIGINT)         AS n,
+           ROUND(SUM(o_totalprice), 2)      AS total,
+           CAST(MIN(o_orderkey) AS BIGINT)  AS first_key
     FROM orders
     WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'O'
-    ORDER BY o_orderkey
-    LIMIT 100
+    GROUP BY 1
+    ORDER BY bucket
     """,
 )
-def filter_in_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def filter_dialect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The YAML filter string is passed verbatim to F.expr — same shapes the
-    # reference appends as `AND d.{filter}` (source.py:456-457).
+    # reference appends as `AND d.{filter}` (source.py:456-457). The CASE
+    # bucket and both aggregates ride the SAME scan: Catalyst pushes the
+    # IN/equality predicates to parquet, and the rollup is a map-side
+    # partial aggregate over 3 groups.
     declared_filter = "o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'O'"
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
     return (
         read_table(spark, sf_dir, "orders")
         .filter(F.expr(declared_filter))
-        .select(
-            "o_orderkey",
-            "o_orderstatus",
-            "o_orderpriority",
-            F.round("o_totalprice", 2).alias("total_price"),
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("o_orderkey").cast("bigint").alias("first_key"),
         )
-        .orderBy("o_orderkey")
-        .limit(100)
+        .orderBy("bucket")
     )
 
 
@@ -353,49 +371,50 @@ def json_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# T1: 255-char-style string clip via substring (reference AGOL_STRING_MAX,
-# transform.py:26,327-331 — demonstrated at clip width 12).
+# T1 + X4 flatten hygiene in one tall audit: the 255-char-style string
+# clip (reference AGOL_STRING_MAX, transform.py:26,327-331 — demonstrated
+# at clip width 12) and first-of-array flattening (reference
+# websites[0]→website, transform.py:548-555), stacked to one
+# (kind, key, sval, dval, nval) frame. Merged r10 from the r8-green pair
+# substring_clip + element_at_first (both stale-in-r10 per the standing
+# feasibility rule), freeing the slot that registers sink_gpkg_audit
+# (VERDICT r9 ask #1). Each leg stays a single pruned columnar scan.
 # ---------------------------------------------------------------------------
 @spark_query(
-    "substring_clip",
+    "flatten_hygiene_audit",
     oracle="""
-    SELECT c_custkey, SUBSTRING(c_name, 1, 12) AS name_clip
+    SELECT 'name_clip' AS kind,
+           CAST(c_custkey AS BIGINT)  AS key,
+           SUBSTRING(c_name, 1, 12)   AS sval,
+           CAST(NULL AS DOUBLE)       AS dval,
+           CAST(NULL AS BIGINT)       AS nval
     FROM customer
-    ORDER BY c_custkey
-    """,
-)
-def substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        read_table(spark, sf_dir, "customer")
-        .select("c_custkey", F.substring("c_name", 1, 12).alias("name_clip"))
-        .orderBy("c_custkey")
-    )
-
-
-# ---------------------------------------------------------------------------
-# X4: first-of-array flattening (reference websites[0]→website,
-# transform.py:548-555) — exercised on the embeddings array column.
-# ---------------------------------------------------------------------------
-@spark_query(
-    "element_at_first",
-    oracle="""
-    SELECT vec_id,
-           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
-           CAST(len(embedding) AS BIGINT)         AS dim
+    UNION ALL
+    SELECT 'first_dim' AS kind,
+           CAST(vec_id AS BIGINT)                  AS key,
+           CAST(NULL AS VARCHAR)                   AS sval,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6)  AS dval,
+           CAST(len(embedding) AS BIGINT)          AS nval
     FROM embeddings
-    ORDER BY vec_id
+    ORDER BY kind, key
     """,
 )
-def element_at_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        read_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_dim"),
-            F.size("embedding").cast("bigint").alias("dim"),
-        )
-        .orderBy("vec_id")
+def flatten_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clip = read_table(spark, sf_dir, "customer").select(
+        F.lit("name_clip").alias("kind"),
+        F.col("c_custkey").cast("bigint").alias("key"),
+        F.substring("c_name", 1, 12).alias("sval"),
+        F.lit(None).cast("double").alias("dval"),
+        F.lit(None).cast("bigint").alias("nval"),
     )
+    first = read_table(spark, sf_dir, "embeddings").select(
+        F.lit("first_dim").alias("kind"),
+        F.col("vec_id").cast("bigint").alias("key"),
+        F.lit(None).cast("string").alias("sval"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("dval"),
+        F.size("embedding").cast("bigint").alias("nval"),
+    )
+    return clip.unionByName(first).orderBy("kind", "key")
 
 
 # ---------------------------------------------------------------------------
@@ -478,42 +497,6 @@ def window_top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", F.round("value", 2).alias("value"))
         .orderBy("user_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# CASE-WHEN bucketing + rollup (the geometry-family CASE of F12,
-# source.py:966-1003, in relational form).
-# ---------------------------------------------------------------------------
-@spark_query(
-    "case_when_bucket",
-    oracle="""
-    SELECT CASE
-             WHEN o_totalprice < 50000 THEN 'small'
-             WHEN o_totalprice < 200000 THEN 'medium'
-             ELSE 'large'
-           END AS bucket,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
-    FROM orders
-    GROUP BY 1
-    ORDER BY bucket
-    """,
-)
-def case_when_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bucket = (
-        F.when(F.col("o_totalprice") < 50000, "small")
-        .when(F.col("o_totalprice") < 200000, "medium")
-        .otherwise("large")
-    )
-    return (
-        read_table(spark, sf_dir, "orders")
-        .groupBy(bucket.alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-        .orderBy("bucket")
     )
 
 

@@ -451,6 +451,26 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start_us")
 
 
+@spark_query(
+    "stream_stream_attribution",
+    oracle="""
+    WITH v AS (
+      SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id,
+           v.view_id,
+           p.user_id AS user_id,
+           CAST(p.pus - v.vus AS BIGINT) AS gap_us
+    FROM p JOIN v ON p.user_id = v.user_id
+    WHERE v.vus >= p.pus - 1800000000 AND v.vus <= p.pus
+    ORDER BY purchase_id, view_id
+    """,
+)
 def stream_stream_attribution(
     spark: SparkSession, sf_dir: str, window_minutes: int = 30
 ) -> DataFrame:
@@ -460,11 +480,19 @@ def stream_stream_attribution(
     events from the preceding ``window_minutes``, one output row per
     (purchase, view) pair with the view→purchase gap.
 
-    NOT in the registry (the 100-query ceiling has no free slot —
-    BENCH_SF1.md round-9 section); correctness is pinned by
-    tests/test_round9_ops.py against the identical-predicate BATCH
-    join, and scripts/bench_stream_scale.py --queries sweeps it for
-    the both-sides state telemetry.
+    REGISTERED r10 (VERDICT r9 ask #2; slot funded by merging the
+    r8-green pair filter_in_dialect + case_when_bucket into
+    filter_dialect_bucket). The oracle is the identical-predicate
+    BATCH interval join in DuckDB — epoch-µs projected in CTEs, then
+    an equi-join on user_id with the interval bounds as a filter (a
+    computed ON key would nested-loop in DuckDB). Under the
+    AvailableNow drain (one micro-batch) the streaming inner join
+    equals the batch join bit-for-bit, so this driver row attests the
+    incremental-equals-batch property for both-sides-state joins, the
+    same property stream_hourly_rollup pins for windowed aggregation.
+    tests/test_round9_ops.py keeps the in-suite batch-equality pin,
+    and scripts/bench_stream_scale.py --queries sweeps the both-sides
+    state telemetry.
 
     Semantics/state mechanics: both sides carry an event-time
     watermark at 2× the join window and the join condition bounds

@@ -100,13 +100,19 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "join_range_price_band",
     "events_hourly_rollup",
     "set_intersect_except",
-    "filter_in_dialect",
+    # filter_in_dialect + case_when_bucket merged into
+    # filter_dialect_bucket r10 (same orders scan: F.expr dialect
+    # filter feeding the CASE rollup; VERDICT r9 ask #2's slot funding
+    # for stream_stream_attribution), and substring_clip +
+    # element_at_first merged into flatten_hygiene_audit (tall T1+X4
+    # audit; ask #1's slot funding for sink_gpkg_audit). All four were
+    # r8-green i.e. STALE-in-r10 — the standing feasibility rule: the
+    # r10 window is then 46 stale + 4 never-checked = exactly 50.
+    "filter_dialect_bucket",
     "distinct_sort",
     "group_count_by_type",
-    "substring_clip",
-    "element_at_first",
+    "flatten_hygiene_audit",
     "regexp_extract_discovery",
-    "case_when_bucket",
     "semi_join_customers_with_urgent_orders",
     "mm_decode_features",
     "mm_metadata_rollup",
@@ -200,6 +206,10 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_embedding_cosine",
     "geo_roads_normalize",
+    # --- round-10 registrations (never-checked tier floats these to
+    # the window head automatically) ------------------------------------
+    "sink_gpkg_audit",
+    "stream_stream_attribution",
 )
 
 

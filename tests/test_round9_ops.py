@@ -100,7 +100,7 @@ def test_sink_gpkg_audit_matches_oracle(spark, sf_dir):
     assert r.rows_match and r.schema_match and r.hash_match, r
     # and the file really is a GeoPackage with both layers
     from overturelink_data_pipeline_spark.sinks.gpkg import list_gpkg_layers
-    import os, tempfile
+    from overturelink_data_pipeline_spark import scratch
 
-    path = os.path.join(tempfile.gettempdir(), "gpkg_audit", "export.gpkg")
+    path = scratch.process_dir("gpkg_audit", "export.gpkg")
     assert list_gpkg_layers(path) == ["ovt_places", "ovt_roads"]
