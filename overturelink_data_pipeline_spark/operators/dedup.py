@@ -581,21 +581,29 @@ def dedup_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     a retried orchestration) probes the standing release instead of
     rebuilding a corpus-sized index that hasn't changed. The stamp is
     written only after both generations land, so a half-built release
-    is never trusted."""
+    is never trusted. The fingerprint+stamp comparison is ONE Spark
+    job (release_current cross-joins the 1-row aggregate with the
+    1-row meta table — r10 warm shave), and it deliberately hashes
+    metadata columns only (doc_id, n_chars, source): that stamp is
+    CONTENT-BLIND (corpus_fingerprint's docstring has the full
+    contract), valid here because the driver corpora are immutable
+    snapshot tables where (id, length, source) uniquely tracks
+    content; a pipeline whose docs can mutate in place includes
+    "text" in the column list (the README production example does)."""
     from overturelink_data_pipeline_spark.operators.lifecycle import (
         PostingIndex,
-        corpus_fingerprint,
-        release_stamp,
+        release_current,
         write_release_stamp,
     )
 
     corpus = _prefix_corpus(spark, sf_dir)
     delta = F.col("doc_id") >= INCR_DELTA_MIN
     idx = PostingIndex(spark, "dlp_index")
-    stamp = corpus_fingerprint(
-        read_table(spark, sf_dir, "documents"), "doc_id", "n_chars", "source"
+    stamp, current = release_current(
+        spark, idx.name, read_table(spark, sf_dir, "documents"),
+        "doc_id", "n_chars", "source",
     )
-    if release_stamp(spark, idx.name) != stamp or not idx.exists():
+    if not current or not idx.exists():
         idx.build(corpus.filter(~delta))
         idx.append(corpus.filter(delta & (F.col("doc_id") % 2 == 0)))
         write_release_stamp(spark, idx.name, stamp)

