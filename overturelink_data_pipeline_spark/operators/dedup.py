@@ -405,9 +405,27 @@ def _incremental_probe(
     exact add-back. Shared by the registered query (in-plan index
     build) and scripts/bench_incremental.py (index pre-built as a
     bucketed table, so the probe's plan has NO exchange on the index
-    side — the cost-∝-delta demonstration)."""
+    side — the cost-∝-delta demonstration).
+
+    Split into _probe_pair_counts + _finish_probe (r10) so a
+    multi-leg caller (PostingIndex.probe's crawl-vs-table +
+    crawl-vs-crawl split) can union RAW pair counts first and pay the
+    two ns joins ONCE — unioning finished legs paid 4 broadcast
+    stages where 2 suffice, and at bench scale broadcast-stage count,
+    not data, dominates the probe wall."""
+    return _finish_probe(
+        _probe_pair_counts(index_post, delta_post), ns, hot, tau=tau
+    ).orderBy("new_id", "match_id")
+
+
+def _probe_pair_counts(index_post: DataFrame, delta_post: DataFrame) -> DataFrame:
+    """Raw co-posting counts ``(id_a, id_b, inter_cold)`` for
+    delta-vs-index — the join+aggregate leg of _incremental_probe,
+    exposed so callers can union several legs before _finish_probe.
+    Legs over DISJOINT index doc sets union without deduplication
+    (a pair's postings live wholly on one side)."""
     d, o = delta_post.alias("d"), index_post.alias("o")
-    pairs = (
+    return (
         d.join(
             o,
             (F.col("d.h") == F.col("o.h"))
@@ -418,8 +436,23 @@ def _incremental_probe(
             F.col("o.doc_id").alias("id_b"),
         )
         .agg(F.count(F.lit(1)).alias("inter_cold"))
-        .join(ns.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
-        .join(ns.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+    )
+
+
+def _finish_probe(
+    pair_counts: DataFrame,
+    ns: DataFrame,
+    hot: DataFrame | None,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Join per-doc totals, apply the hot add-back, threshold at
+    ``tau`` — the post-aggregation half of _incremental_probe. The
+    hot add-back commutes with unioning pair legs (it is a per-pair
+    left join), so callers may union first."""
+    pairs = pair_counts.join(
+        ns.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")), "id_a"
+    ).join(
+        ns.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b"
     )
     if hot is not None:
         pairs, hot_common = _with_hot_addback(pairs, hot)
@@ -427,14 +460,10 @@ def _incremental_probe(
     else:
         inter = F.col("inter_cold")
     jac = inter / (F.col("na") + F.col("nb") - inter)
-    return (
-        pairs.filter(jac >= tau)
-        .select(
-            F.col("id_a").alias("new_id"),
-            F.col("id_b").alias("match_id"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .orderBy("new_id", "match_id")
+    return pairs.filter(jac >= tau).select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("match_id"),
+        F.round(jac, 6).alias("jaccard"),
     )
 
 
@@ -581,33 +610,67 @@ def dedup_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     a retried orchestration) probes the standing release instead of
     rebuilding a corpus-sized index that hasn't changed. The stamp is
     written only after both generations land, so a half-built release
-    is never trusted. The fingerprint+stamp comparison is ONE Spark
-    job (release_current cross-joins the 1-row aggregate with the
-    1-row meta table — r10 warm shave), and it deliberately hashes
-    metadata columns only (doc_id, n_chars, source): that stamp is
-    CONTENT-BLIND (corpus_fingerprint's docstring has the full
-    contract), valid here because the driver corpora are immutable
-    snapshot tables where (id, length, source) uniquely tracks
-    content; a pipeline whose docs can mutate in place includes
-    "text" in the column list (the README production example does)."""
+    is never trusted.
+
+    The WHOLE warm invocation is TWO driver actions (r10, VERDICT r9
+    ask #4): the corpus fingerprint, the stored stamp, the probe's
+    admission guard, and its hot-skip bound all ride ONE tagged-union
+    collect (PostingIndex.prepare_probe's extension point), and the
+    second action is the probe itself. On a stale stamp the collected
+    pre-flight is discarded — its guard verdict would be against the
+    outgoing index — and the rebuild takes the normal cold path. The
+    fingerprint deliberately hashes metadata columns only (doc_id,
+    n_chars, source): that stamp is CONTENT-BLIND (corpus_fingerprint's
+    docstring has the full contract), valid here because the driver
+    corpora are immutable snapshot tables where (id, length, source)
+    uniquely tracks content; a pipeline whose docs can mutate in place
+    includes "text" in the column list (the README production example
+    does)."""
     from overturelink_data_pipeline_spark.operators.lifecycle import (
         PostingIndex,
-        release_current,
+        corpus_fingerprint,
         write_release_stamp,
     )
 
     corpus = _prefix_corpus(spark, sf_dir)
     delta = F.col("doc_id") >= INCR_DELTA_MIN
     idx = PostingIndex(spark, "dlp_index")
-    stamp, current = release_current(
-        spark, idx.name, read_table(spark, sf_dir, "documents"),
-        "doc_id", "n_chars", "source",
+    docs = read_table(spark, sf_dir, "documents")
+    crawl = corpus.filter(delta & (F.col("doc_id") % 2 == 1))
+    fp_cols = [F.col("doc_id"), F.col("n_chars"), F.col("source")]
+    if idx.exists() and spark.catalog.tableExists(f"{idx.name}_meta"):
+        pending = idx.prepare_probe(crawl)
+        # fingerprint + stored-stamp legs join the probe pre-flight:
+        # the string formats must agree (both render the DECIMAL(38,0)
+        # hash sum as a plain integer), pinned by
+        # tests/test_round10_ops.py::test_fused_stamp_leg_format
+        fp_leg = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*fp_cols).cast("decimal(38,0)")).alias("hs"),
+        ).select(
+            F.lit("fp").alias("kind"),
+            F.lit(None).cast("long").alias("num"),
+            F.concat(
+                F.lit("v1:"), F.col("n").cast("string"),
+                F.lit(":"), F.col("hs").cast("string"),
+            ).alias("id"),
+        )
+        stamp_leg = spark.table(f"{idx.name}_meta").select(
+            F.lit("stamp").alias("kind"),
+            F.lit(None).cast("long").alias("num"),
+            F.col("stamp").alias("id"),
+        )
+        rows = pending.checks.unionByName(fp_leg).unionByName(stamp_leg).collect()
+        fp = next((r["id"] for r in rows if r["kind"] == "fp"), None)
+        stored = next((r["id"] for r in rows if r["kind"] == "stamp"), None)
+        if fp is not None and fp == stored:
+            return pending.finish(rows)
+    idx.build(corpus.filter(~delta))
+    idx.append(corpus.filter(delta & (F.col("doc_id") % 2 == 0)))
+    write_release_stamp(
+        spark, idx.name, corpus_fingerprint(docs, "doc_id", "n_chars", "source")
     )
-    if not current or not idx.exists():
-        idx.build(corpus.filter(~delta))
-        idx.append(corpus.filter(delta & (F.col("doc_id") % 2 == 0)))
-        write_release_stamp(spark, idx.name, stamp)
-    return idx.probe(corpus.filter(delta & (F.col("doc_id") % 2 == 1)))
+    return idx.probe(crawl)
 
 
 def _over_cap_keys(postings: DataFrame, cap: int) -> DataFrame:

@@ -54,11 +54,12 @@ from overturelink_data_pipeline_spark.operators.dedup import (
     BAND_BUCKET_CAP,
     NGRAM_DF_CAP,
     _band_table,
+    _finish_probe,
     _fresh_persist,
     _gram_hashes,
     _hot_doc_arrays,
-    _incremental_probe,
     _jaccard_verify,
+    _probe_pair_counts,
     minhash_signatures_agg,
 )
 
@@ -66,6 +67,8 @@ __all__ = [
     "PostingIndex",
     "BandIndex",
     "SemanticRelease",
+    "PendingProbe",
+    "release_current",
     "shingle_table",
 ]
 
@@ -279,30 +282,99 @@ def _raise_overlap(ids: list, key: str, what: str) -> None:
     )
 
 
-def _probe_checks(
-    hot_keys: DataFrame,
+def _write_ub(spark: SparkSession, table: str, ub: int) -> None:
+    """Persist the stored-census upper bound (see _probe_preflight)."""
+    _clean_orphan_location(spark, table)
+    spark.createDataFrame([(int(ub),)], "ub long").write.mode(
+        "overwrite"
+    ).saveAsTable(table)
+
+
+def _read_ub(spark: SparkSession, table: str) -> int | None:
+    """The persisted upper bound, or None when the sidecar is absent
+    (an index built by pre-r10 code) — callers then take the exact
+    path, so missing stats only costs time, never correctness."""
+    if not spark.catalog.tableExists(table):
+        return None
+    rows = spark.table(table).collect()
+    return int(rows[0]["ub"]) if rows else None
+
+
+def _preflight_frame(
+    spark: SparkSession,
+    stats_table: str,
+    dmax: DataFrame,
     clash: DataFrame | None,
-    key: str,
-    what: str,
-) -> bool:
-    """Run the probe's two tiny pre-flight decisions as ONE driver
-    action (r10 warm-path shave, VERDICT r9 ask #4): the hot-census
-    short-circuit (``head(1)`` on the bucket-local count sums) and the
-    admission guard (≤5 overlap ids) used to be two back-to-back jobs
-    on every probe; a tagged union collects both at once. Returns
-    ``has_hot``; raises on overlap. ``clash`` is None when the guard
-    is disabled."""
-    checks = hot_keys.select(F.lit("hot").alias("kind")).limit(1)
+) -> DataFrame:
+    """The probe's pre-flight as ONE lazy tagged-union frame
+    ``(kind, num, id)`` (r10 warm shave, VERDICT r9 ask #4): the
+    admission guard (≤5 overlap ids, kind='clash') and the hot-SKIP
+    inputs collect together in a single driver action. The skip uses
+    the maintenance-time ``_stats`` sidecar — an UPPER BOUND ``ub`` on
+    the stored per-key count maximum (exact at build/compact/repair,
+    ``+= max(delta counts)`` per append, so it only ever drifts
+    conservative) — plus ``dmax``, a 1-row frame with the crawl's own
+    per-key max under column ``num``: every merged count is
+    ≤ ub + dmax, so ``ub + dmax <= cap`` proves the hot set EMPTY
+    without scanning or aggregating the stored count sidecar at all.
+    Callers may union extra 1-row legs (distinct ``kind`` values) so
+    their own decisions ride the same action; _preflight_verdict
+    consumes the collected rows."""
+    checks = dmax.select(
+        F.lit("dmax").alias("kind"),
+        F.col("num").cast("long").alias("num"),
+        F.lit(None).cast("string").alias("id"),
+    )
+    if spark.catalog.tableExists(stats_table):
+        checks = checks.unionByName(
+            spark.table(stats_table).select(
+                F.lit("ub").alias("kind"),
+                F.col("ub").cast("long").alias("num"),
+                F.lit(None).cast("string").alias("id"),
+            )
+        )
     if clash is not None:
         checks = checks.unionByName(
-            clash.select(F.lit("clash").alias("kind"), F.col(key).cast("string").alias("id")),
-            allowMissingColumns=True,
+            clash.select(
+                F.lit("clash").alias("kind"),
+                F.lit(None).cast("long").alias("num"),
+                F.col(clash.columns[0]).cast("string").alias("id"),
+            )
         )
-    rows = checks.collect()
+    return checks
+
+
+def _preflight_verdict(rows: list, cap: int, key: str, what: str) -> bool:
+    """Consume collected _preflight_frame rows: raise on overlap,
+    return ``may_have_hot``. False skips the census merge entirely
+    (the natural-corpus warm path); True — bound failed, stats sidecar
+    missing, or an over-cap crawl — sends the caller to the exact
+    census merge, the pre-r10 path, so the bound only ever SKIPS work,
+    never changes the hot set."""
     clash_ids = sorted(r["id"] for r in rows if r["kind"] == "clash")
     if clash_ids:
         _raise_overlap(clash_ids, key, what)
-    return any(r["kind"] == "hot" for r in rows)
+    ub = next((r["num"] for r in rows if r["kind"] == "ub"), None)
+    dmx = next((r["num"] for r in rows if r["kind"] == "dmax"), None) or 0
+    return ub is None or ub + dmx > cap
+
+
+@dataclass
+class PendingProbe:
+    """A probe split at its one driver action — see
+    PostingIndex.prepare_probe. ``checks`` is lazy; ``finish`` takes
+    the rows collected from it (or from any union-extended version of
+    it) and returns the result plan."""
+
+    _idx: "PostingIndex"
+    _delta_post: DataFrame
+    _delta_counts: DataFrame
+    checks: DataFrame
+
+    def finish(self, rows: list, tau: float = 0.5) -> DataFrame:
+        return self._idx._finish_probe_plan(
+            self._delta_post, self._delta_counts, rows, tau
+        )
 
 
 def _compact_counts(
@@ -380,20 +452,24 @@ class PostingIndex:
     def _hcount(self) -> str:
         return f"{self.name}_hcount"
 
+    @property
+    def _stats(self) -> str:
+        return f"{self.name}_stats"
+
     def exists(self) -> bool:
-        """All three index tables present in the catalog — the guard a
+        """All index tables present in the catalog — the guard a
         stamped caller pairs with release_stamp before skipping a
         build (a matching stamp with dropped tables must rebuild)."""
         return all(
             self.spark.catalog.tableExists(t)
-            for t in (self._post, self._ns, self._hcount)
+            for t in (self._post, self._ns, self._hcount, self._stats)
         )
 
     def build(self, docs: DataFrame) -> "PostingIndex":
         """Release-time build: write all three sidecars from scratch.
         The postings frame is persisted ONCE so the three write jobs
         share one tokenize/explode pass (ADVICE r8)."""
-        for t in (self._post, self._ns, self._hcount):
+        for t in (self._post, self._ns, self._hcount, self._stats):
             _clean_orphan_location(self.spark, t)
         # persisted ALREADY bucket-aligned: the postings write lands one
         # file per bucket, and the hcount groupBy(h) below is
@@ -406,6 +482,10 @@ class PostingIndex:
             "overwrite"
         ).saveAsTable(self._post)
         self._write_sidecars(post, mode="overwrite")
+        # exact per-key max over the fresh index (one partition-local
+        # agg on the persisted frame) — the probe pre-flight's skip
+        # bound (_probe_preflight)
+        self._write_stats(self._exact_max(post))
         return self
 
     def append(self, crawl: DataFrame) -> None:
@@ -428,6 +508,31 @@ class PostingIndex:
             "append"
         ).saveAsTable(self._post)
         self._write_sidecars(post, mode="append")
+        # the bound drifts conservative: stored max ≤ old max + this
+        # append's max (equality only when one key holds both maxima);
+        # compact()/repair() re-tighten it to the exact value. A
+        # pre-r10 index (stats sidecar absent) recomputes exact from
+        # the count sidecar — one bucket-local agg, maintenance-time.
+        prev = _read_ub(self.spark, self._stats)
+        if prev is None:
+            self._write_stats(self._exact_max(None))
+        else:
+            self._write_stats(prev + self._exact_max(post))
+
+    def _exact_max(self, post: DataFrame | None) -> int:
+        """Max per-key count: of one generation's postings frame, or of
+        the whole stored count sidecar when ``post`` is None."""
+        if post is None:
+            frame = self.spark.table(self._hcount).groupBy("h").agg(
+                F.sum("n").alias("n")
+            )
+        else:
+            frame = post.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+        row = frame.agg(F.max("n")).first()
+        return int(row[0]) if row and row[0] is not None else 0
+
+    def _write_stats(self, ub: int) -> None:
+        _write_ub(self.spark, self._stats, ub)
 
     def _write_sidecars(self, post: DataFrame, mode: str) -> None:
         # ns changes keys (doc_id), so it aligns explicitly; hcount's
@@ -448,7 +553,19 @@ class PostingIndex:
         The crawl's keys merge into the stored count sidecar before the
         cap filter, so a crawl pushing a key over the cap suppresses it
         exactly as a rebuild would."""
-        spark = self.spark
+        pending = self.prepare_probe(crawl)
+        return pending.finish(pending.checks.collect(), tau=tau)
+
+    def prepare_probe(self, crawl: DataFrame) -> "PendingProbe":
+        """The probe split at its one driver action: ``.checks`` is the
+        lazy tagged-union pre-flight frame (admission guard + hot-skip
+        bound legs — see _probe_preflight) and ``.finish(rows)`` builds
+        the result plan from the collected rows. probe() is exactly
+        ``finish(checks.collect())``; callers with their OWN 1-row
+        decisions to make (the stamped monthly job's fingerprint +
+        stamp read) union extra legs onto ``.checks`` and collect once
+        — the whole warm invocation then costs TWO driver actions
+        (r10; kind values 'dmax'/'ub'/'clash' are reserved)."""
         # the crawl's postings feed SIX consumers (count merge, both
         # cold sides, ns, hot arrays, the self-probe leg) — persist the
         # delta-bounded frame once per probe
@@ -459,48 +576,75 @@ class PostingIndex:
         delta_post = _fresh_persist(f"{self.name}_probe_dpost", _postings(crawl))
         # an overlapping crawl would duplicate ns rows below and
         # corrupt every Jaccard denominator silently (ADVICE r8); the
-        # guard's ≤5-row clash frame is collected together with the
-        # hot-census decision below — one driver action, not two
+        # guard's ≤5-row clash frame rides the same collect as the
+        # hot-census decision — one driver action, not two
         clash = (
-            _clash_frame(spark.table(self._ns), delta_post, "doc_id")
+            _clash_frame(self.spark.table(self._ns), delta_post, "doc_id")
             if self.guard_overlap
             else None
         )
-        index_post = spark.table(self._post)
-        # current per-key counts = stored sidecar rows + delta rows.
-        # NOT a union-then-groupBy: the union would discard the
-        # sidecar's bucket layout and re-exchange the whole count
-        # table per probe. Instead the stored side aggregates
-        # partition-local on its buckets and the (crawl-bounded) delta
-        # counts broadcast-join in; keys the crawl alone pushes over
-        # the cap come from the second (tiny) leg.
         delta_counts = delta_post.groupBy("h").agg(
             F.count(F.lit(1)).alias("n_delta")
         )
-        stored = spark.table(self._hcount).groupBy("h").agg(
-            F.sum("n").alias("n_stored")
+        checks = _preflight_frame(
+            self.spark,
+            self._stats,
+            delta_counts.agg(F.max("n_delta").alias("num")),
+            clash,
         )
-        hot_keys = (
-            stored.join(F.broadcast(delta_counts), "h", "left_outer")
-            .filter(
-                F.col("n_stored") + F.coalesce("n_delta", F.lit(0)) > self.cap
+        return PendingProbe(self, delta_post, delta_counts, checks)
+
+    def _finish_probe_plan(
+        self,
+        delta_post: DataFrame,
+        delta_counts: DataFrame,
+        rows: list,
+        tau: float,
+    ) -> DataFrame:
+        spark = self.spark
+        index_post = spark.table(self._post)
+        # pre-flight verdicts from the collected rows: admission guard
+        # + the _stats-bound skip. The common warm path (natural
+        # corpus, ub + crawl max well under cap) never touches the
+        # stored count sidecar — previously EVERY probe aggregated it
+        # and broadcast-joined the delta counts just to learn the hot
+        # set is empty.
+        may_have_hot = _preflight_verdict(
+            rows, self.cap, "doc_id", f"PostingIndex({self.name}).probe"
+        )
+        has_hot = False
+        hot_keys = None
+        if may_have_hot:
+            # exact census merge: current per-key counts = stored
+            # sidecar rows + delta rows. NOT a union-then-groupBy: the
+            # union would discard the sidecar's bucket layout and
+            # re-exchange the whole count table per probe. Instead the
+            # stored side aggregates partition-local on its buckets
+            # and the (crawl-bounded) delta counts broadcast-join in;
+            # keys the crawl alone pushes over the cap come from the
+            # second (tiny) leg. EAGER, kept after an r9 A/B: the lazy
+            # alternative (census as broadcast build side + AQE empty
+            # propagation) measured 5.2 → 9.9 s per invocation at sf1.
+            # A rejected r10 A/B is ledgered too: restricting the
+            # stored agg to the delta's keys via an inner broadcast
+            # join measured 1.12 s vs 0.84-1.08 s for this full
+            # bucket-local agg — the broadcast probe costs more than
+            # the aggregation it saves.
+            stored = spark.table(self._hcount).groupBy("h").agg(
+                F.sum("n").alias("n_stored")
             )
-            .select("h")
-            .unionByName(
-                delta_counts.filter(F.col("n_delta") > self.cap).select("h")
+            hot_keys = (
+                stored.join(F.broadcast(delta_counts), "h", "left_outer")
+                .filter(
+                    F.col("n_stored") + F.coalesce("n_delta", F.lit(0)) > self.cap
+                )
+                .select("h")
+                .unionByName(
+                    delta_counts.filter(F.col("n_delta") > self.cap).select("h")
+                )
+                .dropDuplicates(["h"])
             )
-            .dropDuplicates(["h"])
-        )
-        # EAGER census short-circuit, kept after an r9 A/B: the lazy
-        # alternative (census as broadcast build side + AQE empty
-        # propagation, the dedup_exact_substring pattern) measured
-        # 5.2 → 9.9 s per invocation at sf1 — the extra broadcast
-        # stages and AQE re-planning cost far more than this one
-        # bounded job against the bucket-local count sums. r10 folds
-        # the admission guard into the same action (_probe_checks).
-        has_hot = _probe_checks(
-            hot_keys, clash, "doc_id", f"PostingIndex({self.name}).probe"
-        )
+            has_hot = bool(hot_keys.head(1))
         cold_index = (
             index_post.join(F.broadcast(hot_keys), "h", "left_anti")
             if has_hot
@@ -533,17 +677,25 @@ class PostingIndex:
         # delta-delta matches come from a crawl-bounded self-probe —
         # and the union of the two IS the full pair set (a match's
         # postings live wholly on one side, so every pair's
-        # intersection count is complete within its leg).
-        vs_index = _incremental_probe(cold_index, cold_delta, ns, hot, tau=tau)
-        vs_delta = _incremental_probe(cold_delta, cold_delta, ns, hot, tau=tau)
-        return vs_index.unionByName(vs_delta).orderBy("new_id", "match_id")
+        # intersection count is complete within its leg). The legs
+        # union as RAW pair counts so the ns joins + tau filter run
+        # once — finished-leg union paid 4 broadcast stages where 2
+        # suffice (r10; the index is narrow, so broadcast-stage count
+        # dominates probe wall at bench scale).
+        pairs = _probe_pair_counts(cold_index, cold_delta).unionByName(
+            _probe_pair_counts(cold_delta, cold_delta)
+        )
+        return _finish_probe(pairs, ns, hot, tau=tau).orderBy("new_id", "match_id")
 
     def compact(self) -> None:
         """Collapse the per-key count sidecar to one row per key (the
         probe's bucket-local SUM then scans keys, not appends×keys).
         ``_ns`` needs no compaction: doc sets are disjoint across
-        appends (guarded), so it is already one row per doc."""
+        appends (guarded), so it is already one row per doc. Also
+        re-tightens the probe pre-flight's upper bound to the exact
+        stored max (append drift is one-directional — see append)."""
         _compact_counts(self.spark, self._hcount, ["h"], self.buckets)
+        self._write_stats(self._exact_max(None))
 
     def reconcile(self) -> dict[str, int | bool]:
         """Consistency check for a suspected partial append: both
@@ -568,6 +720,7 @@ class PostingIndex:
         (groupBy doc_id over a bucketed-by-h table), acceptable for a
         one-off recovery."""
         self._write_sidecars(self.spark.table(self._post), mode="overwrite")
+        self._write_stats(self._exact_max(None))
 
     def drop(self) -> None:
         _drop(
@@ -575,6 +728,7 @@ class PostingIndex:
             self._post,
             self._ns,
             self._hcount,
+            self._stats,
             f"{self._hcount}_compact_tmp",
         )
 
@@ -615,6 +769,24 @@ class BandIndex:
     def _bcount(self) -> str:
         return f"{self.name}_bcount"
 
+    @property
+    def _stats(self) -> str:
+        return f"{self.name}_bstats"
+
+    def _exact_max(self, bands: DataFrame | None) -> int:
+        """Max per-(band, bucket) count: of one generation's band rows,
+        or of the whole stored count sidecar when ``bands`` is None."""
+        if bands is None:
+            frame = self.spark.table(self._bcount).groupBy("band", "bucket").agg(
+                F.sum("n").alias("n")
+            )
+        else:
+            frame = bands.groupBy("band", "bucket").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+        row = frame.agg(F.max("n")).first()
+        return int(row[0]) if row and row[0] is not None else 0
+
     def _band_rows(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         # postings via the inline-explode shape (_postings docstring);
         # the shingle-ARRAY frame is built separately for the verify
@@ -626,14 +798,14 @@ class BandIndex:
         """See PostingIndex.exists."""
         return all(
             self.spark.catalog.tableExists(t)
-            for t in (self._bands, self._sh, self._bcount)
+            for t in (self._bands, self._sh, self._bcount, self._stats)
         )
 
     def build(self, docs: DataFrame) -> "BandIndex":
         # persist the band rows so the bands write + count write share
         # one tokenize/minhash pass (ADVICE r8); the sh sidecar is a
         # different lineage (arrays, not postings) and writes once
-        for t in (self._bands, self._sh, self._bcount):
+        for t in (self._bands, self._sh, self._bcount, self._stats):
             _clean_orphan_location(self.spark, t)
         bands, sh = self._band_rows(docs)
         bands = _fresh_persist(
@@ -647,6 +819,7 @@ class BandIndex:
             self.buckets, "doc_id"
         ).mode("overwrite").saveAsTable(self._sh)
         self._write_counts(bands, mode="overwrite")
+        _write_ub(self.spark, self._stats, self._exact_max(bands))
         return self
 
     def append(self, crawl: DataFrame) -> None:
@@ -667,6 +840,13 @@ class BandIndex:
             self.buckets, "doc_id"
         ).mode("append").saveAsTable(self._sh)
         self._write_counts(bands, mode="append")
+        # conservative bound drift, re-tightened by compact()/repair()
+        # — see PostingIndex.append
+        prev = _read_ub(self.spark, self._stats)
+        if prev is None:
+            _write_ub(self.spark, self._stats, self._exact_max(None))
+        else:
+            _write_ub(self.spark, self._stats, prev + self._exact_max(bands))
 
     def _write_counts(self, bands: DataFrame, mode: str) -> None:
         # partition-local + one file per bucket: the caller's frame is
@@ -694,33 +874,46 @@ class BandIndex:
             else None
         )
         index_bands = spark.table(self._bands)
-        # same bucket-local + broadcast count merge as PostingIndex.probe
         delta_counts = delta_bands.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("n_delta")
         )
-        stored = spark.table(self._bcount).groupBy("band", "bucket").agg(
-            F.sum("n").alias("n_stored")
+        # ONE pre-flight action: admission guard + the _stats-bound
+        # hot-bucket skip (see PostingIndex.prepare_probe)
+        rows = _preflight_frame(
+            spark,
+            self._stats,
+            delta_counts.agg(F.max("n_delta").alias("num")),
+            clash,
+        ).collect()
+        may_have_hot = _preflight_verdict(
+            rows, self.cap, "doc_id", f"BandIndex({self.name}).probe"
         )
-        big = (
-            stored.join(F.broadcast(delta_counts), ["band", "bucket"], "left_outer")
-            .filter(
-                F.col("n_stored") + F.coalesce("n_delta", F.lit(0)) > self.cap
+        has_hot = False
+        big = None
+        if may_have_hot:
+            # same bucket-local + broadcast count merge as
+            # PostingIndex.probe's exact path
+            stored = spark.table(self._bcount).groupBy("band", "bucket").agg(
+                F.sum("n").alias("n_stored")
             )
-            .select("band", "bucket")
-            .unionByName(
-                delta_counts.filter(F.col("n_delta") > self.cap).select(
-                    "band", "bucket"
+            big = (
+                stored.join(
+                    F.broadcast(delta_counts), ["band", "bucket"], "left_outer"
                 )
+                .filter(
+                    F.col("n_stored") + F.coalesce("n_delta", F.lit(0)) > self.cap
+                )
+                .select("band", "bucket")
+                .unionByName(
+                    delta_counts.filter(F.col("n_delta") > self.cap).select(
+                        "band", "bucket"
+                    )
+                )
+                .dropDuplicates(["band", "bucket"])
             )
-            .dropDuplicates(["band", "bucket"])
-        )
-        # natural corpora usually have NO over-cap bucket: short-circuit
-        # past both anti-joins entirely (mirrors PostingIndex.probe's
-        # has_hot — ADVICE r8); the census decision and the admission
-        # guard collect in one driver action (_probe_checks, r10)
-        has_hot = _probe_checks(
-            big, clash, "doc_id", f"BandIndex({self.name}).probe"
-        )
+            # natural corpora usually have NO over-cap bucket:
+            # short-circuit past both anti-joins (ADVICE r8)
+            has_hot = bool(big.head(1))
         kept_index = (
             index_bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
             if has_hot
@@ -762,8 +955,10 @@ class BandIndex:
 
     def compact(self) -> None:
         """Collapse the per-bucket count sidecar to one row per
-        (band, bucket) — see PostingIndex.compact."""
+        (band, bucket) — see PostingIndex.compact. Re-tightens the
+        pre-flight upper bound to the exact stored max."""
         _compact_counts(self.spark, self._bcount, ["band", "bucket"], self.buckets)
+        _write_ub(self.spark, self._stats, self._exact_max(None))
 
     def reconcile(self) -> dict[str, int | bool]:
         """``_bcount`` must account for exactly the band table's rows
@@ -789,6 +984,7 @@ class BandIndex:
         rows or rebuild; the docstring IS the documented recovery
         contract (ADVICE r8)."""
         self._write_counts(self.spark.table(self._bands), mode="overwrite")
+        _write_ub(self.spark, self._stats, self._exact_max(None))
 
     def drop(self) -> None:
         _drop(
@@ -796,6 +992,7 @@ class BandIndex:
             self._bands,
             self._sh,
             self._bcount,
+            self._stats,
             f"{self._bcount}_compact_tmp",
         )
 

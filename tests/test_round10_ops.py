@@ -117,6 +117,45 @@ def test_release_current_matches_two_step_protocol(spark):
         spark.sql(f"DROP TABLE IF EXISTS {name}_meta")
 
 
+def test_fused_stamp_leg_format(spark):
+    """The registered query's SQL-side fingerprint leg (concat of the
+    DECIMAL(38,0) hash sum) must render EXACTLY like
+    corpus_fingerprint's Python f-string, or the fused warm path would
+    silently rebuild every run (or worse, skip a needed rebuild) —
+    negative sums included."""
+    for rows in (RELEASE(), [(1, "zz neg hash bait zz")]):
+        docs = _docs(spark, rows)
+        py = corpus_fingerprint(docs, "doc_id", "text")
+        sql = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.col("doc_id"), F.col("text")).cast("decimal(38,0)")
+            ).alias("hs"),
+        ).select(
+            F.concat(
+                F.lit("v1:"), F.col("n").cast("string"),
+                F.lit(":"), F.col("hs").cast("string"),
+            ).alias("id")
+        ).first()["id"]
+        assert sql == py, (sql, py)
+
+
+def test_prepare_probe_equals_probe(spark):
+    """prepare_probe().finish(checks.collect()) IS probe() — the
+    extension point cannot drift from the one-call path."""
+    idx = PostingIndex(spark, temp_name("split"))
+    try:
+        idx.build(_docs(spark, RELEASE()))
+        crawl = _docs(spark, CRAWL())
+        direct = _pairs(idx.probe(crawl))
+        pending = idx.prepare_probe(crawl)
+        via_split = _pairs(pending.finish(pending.checks.collect()))
+        assert via_split == direct
+        assert (1_000_011, 11) in direct
+    finally:
+        idx.drop()
+
+
 # ---------------------------------------------------------------------------
 # folded probe pre-flight: the guard still raises, through one action
 # ---------------------------------------------------------------------------
