@@ -439,6 +439,20 @@ class PostingIndex:
     buckets: int = DEFAULT_BUCKETS
     cap: int = field(default_factory=lambda: NGRAM_DF_CAP)
     guard_overlap: bool = True
+    #: append() auto-compacts when the drifted pre-flight bound exceeds
+    #: this fraction of ``cap`` (None disables). The trigger is
+    #: BOUND-based, not row-count-based, from the 24-append study
+    #: (BENCH_SF1.md r10): probe wall is FLAT at 4× sidecar bloat while
+    #: the ub bound holds (the r10 pre-flight never scans the sidecar
+    #: then), so compacting on rows would be wasted maintenance — the
+    #: one channel that degrades probes is ub drift (+= per-append max)
+    #: crossing cap and flipping every probe to the exact census over
+    #: the bloated sidecar. Compacting re-tightens ub to the exact max;
+    #: if the EXACT max already exceeds the threshold (a genuinely hot
+    #: corpus, not drift), auto-compact disables itself on this
+    #: instance — compaction cannot reset a true maximum, and in that
+    #: regime the exact-path probes are the correct cost.
+    auto_compact_ub_frac: float | None = 0.75
 
     @property
     def _post(self) -> str:
@@ -515,9 +529,20 @@ class PostingIndex:
         # the count sidecar — one bucket-local agg, maintenance-time.
         prev = _read_ub(self.spark, self._stats)
         if prev is None:
-            self._write_stats(self._exact_max(None))
+            ub = self._exact_max(None)
         else:
-            self._write_stats(prev + self._exact_max(post))
+            ub = prev + self._exact_max(post)
+        self._write_stats(ub)
+        self._maybe_auto_compact(ub)
+
+    def _maybe_auto_compact(self, ub: int) -> None:
+        """See auto_compact_ub_frac."""
+        frac = self.auto_compact_ub_frac
+        if frac is None or ub <= self.cap * frac:
+            return
+        self.compact()
+        if (_read_ub(self.spark, self._stats) or 0) > self.cap * frac:
+            self.auto_compact_ub_frac = None  # true max, not drift
 
     def _exact_max(self, post: DataFrame | None) -> int:
         """Max per-key count: of one generation's postings frame, or of
@@ -756,6 +781,8 @@ class BandIndex:
     buckets: int = DEFAULT_BUCKETS
     cap: int = field(default_factory=lambda: BAND_BUCKET_CAP)
     guard_overlap: bool = True
+    #: bound-based auto-compact — see PostingIndex.auto_compact_ub_frac
+    auto_compact_ub_frac: float | None = 0.75
 
     @property
     def _bands(self) -> str:
@@ -844,9 +871,20 @@ class BandIndex:
         # — see PostingIndex.append
         prev = _read_ub(self.spark, self._stats)
         if prev is None:
-            _write_ub(self.spark, self._stats, self._exact_max(None))
+            ub = self._exact_max(None)
         else:
-            _write_ub(self.spark, self._stats, prev + self._exact_max(bands))
+            ub = prev + self._exact_max(bands)
+        _write_ub(self.spark, self._stats, ub)
+        self._maybe_auto_compact(ub)
+
+    def _maybe_auto_compact(self, ub: int) -> None:
+        """See PostingIndex.auto_compact_ub_frac."""
+        frac = self.auto_compact_ub_frac
+        if frac is None or ub <= self.cap * frac:
+            return
+        self.compact()
+        if (_read_ub(self.spark, self._stats) or 0) > self.cap * frac:
+            self.auto_compact_ub_frac = None  # true max, not drift
 
     def _write_counts(self, bands: DataFrame, mode: str) -> None:
         # partition-local + one file per bucket: the caller's frame is

@@ -172,6 +172,61 @@ def test_probe_overlap_guard_still_raises_after_fold(spark):
 
 
 # ---------------------------------------------------------------------------
+# bound-based auto-compact (VERDICT r9 ask #6)
+# ---------------------------------------------------------------------------
+
+
+def test_append_auto_compacts_on_drifted_bound(spark):
+    """Disjoint appends drift the stored ub by += per-append max; when
+    it crosses frac*cap, append() compacts, re-tightening ub to the
+    EXACT stored max (each key appears once per generation here, so
+    the true max stays tiny while the drift grows) and collapsing the
+    sidecar to one row per key."""
+    from overturelink_data_pipeline_spark.operators.lifecycle import _read_ub
+
+    idx = PostingIndex(spark, temp_name("ac"), cap=8, auto_compact_ub_frac=0.75)
+    try:
+        idx.build(_docs(spark, RELEASE()))
+        for m in range(4):  # each append's per-key max is ~2-3 → drift
+            idx.append(
+                _docs(
+                    spark,
+                    [((m + 1) * 1_000_000 + i, _body(f"g{m}x{i}")) for i in range(3)],
+                )
+            )
+        ub = _read_ub(spark, idx._stats)
+        assert ub is not None and ub <= 8 * 0.75  # a compact re-tightened it
+        assert idx.auto_compact_ub_frac is not None  # not a true-max corpus
+        n_rows = spark.table(idx._hcount).count()
+        n_keys = (
+            spark.table(idx._hcount).select("h").dropDuplicates().count()
+        )
+        assert n_rows <= n_keys + 3 * 60  # compacted recently (≤1 gen un-merged)
+        # probes still correct after auto-compacts
+        got = _pairs(idx.probe(_docs(spark, [(9_000_011, _body("dup"))])))
+        assert (9_000_011, 11) in {(a, b) for a, b in got}
+    finally:
+        idx.drop()
+
+
+def test_auto_compact_disables_on_true_hot_max(spark):
+    """When the EXACT max itself exceeds frac*cap (a genuinely hot key,
+    not drift), compaction cannot reset it — auto-compact must disable
+    itself rather than compact on every append."""
+    boiler = _body("bp", 12)
+    docs = _docs(spark, [(i, f"{boiler} {_body(f'u{i}')}") for i in range(1, 11)])
+    idx = PostingIndex(spark, temp_name("achot"), cap=4, auto_compact_ub_frac=0.5)
+    try:
+        idx.build(docs)  # boilerplate df = 10 > cap*frac already
+        idx.append(
+            _docs(spark, [(1_000_001, f"{boiler} {_body('zz')}")])
+        )
+        assert idx.auto_compact_ub_frac is None
+    finally:
+        idx.drop()
+
+
+# ---------------------------------------------------------------------------
 # SemanticRelease: interrupted build + cache staleness contracts
 # ---------------------------------------------------------------------------
 
