@@ -49,7 +49,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import uuid
 
 import pandas as pd
@@ -82,13 +81,28 @@ def _stream_dir(sf_dir: str) -> str:
     """The file stream source lists a DIRECTORY of arriving files; the
     test table is one parquet file, so stage a symlink dir (what a
     production deployment has natively: a drop directory per release —
-    SURVEY.md §2.8's 'new release arrives' analog)."""
+    SURVEY.md §2.8's 'new release arrives' analog). The dir is a
+    STABLE per-user path keyed by the sf_dir (r10: a mkdtemp per
+    process left one 4 KB symlink dir per bench/test subprocess — 309
+    of them by round 10; the same leak class as the r9 shard-dataset
+    trap). Idempotent content, so concurrent processes may share it;
+    a stale link (sf_dir re-created elsewhere) is re-pointed."""
     if sf_dir not in _stream_dirs:
-        d = tempfile.mkdtemp(prefix="event_stream_")
-        os.symlink(
-            os.path.abspath(f"{sf_dir}/events.parquet"),
-            os.path.join(d, "events.parquet"),
-        )
+        import hashlib
+
+        from overturelink_data_pipeline_spark import scratch
+
+        key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        d = scratch.scratch_root("event_stream", key)
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        target = os.path.abspath(f"{sf_dir}/events.parquet")
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            if os.path.realpath(link) != os.path.realpath(target):
+                os.remove(link)
+                os.symlink(target, link)
         _stream_dirs[sf_dir] = d
     return _stream_dirs[sf_dir]
 
@@ -219,10 +233,10 @@ def run_to_completion(
     The provider is a physical-execution choice only — results are
     identical either way (pinned in tests/test_round8_ops.py)."""
     # bound accumulation across invocations: each run registers a
-    # memory-sink table (full result in driver memory) and mkdtemps a
-    # checkpoint; release the PREVIOUS run's pair now — the previous
-    # return value has usually been consumed by the time a new replay
-    # starts, and the returned frame stays valid until then
+    # memory-sink table (full result in driver memory) and creates a
+    # checkpoint dir; release the PREVIOUS run's pair now — the
+    # previous return value has usually been consumed by the time a
+    # new replay starts, and the returned frame stays valid until then
     prev = getattr(run_to_completion, "_prev", None)
     if prev is not None:
         prev_name, prev_ckpt = prev
@@ -231,8 +245,17 @@ def run_to_completion(
         except Exception:
             pass
         shutil.rmtree(os.path.dirname(prev_ckpt), ignore_errors=True)
+    # checkpoints live under a per-user + per-process scratch leaf with
+    # dead-owner reaping (scratch.py): the one-behind cleanup above
+    # bounds WITHIN-process growth, but each process's LAST checkpoint
+    # used to leak — 302 ckpt_* mkdtemps (three of them 435 MB, from
+    # sf10 state sweeps) had accumulated by round 10, the same leak
+    # class as the r9 shard-dataset trap
+    from overturelink_data_pipeline_spark import scratch
+
+    scratch.reap_dead_owners(scratch.scratch_root("stream_ckpt"))
     name = "s" + uuid.uuid4().hex[:12]
-    checkpoint = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), name)
+    checkpoint = os.path.join(scratch.process_dir("stream_ckpt", name), "ckpt")
     run_to_completion._prev = (name, checkpoint)
     # recentProgress is a ring buffer of the LAST
     # numRecentProgressUpdates (default ~100) entries — a replay with
