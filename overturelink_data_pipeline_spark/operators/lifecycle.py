@@ -282,57 +282,54 @@ def _raise_overlap(ids: list, key: str, what: str) -> None:
     )
 
 
+#: Table-property key holding the stored-census upper bound on a count
+#: sidecar (see _preflight_verdict).
+_UB_PROP = "overturelink.ub"
+
+
 def _write_ub(spark: SparkSession, table: str, ub: int) -> None:
-    """Persist the stored-census upper bound (see _probe_preflight)."""
-    _clean_orphan_location(spark, table)
-    spark.createDataFrame([(int(ub),)], "ub long").write.mode(
-        "overwrite"
-    ).saveAsTable(table)
+    """Persist the stored-census upper bound as a TABLE PROPERTY on the
+    count sidecar — catalog metadata, zero Spark jobs (an earlier r10
+    cut used a separate 1-row stats table: two write jobs per
+    build/append plus a read leg per probe, ~1 s of pure maintenance on
+    the cold path — the bench_diff regression that prompted this).
+    Durability matches the index itself: the in-memory catalog loses
+    properties with the process exactly when it loses the tables (a
+    fresh process rebuilds anyway); a shared metastore persists them
+    with the table."""
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES('{_UB_PROP}'='{int(ub)}')")
 
 
 def _read_ub(spark: SparkSession, table: str) -> int | None:
-    """The persisted upper bound, or None when the sidecar is absent
+    """The persisted upper bound, or None when the property is absent
     (an index built by pre-r10 code) — callers then take the exact
-    path, so missing stats only costs time, never correctness."""
+    path, so a missing bound only costs time, never correctness.
+    Driver-only catalog lookup, no job."""
     if not spark.catalog.tableExists(table):
         return None
-    rows = spark.table(table).collect()
-    return int(rows[0]["ub"]) if rows else None
+    for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect():
+        if r["key"] == _UB_PROP:
+            return int(r["value"])
+    return None
 
 
-def _preflight_frame(
-    spark: SparkSession,
-    stats_table: str,
-    dmax: DataFrame,
-    clash: DataFrame | None,
-) -> DataFrame:
+def _preflight_frame(dmax: DataFrame, clash: DataFrame | None) -> DataFrame:
     """The probe's pre-flight as ONE lazy tagged-union frame
     ``(kind, num, id)`` (r10 warm shave, VERDICT r9 ask #4): the
-    admission guard (≤5 overlap ids, kind='clash') and the hot-SKIP
-    inputs collect together in a single driver action. The skip uses
-    the maintenance-time ``_stats`` sidecar — an UPPER BOUND ``ub`` on
-    the stored per-key count maximum (exact at build/compact/repair,
-    ``+= max(delta counts)`` per append, so it only ever drifts
-    conservative) — plus ``dmax``, a 1-row frame with the crawl's own
-    per-key max under column ``num``: every merged count is
-    ≤ ub + dmax, so ``ub + dmax <= cap`` proves the hot set EMPTY
+    admission guard (≤5 overlap ids, kind='clash') and ``dmax`` — a
+    1-row frame with the crawl's own per-key max under column ``num``
+    — collect together in a single driver action. The stored-side
+    UPPER BOUND ``ub`` is a table property read driver-side for free
+    (_read_ub); _preflight_verdict combines them: every merged count
+    is ≤ ub + dmax, so ``ub + dmax <= cap`` proves the hot set EMPTY
     without scanning or aggregating the stored count sidecar at all.
     Callers may union extra 1-row legs (distinct ``kind`` values) so
-    their own decisions ride the same action; _preflight_verdict
-    consumes the collected rows."""
+    their own decisions ride the same action."""
     checks = dmax.select(
         F.lit("dmax").alias("kind"),
         F.col("num").cast("long").alias("num"),
         F.lit(None).cast("string").alias("id"),
     )
-    if spark.catalog.tableExists(stats_table):
-        checks = checks.unionByName(
-            spark.table(stats_table).select(
-                F.lit("ub").alias("kind"),
-                F.col("ub").cast("long").alias("num"),
-                F.lit(None).cast("string").alias("id"),
-            )
-        )
     if clash is not None:
         checks = checks.unionByName(
             clash.select(
@@ -344,17 +341,21 @@ def _preflight_frame(
     return checks
 
 
-def _preflight_verdict(rows: list, cap: int, key: str, what: str) -> bool:
-    """Consume collected _preflight_frame rows: raise on overlap,
-    return ``may_have_hot``. False skips the census merge entirely
-    (the natural-corpus warm path); True — bound failed, stats sidecar
-    missing, or an over-cap crawl — sends the caller to the exact
-    census merge, the pre-r10 path, so the bound only ever SKIPS work,
-    never changes the hot set."""
+def _preflight_verdict(
+    rows: list, ub: int | None, cap: int, key: str, what: str
+) -> bool:
+    """Consume collected _preflight_frame rows + the driver-side ub:
+    raise on overlap, return ``may_have_hot``. False skips the census
+    merge entirely (the natural-corpus warm path); True — bound
+    failed, bound property missing (pre-r10 index), or an over-cap
+    crawl — sends the caller to the exact census merge, the pre-r10
+    path, so the bound only ever SKIPS work, never changes the hot
+    set. The ub is conservative: exact at build/compact/repair,
+    ``+= max(delta counts)`` per append, so it only drifts upward —
+    a skip is always sound."""
     clash_ids = sorted(r["id"] for r in rows if r["kind"] == "clash")
     if clash_ids:
         _raise_overlap(clash_ids, key, what)
-    ub = next((r["num"] for r in rows if r["kind"] == "ub"), None)
     dmx = next((r["num"] for r in rows if r["kind"] == "dmax"), None) or 0
     return ub is None or ub + dmx > cap
 
@@ -370,10 +371,11 @@ class PendingProbe:
     _delta_post: DataFrame
     _delta_counts: DataFrame
     checks: DataFrame
+    _ub: int | None
 
     def finish(self, rows: list, tau: float = 0.5) -> DataFrame:
         return self._idx._finish_probe_plan(
-            self._delta_post, self._delta_counts, rows, tau
+            self._delta_post, self._delta_counts, rows, self._ub, tau
         )
 
 
@@ -466,24 +468,20 @@ class PostingIndex:
     def _hcount(self) -> str:
         return f"{self.name}_hcount"
 
-    @property
-    def _stats(self) -> str:
-        return f"{self.name}_stats"
-
     def exists(self) -> bool:
         """All index tables present in the catalog — the guard a
         stamped caller pairs with release_stamp before skipping a
         build (a matching stamp with dropped tables must rebuild)."""
         return all(
             self.spark.catalog.tableExists(t)
-            for t in (self._post, self._ns, self._hcount, self._stats)
+            for t in (self._post, self._ns, self._hcount)
         )
 
     def build(self, docs: DataFrame) -> "PostingIndex":
         """Release-time build: write all three sidecars from scratch.
         The postings frame is persisted ONCE so the three write jobs
         share one tokenize/explode pass (ADVICE r8)."""
-        for t in (self._post, self._ns, self._hcount, self._stats):
+        for t in (self._post, self._ns, self._hcount):
             _clean_orphan_location(self.spark, t)
         # persisted ALREADY bucket-aligned: the postings write lands one
         # file per bucket, and the hcount groupBy(h) below is
@@ -498,7 +496,7 @@ class PostingIndex:
         self._write_sidecars(post, mode="overwrite")
         # exact per-key max over the fresh index (one partition-local
         # agg on the persisted frame) — the probe pre-flight's skip
-        # bound (_probe_preflight)
+        # bound, stored as a table property (zero write jobs)
         self._write_stats(self._exact_max(post))
         return self
 
@@ -527,7 +525,7 @@ class PostingIndex:
         # compact()/repair() re-tighten it to the exact value. A
         # pre-r10 index (stats sidecar absent) recomputes exact from
         # the count sidecar — one bucket-local agg, maintenance-time.
-        prev = _read_ub(self.spark, self._stats)
+        prev = _read_ub(self.spark, self._hcount)
         if prev is None:
             ub = self._exact_max(None)
         else:
@@ -541,7 +539,7 @@ class PostingIndex:
         if frac is None or ub <= self.cap * frac:
             return
         self.compact()
-        if (_read_ub(self.spark, self._stats) or 0) > self.cap * frac:
+        if (_read_ub(self.spark, self._hcount) or 0) > self.cap * frac:
             self.auto_compact_ub_frac = None  # true max, not drift
 
     def _exact_max(self, post: DataFrame | None) -> int:
@@ -557,7 +555,7 @@ class PostingIndex:
         return int(row[0]) if row and row[0] is not None else 0
 
     def _write_stats(self, ub: int) -> None:
-        _write_ub(self.spark, self._stats, ub)
+        _write_ub(self.spark, self._hcount, ub)
 
     def _write_sidecars(self, post: DataFrame, mode: str) -> None:
         # ns changes keys (doc_id), so it aligns explicitly; hcount's
@@ -612,30 +610,31 @@ class PostingIndex:
             F.count(F.lit(1)).alias("n_delta")
         )
         checks = _preflight_frame(
-            self.spark,
-            self._stats,
-            delta_counts.agg(F.max("n_delta").alias("num")),
-            clash,
+            delta_counts.agg(F.max("n_delta").alias("num")), clash
         )
-        return PendingProbe(self, delta_post, delta_counts, checks)
+        return PendingProbe(
+            self, delta_post, delta_counts, checks,
+            _read_ub(self.spark, self._hcount),
+        )
 
     def _finish_probe_plan(
         self,
         delta_post: DataFrame,
         delta_counts: DataFrame,
         rows: list,
+        ub: int | None,
         tau: float,
     ) -> DataFrame:
         spark = self.spark
         index_post = spark.table(self._post)
         # pre-flight verdicts from the collected rows: admission guard
-        # + the _stats-bound skip. The common warm path (natural
+        # + the ub-bound skip. The common warm path (natural
         # corpus, ub + crawl max well under cap) never touches the
         # stored count sidecar — previously EVERY probe aggregated it
         # and broadcast-joined the delta counts just to learn the hot
         # set is empty.
         may_have_hot = _preflight_verdict(
-            rows, self.cap, "doc_id", f"PostingIndex({self.name}).probe"
+            rows, ub, self.cap, "doc_id", f"PostingIndex({self.name}).probe"
         )
         has_hot = False
         hot_keys = None
@@ -753,7 +752,6 @@ class PostingIndex:
             self._post,
             self._ns,
             self._hcount,
-            self._stats,
             f"{self._hcount}_compact_tmp",
         )
 
@@ -796,10 +794,6 @@ class BandIndex:
     def _bcount(self) -> str:
         return f"{self.name}_bcount"
 
-    @property
-    def _stats(self) -> str:
-        return f"{self.name}_bstats"
-
     def _exact_max(self, bands: DataFrame | None) -> int:
         """Max per-(band, bucket) count: of one generation's band rows,
         or of the whole stored count sidecar when ``bands`` is None."""
@@ -825,14 +819,14 @@ class BandIndex:
         """See PostingIndex.exists."""
         return all(
             self.spark.catalog.tableExists(t)
-            for t in (self._bands, self._sh, self._bcount, self._stats)
+            for t in (self._bands, self._sh, self._bcount)
         )
 
     def build(self, docs: DataFrame) -> "BandIndex":
         # persist the band rows so the bands write + count write share
         # one tokenize/minhash pass (ADVICE r8); the sh sidecar is a
         # different lineage (arrays, not postings) and writes once
-        for t in (self._bands, self._sh, self._bcount, self._stats):
+        for t in (self._bands, self._sh, self._bcount):
             _clean_orphan_location(self.spark, t)
         bands, sh = self._band_rows(docs)
         bands = _fresh_persist(
@@ -846,7 +840,7 @@ class BandIndex:
             self.buckets, "doc_id"
         ).mode("overwrite").saveAsTable(self._sh)
         self._write_counts(bands, mode="overwrite")
-        _write_ub(self.spark, self._stats, self._exact_max(bands))
+        _write_ub(self.spark, self._bcount, self._exact_max(bands))
         return self
 
     def append(self, crawl: DataFrame) -> None:
@@ -869,12 +863,12 @@ class BandIndex:
         self._write_counts(bands, mode="append")
         # conservative bound drift, re-tightened by compact()/repair()
         # — see PostingIndex.append
-        prev = _read_ub(self.spark, self._stats)
+        prev = _read_ub(self.spark, self._bcount)
         if prev is None:
             ub = self._exact_max(None)
         else:
             ub = prev + self._exact_max(bands)
-        _write_ub(self.spark, self._stats, ub)
+        _write_ub(self.spark, self._bcount, ub)
         self._maybe_auto_compact(ub)
 
     def _maybe_auto_compact(self, ub: int) -> None:
@@ -883,7 +877,7 @@ class BandIndex:
         if frac is None or ub <= self.cap * frac:
             return
         self.compact()
-        if (_read_ub(self.spark, self._stats) or 0) > self.cap * frac:
+        if (_read_ub(self.spark, self._bcount) or 0) > self.cap * frac:
             self.auto_compact_ub_frac = None  # true max, not drift
 
     def _write_counts(self, bands: DataFrame, mode: str) -> None:
@@ -915,16 +909,17 @@ class BandIndex:
         delta_counts = delta_bands.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("n_delta")
         )
-        # ONE pre-flight action: admission guard + the _stats-bound
+        # ONE pre-flight action: admission guard + the ub-bound
         # hot-bucket skip (see PostingIndex.prepare_probe)
         rows = _preflight_frame(
-            spark,
-            self._stats,
-            delta_counts.agg(F.max("n_delta").alias("num")),
-            clash,
+            delta_counts.agg(F.max("n_delta").alias("num")), clash
         ).collect()
         may_have_hot = _preflight_verdict(
-            rows, self.cap, "doc_id", f"BandIndex({self.name}).probe"
+            rows,
+            _read_ub(spark, self._bcount),
+            self.cap,
+            "doc_id",
+            f"BandIndex({self.name}).probe",
         )
         has_hot = False
         big = None
@@ -996,7 +991,7 @@ class BandIndex:
         (band, bucket) — see PostingIndex.compact. Re-tightens the
         pre-flight upper bound to the exact stored max."""
         _compact_counts(self.spark, self._bcount, ["band", "bucket"], self.buckets)
-        _write_ub(self.spark, self._stats, self._exact_max(None))
+        _write_ub(self.spark, self._bcount, self._exact_max(None))
 
     def reconcile(self) -> dict[str, int | bool]:
         """``_bcount`` must account for exactly the band table's rows
@@ -1022,7 +1017,7 @@ class BandIndex:
         rows or rebuild; the docstring IS the documented recovery
         contract (ADVICE r8)."""
         self._write_counts(self.spark.table(self._bands), mode="overwrite")
-        _write_ub(self.spark, self._stats, self._exact_max(None))
+        _write_ub(self.spark, self._bcount, self._exact_max(None))
 
     def drop(self) -> None:
         _drop(
@@ -1030,7 +1025,6 @@ class BandIndex:
             self._bands,
             self._sh,
             self._bcount,
-            self._stats,
             f"{self._bcount}_compact_tmp",
         )
 

@@ -194,7 +194,7 @@ def test_append_auto_compacts_on_drifted_bound(spark):
                     [((m + 1) * 1_000_000 + i, _body(f"g{m}x{i}")) for i in range(3)],
                 )
             )
-        ub = _read_ub(spark, idx._stats)
+        ub = _read_ub(spark, idx._hcount)
         assert ub is not None and ub <= 8 * 0.75  # a compact re-tightened it
         assert idx.auto_compact_ub_frac is not None  # not a true-max corpus
         n_rows = spark.table(idx._hcount).count()
