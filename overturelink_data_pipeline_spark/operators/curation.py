@@ -1036,8 +1036,12 @@ SHARD_MAX_ROWS = 16
 #: rows), never file granularity.
 SHARD_SALT_ROWS = 1024
 
-#: Parent of all shard-output leaves (per-user scoped; see scratch.py).
-SHARD_PARENT = scratch.scratch_root("train_shards")
+def shard_parent() -> str:
+    """Parent of all processes' shard leaves — resolved PER CALL (not
+    at import) so $SPARK_GRAFT_SCRATCH set after import is honored and
+    a fork()ed child doesn't inherit a path frozen from the parent's
+    environment (review r10)."""
+    return scratch.scratch_root("train_shards")
 
 #: Output dataset — per-user root + per-PROCESS leaf + dead-owner
 #: reaping (scratch.py has the full contract). History of this knob:
@@ -1053,7 +1057,14 @@ SHARD_PARENT = scratch.scratch_root("train_shards")
 #: never share a leaf, and sink_training_shards reaps dead siblings
 #: before each write, so sequential bench subprocesses leave ~one
 #: copy standing in steady state.
-SHARD_OUT_DIR = scratch.process_dir("train_shards", "docs")
+def shard_out_dir() -> str:
+    """The caller's own shard-dataset leaf — per call rather than a
+    module constant so the pid is the CALLING process's (an import-then
+    -fork driver would otherwise hand every child the parent's leaf,
+    recreating exactly the concurrent mode("overwrite") race the
+    per-process leaf exists to kill) and the env override stays live
+    (review r10)."""
+    return scratch.process_dir("train_shards", "docs")
 
 
 @spark_query(
@@ -1117,8 +1128,8 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bench subprocesses) before writing our own per-process leaf —
     # keeps the steady-state footprint at ~one dataset copy without
     # racing a live concurrent invocation (scratch.py contract)
-    scratch.reap_dead_owners(SHARD_PARENT)
-    out = SHARD_OUT_DIR
+    scratch.reap_dead_owners(shard_parent())
+    out = shard_out_dir()
     salted = docs.withColumn(
         "salt", (F.col("doc_id") / SHARD_SALT_ROWS).cast("long")
     )

@@ -629,6 +629,8 @@ def dedup_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from overturelink_data_pipeline_spark.operators.lifecycle import (
         PostingIndex,
         corpus_fingerprint,
+        fingerprint_leg,
+        stored_stamp_leg,
         write_release_stamp,
     )
 
@@ -637,38 +639,32 @@ def dedup_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = PostingIndex(spark, "dlp_index")
     docs = read_table(spark, sf_dir, "documents")
     crawl = corpus.filter(delta & (F.col("doc_id") % 2 == 1))
-    fp_cols = [F.col("doc_id"), F.col("n_chars"), F.col("source")]
+    fp_cols = ("doc_id", "n_chars", "source")
+    fp = None
     if idx.exists() and spark.catalog.tableExists(f"{idx.name}_meta"):
         pending = idx.prepare_probe(crawl)
-        # fingerprint + stored-stamp legs join the probe pre-flight:
-        # the string formats must agree (both render the DECIMAL(38,0)
-        # hash sum as a plain integer), pinned by
-        # tests/test_round10_ops.py::test_fused_stamp_leg_format
-        fp_leg = docs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*fp_cols).cast("decimal(38,0)")).alias("hs"),
-        ).select(
-            F.lit("fp").alias("kind"),
-            F.lit(None).cast("long").alias("num"),
-            F.concat(
-                F.lit("v1:"), F.col("n").cast("string"),
-                F.lit(":"), F.col("hs").cast("string"),
-            ).alias("id"),
+        # fingerprint + stored-stamp legs join the probe pre-flight —
+        # lifecycle.fingerprint_leg / stored_stamp_leg, the one
+        # implementation of the stamp aggregate and its rendering
+        # (format parity with the Python side pinned by
+        # tests/test_round10_ops.py::test_fused_stamp_leg_format)
+        rows = (
+            pending.checks.unionByName(fingerprint_leg(docs, fp_cols))
+            .unionByName(stored_stamp_leg(spark, idx.name))
+            .collect()
         )
-        stamp_leg = spark.table(f"{idx.name}_meta").select(
-            F.lit("stamp").alias("kind"),
-            F.lit(None).cast("long").alias("num"),
-            F.col("stamp").alias("id"),
-        )
-        rows = pending.checks.unionByName(fp_leg).unionByName(stamp_leg).collect()
         fp = next((r["id"] for r in rows if r["kind"] == "fp"), None)
         stored = next((r["id"] for r in rows if r["kind"] == "stamp"), None)
         if fp is not None and fp == stored:
             return pending.finish(rows)
     idx.build(corpus.filter(~delta))
     idx.append(corpus.filter(delta & (F.col("doc_id") % 2 == 0)))
+    # a stale-stamp rebuild already paid the fingerprint scan in the
+    # fused pre-flight — reuse it instead of a second full-corpus
+    # aggregate (review r10); only the cold path (no standing release)
+    # computes it here
     write_release_stamp(
-        spark, idx.name, corpus_fingerprint(docs, "doc_id", "n_chars", "source")
+        spark, idx.name, fp if fp is not None else corpus_fingerprint(docs, *fp_cols)
     )
     return idx.probe(crawl)
 

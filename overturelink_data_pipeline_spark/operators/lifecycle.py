@@ -69,6 +69,8 @@ __all__ = [
     "SemanticRelease",
     "PendingProbe",
     "release_current",
+    "fingerprint_leg",
+    "stored_stamp_leg",
     "shingle_table",
 ]
 
@@ -204,17 +206,60 @@ def corpus_fingerprint(docs: DataFrame, *cols: str) -> str:
     append-only/immutable-doc contract where (id, length) uniquely
     tracks content; callers choosing that trade must say so (the
     registered dedup_lifecycle_probe does, in its docstring)."""
-    # DECIMAL(38,0) accumulator: a SUM over int64 hashes overflows long
-    # almost immediately and ANSI mode (the driver session default)
-    # turns that into ARITHMETIC_OVERFLOW; 38 digits hold the exact sum
-    # to ~1e19 rows
-    row = docs.agg(
+    row = _fingerprint_agg(docs, cols).first()
+    return _stamp(row["n"], row["hs"])
+
+
+def _fingerprint_agg(docs: DataFrame, cols) -> DataFrame:
+    """The 1-row ``(n, hs)`` corpus-fingerprint aggregate — the ONE
+    implementation behind corpus_fingerprint, release_current, and
+    fingerprint_leg (three hand-rolled copies drifted apart would
+    silently rebuild every run or skip a needed rebuild; review r10).
+
+    DECIMAL(38,0) accumulator: a SUM over int64 hashes overflows long
+    almost immediately and ANSI mode (the driver session default)
+    turns that into ARITHMETIC_OVERFLOW; 38 digits hold the exact sum
+    to ~1e19 rows."""
+    return docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
         ).alias("hs"),
-    ).first()
-    return f"v1:{row['n']}:{row['hs']}"
+    )
+
+
+def _stamp(n, hs) -> str:
+    """Render a fingerprint row as the stamp string. Must agree with
+    fingerprint_leg's SQL-side rendering (both print the DECIMAL(38,0)
+    sum as a plain integer) — pinned by
+    tests/test_round10_ops.py::test_fused_stamp_leg_format."""
+    return f"v1:{n}:{hs}"
+
+
+def fingerprint_leg(docs: DataFrame, cols, kind: str = "fp") -> DataFrame:
+    """corpus_fingerprint as a 1-row ``(kind, num, id)`` leg for a
+    _preflight_frame union — the stamp string lands under ``id`` so a
+    warm caller's idempotence check rides the probe's single pre-flight
+    collect instead of paying its own driver action."""
+    return _fingerprint_agg(docs, cols).select(
+        F.lit(kind).alias("kind"),
+        F.lit(None).cast("long").alias("num"),
+        F.concat(
+            F.lit("v1:"), F.col("n").cast("string"),
+            F.lit(":"), F.col("hs").cast("string"),
+        ).alias("id"),
+    )
+
+
+def stored_stamp_leg(spark: SparkSession, name: str, kind: str = "stamp") -> DataFrame:
+    """The stored release stamp as a 1-row ``(kind, num, id)`` leg
+    (empty frame when the meta table is empty — callers read absence
+    as not-current). Caller checks the meta table exists."""
+    return spark.table(f"{name}_meta").select(
+        F.lit(kind).alias("kind"),
+        F.lit(None).cast("long").alias("num"),
+        F.col("stamp").alias("id"),
+    )
 
 
 def release_current(
@@ -226,20 +271,15 @@ def release_current(
     invocation; cross-joining the 1-row aggregate with the 1-row meta
     table folds them into one. Fingerprint column choice: see
     corpus_fingerprint's content-blindness note."""
-    agg = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
-        ).alias("hs"),
-    )
+    agg = _fingerprint_agg(docs, cols)
     meta = f"{name}_meta"
     if spark.catalog.tableExists(meta):
         row = agg.crossJoin(spark.table(meta)).first()
         if row is not None:  # empty meta table → not current
-            stamp = f"v1:{row['n']}:{row['hs']}"
+            stamp = _stamp(row["n"], row["hs"])
             return stamp, row["stamp"] == stamp
     row = agg.first()
-    return f"v1:{row['n']}:{row['hs']}", False
+    return _stamp(row["n"], row["hs"]), False
 
 
 def _assert_disjoint(stored: DataFrame, incoming: DataFrame, key: str, what: str) -> None:
@@ -313,6 +353,67 @@ def _read_ub(spark: SparkSession, table: str) -> int | None:
     return None
 
 
+def _exact_max(
+    spark: SparkSession, sidecar: str, keys: list[str],
+    generation: DataFrame | None = None,
+) -> int:
+    """Max merged per-key count: of one generation's rows (postings /
+    band rows — each row counts 1) when ``generation`` is given, else
+    of the whole stored count sidecar (SUM of its per-append rows,
+    partition-local on the bucket layout). One implementation for both
+    index families (review r10 — the per-class copies had to be kept
+    in sync by hand)."""
+    if generation is None:
+        frame = spark.table(sidecar).groupBy(*keys).agg(F.sum("n").alias("n"))
+    else:
+        frame = generation.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    row = frame.agg(F.max("n")).first()
+    return int(row[0]) if row and row[0] is not None else 0
+
+
+def _drift_ub_for_append(
+    spark: SparkSession, sidecar: str, keys: list[str], generation: DataFrame
+) -> int | None:
+    """Write the drifted pre-flight bound BEFORE the append's data
+    writes (review r10): ``prev + max(generation)`` bounds every
+    partial state of the append — the stored max can grow by at most
+    the generation's own max — so a crash anywhere between the data
+    writes and a (former) post-write property update can never leave a
+    stale-LOW bound that lets probes unsoundly skip a real hot key
+    (reconcile() compares ROW counts and would report such a state
+    consistent). Returns the drifted ub, or None when no bound was
+    stored (pre-r10 index): the property then stays absent through the
+    writes — absent reads as "take the exact census", the sound slow
+    path — and the caller derives the exact value after its writes."""
+    prev = _read_ub(spark, sidecar)
+    if prev is None:
+        return None
+    ub = prev + _exact_max(spark, sidecar, keys, generation)
+    _write_ub(spark, sidecar, ub)
+    return ub
+
+
+def _settle_ub_after_append(idx, sidecar: str, keys: list[str], ub: int | None) -> None:
+    """After the append's data writes landed: derive the exact bound if
+    none was stored before (pre-r10 index — one bucket-local agg,
+    maintenance-time), then run the bound-based auto-compact check."""
+    if ub is None:
+        ub = _exact_max(idx.spark, sidecar, keys)
+        _write_ub(idx.spark, sidecar, ub)
+    _auto_compact(idx, sidecar, ub)
+
+
+def _auto_compact(idx, sidecar: str, ub: int) -> None:
+    """Bound-based auto-compact shared by both index families — see
+    PostingIndex.auto_compact_ub_frac for the rationale."""
+    frac = idx.auto_compact_ub_frac
+    if frac is None or ub <= idx.cap * frac:
+        return
+    idx.compact()
+    if (_read_ub(idx.spark, sidecar) or 0) > idx.cap * frac:
+        idx.auto_compact_ub_frac = None  # true max, not drift
+
+
 def _preflight_frame(dmax: DataFrame, clash: DataFrame | None) -> DataFrame:
     """The probe's pre-flight as ONE lazy tagged-union frame
     ``(kind, num, id)`` (r10 warm shave, VERDICT r9 ask #4): the
@@ -353,9 +454,16 @@ def _preflight_verdict(
     set. The ub is conservative: exact at build/compact/repair,
     ``+= max(delta counts)`` per append, so it only drifts upward —
     a skip is always sound."""
-    clash_ids = sorted(r["id"] for r in rows if r["kind"] == "clash")
+    clash_ids = [r["id"] for r in rows if r["kind"] == "clash"]
     if clash_ids:
-        _raise_overlap(clash_ids, key, what)
+        # the union leg carries ids as strings; report them native so
+        # the error matches _assert_disjoint's (numeric ids sort
+        # numerically, not lexicographically — review r10)
+        try:
+            clash_ids = [int(v) for v in clash_ids]
+        except (TypeError, ValueError):
+            pass
+        _raise_overlap(sorted(clash_ids), key, what)
     dmx = next((r["num"] for r in rows if r["kind"] == "dmax"), None) or 0
     return ub is None or ub + dmx > cap
 
@@ -497,7 +605,7 @@ class PostingIndex:
         # exact per-key max over the fresh index (one partition-local
         # agg on the persisted frame) — the probe pre-flight's skip
         # bound, stored as a table property (zero write jobs)
-        self._write_stats(self._exact_max(post))
+        _write_ub(self.spark, self._hcount, _exact_max(self.spark, self._hcount, ["h"], post))
         return self
 
     def append(self, crawl: DataFrame) -> None:
@@ -516,46 +624,16 @@ class PostingIndex:
                 self.spark.table(self._ns), post, "doc_id",
                 f"PostingIndex({self.name}).append",
             )
+        # the bound drifts conservative (stored max ≤ old max + this
+        # append's max; compact()/repair() re-tighten) and is written
+        # BEFORE the data writes so a mid-append crash can only leave
+        # it too high, never stale-low — see _drift_ub_for_append
+        ub = _drift_ub_for_append(self.spark, self._hcount, ["h"], post)
         post.write.bucketBy(self.buckets, "h").sortBy("h").mode(
             "append"
         ).saveAsTable(self._post)
         self._write_sidecars(post, mode="append")
-        # the bound drifts conservative: stored max ≤ old max + this
-        # append's max (equality only when one key holds both maxima);
-        # compact()/repair() re-tighten it to the exact value. A
-        # pre-r10 index (stats sidecar absent) recomputes exact from
-        # the count sidecar — one bucket-local agg, maintenance-time.
-        prev = _read_ub(self.spark, self._hcount)
-        if prev is None:
-            ub = self._exact_max(None)
-        else:
-            ub = prev + self._exact_max(post)
-        self._write_stats(ub)
-        self._maybe_auto_compact(ub)
-
-    def _maybe_auto_compact(self, ub: int) -> None:
-        """See auto_compact_ub_frac."""
-        frac = self.auto_compact_ub_frac
-        if frac is None or ub <= self.cap * frac:
-            return
-        self.compact()
-        if (_read_ub(self.spark, self._hcount) or 0) > self.cap * frac:
-            self.auto_compact_ub_frac = None  # true max, not drift
-
-    def _exact_max(self, post: DataFrame | None) -> int:
-        """Max per-key count: of one generation's postings frame, or of
-        the whole stored count sidecar when ``post`` is None."""
-        if post is None:
-            frame = self.spark.table(self._hcount).groupBy("h").agg(
-                F.sum("n").alias("n")
-            )
-        else:
-            frame = post.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
-        row = frame.agg(F.max("n")).first()
-        return int(row[0]) if row and row[0] is not None else 0
-
-    def _write_stats(self, ub: int) -> None:
-        _write_ub(self.spark, self._hcount, ub)
+        _settle_ub_after_append(self, self._hcount, ["h"], ub)
 
     def _write_sidecars(self, post: DataFrame, mode: str) -> None:
         # ns changes keys (doc_id), so it aligns explicitly; hcount's
@@ -719,7 +797,7 @@ class PostingIndex:
         re-tightens the probe pre-flight's upper bound to the exact
         stored max (append drift is one-directional — see append)."""
         _compact_counts(self.spark, self._hcount, ["h"], self.buckets)
-        self._write_stats(self._exact_max(None))
+        _write_ub(self.spark, self._hcount, _exact_max(self.spark, self._hcount, ["h"]))
 
     def reconcile(self) -> dict[str, int | bool]:
         """Consistency check for a suspected partial append: both
@@ -744,7 +822,7 @@ class PostingIndex:
         (groupBy doc_id over a bucketed-by-h table), acceptable for a
         one-off recovery."""
         self._write_sidecars(self.spark.table(self._post), mode="overwrite")
-        self._write_stats(self._exact_max(None))
+        _write_ub(self.spark, self._hcount, _exact_max(self.spark, self._hcount, ["h"]))
 
     def drop(self) -> None:
         _drop(
@@ -794,20 +872,6 @@ class BandIndex:
     def _bcount(self) -> str:
         return f"{self.name}_bcount"
 
-    def _exact_max(self, bands: DataFrame | None) -> int:
-        """Max per-(band, bucket) count: of one generation's band rows,
-        or of the whole stored count sidecar when ``bands`` is None."""
-        if bands is None:
-            frame = self.spark.table(self._bcount).groupBy("band", "bucket").agg(
-                F.sum("n").alias("n")
-            )
-        else:
-            frame = bands.groupBy("band", "bucket").agg(
-                F.count(F.lit(1)).alias("n")
-            )
-        row = frame.agg(F.max("n")).first()
-        return int(row[0]) if row and row[0] is not None else 0
-
     def _band_rows(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         # postings via the inline-explode shape (_postings docstring);
         # the shingle-ARRAY frame is built separately for the verify
@@ -840,7 +904,10 @@ class BandIndex:
             self.buckets, "doc_id"
         ).mode("overwrite").saveAsTable(self._sh)
         self._write_counts(bands, mode="overwrite")
-        _write_ub(self.spark, self._bcount, self._exact_max(bands))
+        _write_ub(
+            self.spark, self._bcount,
+            _exact_max(self.spark, self._bcount, ["band", "bucket"], bands),
+        )
         return self
 
     def append(self, crawl: DataFrame) -> None:
@@ -854,6 +921,12 @@ class BandIndex:
                 self.spark.table(self._sh), bands, "doc_id",
                 f"BandIndex({self.name}).append",
             )
+        # drifted bound written BEFORE the data writes (crash-sound)
+        # and re-tightened by compact()/repair() — see
+        # _drift_ub_for_append and PostingIndex.append
+        ub = _drift_ub_for_append(
+            self.spark, self._bcount, ["band", "bucket"], bands
+        )
         bands.write.bucketBy(self.buckets, "band", "bucket").sortBy(
             "band", "bucket"
         ).mode("append").saveAsTable(self._bands)
@@ -861,24 +934,7 @@ class BandIndex:
             self.buckets, "doc_id"
         ).mode("append").saveAsTable(self._sh)
         self._write_counts(bands, mode="append")
-        # conservative bound drift, re-tightened by compact()/repair()
-        # — see PostingIndex.append
-        prev = _read_ub(self.spark, self._bcount)
-        if prev is None:
-            ub = self._exact_max(None)
-        else:
-            ub = prev + self._exact_max(bands)
-        _write_ub(self.spark, self._bcount, ub)
-        self._maybe_auto_compact(ub)
-
-    def _maybe_auto_compact(self, ub: int) -> None:
-        """See PostingIndex.auto_compact_ub_frac."""
-        frac = self.auto_compact_ub_frac
-        if frac is None or ub <= self.cap * frac:
-            return
-        self.compact()
-        if (_read_ub(self.spark, self._bcount) or 0) > self.cap * frac:
-            self.auto_compact_ub_frac = None  # true max, not drift
+        _settle_ub_after_append(self, self._bcount, ["band", "bucket"], ub)
 
     def _write_counts(self, bands: DataFrame, mode: str) -> None:
         # partition-local + one file per bucket: the caller's frame is
@@ -991,7 +1047,10 @@ class BandIndex:
         (band, bucket) — see PostingIndex.compact. Re-tightens the
         pre-flight upper bound to the exact stored max."""
         _compact_counts(self.spark, self._bcount, ["band", "bucket"], self.buckets)
-        _write_ub(self.spark, self._bcount, self._exact_max(None))
+        _write_ub(
+            self.spark, self._bcount,
+            _exact_max(self.spark, self._bcount, ["band", "bucket"]),
+        )
 
     def reconcile(self) -> dict[str, int | bool]:
         """``_bcount`` must account for exactly the band table's rows
@@ -1017,7 +1076,10 @@ class BandIndex:
         rows or rebuild; the docstring IS the documented recovery
         contract (ADVICE r8)."""
         self._write_counts(self.spark.table(self._bands), mode="overwrite")
-        _write_ub(self.spark, self._bcount, self._exact_max(None))
+        _write_ub(
+            self.spark, self._bcount,
+            _exact_max(self.spark, self._bcount, ["band", "bucket"]),
+        )
 
     def drop(self) -> None:
         _drop(

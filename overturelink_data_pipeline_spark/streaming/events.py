@@ -101,8 +101,22 @@ def _stream_dir(sf_dir: str) -> str:
             os.symlink(target, link)
         except FileExistsError:
             if os.path.realpath(link) != os.path.realpath(target):
-                os.remove(link)
-                os.symlink(target, link)
+                # atomic repoint (review r10): remove-then-symlink has
+                # a two-step window where a concurrent process sharing
+                # this stable dir dies with FileNotFoundError (both
+                # remove) or FileExistsError (the other re-linked
+                # first) — the same test-suite-plus-bench pairing that
+                # reproduced the r9 sink race. Link a pid-unique temp
+                # name, then rename over: rename(2) replaces the
+                # destination atomically and racers converge on the
+                # same target (content is idempotent).
+                tmp = f"{link}.{os.getpid()}.tmp"
+                try:
+                    os.remove(tmp)
+                except FileNotFoundError:
+                    pass
+                os.symlink(target, tmp)
+                os.replace(tmp, link)
         _stream_dirs[sf_dir] = d
     return _stream_dirs[sf_dir]
 

@@ -18,11 +18,15 @@ probe_crawl = (docs.filter((F.col("doc_id") % 3 == 1) & (F.abs(F.xxhash64("doc_i
     .select((F.col("doc_id") + 90_000_000).alias("doc_id"),
             F.substring("text", 1, F.floor(F.length("text")*0.8).cast("int")).alias("text")))
 idx = cls(spark, temp_name(f"c24_{mode}"))
+# the study measures UNCOMPACTED drift across 24 appends, then one
+# explicit compact() as the B arm — auto-compact firing mid-study
+# would collapse the A arm into the B arm
+idx.auto_compact_ub_frac = None
 t0=time.time(); idx.build(base); print(f"INFO build {time.time()-t0:.1f}s", flush=True)
 sidecar = idx._hcount if mode == "posting" else idx._bcount
 def stat(tag):
     rows = spark.table(sidecar).count()
-    ub = _read_ub(spark, idx._stats)
+    ub = _read_ub(spark, sidecar)
     idx.probe(probe_crawl).count()
     ts=[]
     for _ in range(3):

@@ -123,21 +123,19 @@ def test_fused_stamp_leg_format(spark):
     corpus_fingerprint's Python f-string, or the fused warm path would
     silently rebuild every run (or worse, skip a needed rebuild) —
     negative sums included."""
+    from overturelink_data_pipeline_spark.operators.lifecycle import (
+        fingerprint_leg,
+    )
+
     for rows in (RELEASE(), [(1, "zz neg hash bait zz")]):
         docs = _docs(spark, rows)
         py = corpus_fingerprint(docs, "doc_id", "text")
-        sql = docs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.xxhash64(F.col("doc_id"), F.col("text")).cast("decimal(38,0)")
-            ).alias("hs"),
-        ).select(
-            F.concat(
-                F.lit("v1:"), F.col("n").cast("string"),
-                F.lit(":"), F.col("hs").cast("string"),
-            ).alias("id")
-        ).first()["id"]
-        assert sql == py, (sql, py)
+        # the REAL production leg (post-review there is exactly one
+        # fingerprint implementation — this pins its SQL rendering
+        # against the Python f-string, negative sums included)
+        leg = fingerprint_leg(docs, ("doc_id", "text")).first()
+        assert leg["kind"] == "fp" and leg["num"] is None
+        assert leg["id"] == py, (leg["id"], py)
 
 
 def test_prepare_probe_equals_probe(spark):
@@ -341,3 +339,103 @@ def test_sink_shards_concurrent_processes_get_distinct_dirs():
     assert os.path.dirname(os.path.dirname(theirs)) == os.path.dirname(
         os.path.dirname(mine)
     )
+
+
+# ---------------------------------------------------------------------------
+# review r10 follow-ups: ub crash-soundness, native clash ids, live env
+# override, atomic stream-link repoint
+# ---------------------------------------------------------------------------
+
+
+def test_append_ub_persisted_before_data_writes(spark, monkeypatch):
+    """A crash AFTER the append's data writes but before any post-write
+    maintenance must leave the stored pre-flight bound >= the true
+    merged max (the drifted bound is written BEFORE the data writes).
+    The pre-fix ordering wrote ub last: the crash window left a
+    stale-LOW bound, reconcile() saw consistent row counts, and every
+    later probe unsoundly skipped a genuinely hot key."""
+    from overturelink_data_pipeline_spark.operators import lifecycle
+    from overturelink_data_pipeline_spark.operators.lifecycle import (
+        _exact_max,
+        _read_ub,
+    )
+
+    idx = PostingIndex(spark, temp_name("ubcrash"))
+    try:
+        idx.build(_docs(spark, RELEASE()))
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated crash after data writes")
+
+        monkeypatch.setattr(lifecycle, "_settle_ub_after_append", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            idx.append(_docs(spark, CRAWL()))
+        monkeypatch.undo()
+        ub = _read_ub(spark, idx._hcount)
+        assert ub is not None
+        assert ub >= _exact_max(spark, idx._hcount, ["h"])
+        # probes over the crashed-append state stay sound: the bound
+        # can only be too high (census runs needlessly), never too low
+        got = _pairs(idx.probe(_docs(spark, [(2_000_011, _body("dup"))])))
+        assert (2_000_011, 11) in got and (2_000_011, 1_000_011) in got
+    finally:
+        idx.drop()
+
+
+def test_preflight_clash_ids_report_native_order():
+    """The fused guard's error must report numeric ids numerically
+    sorted (the union leg carries them as strings; pre-fix the message
+    read e.g. ['10', '11', '3'] while _assert_disjoint's read
+    [3, 10, 11])."""
+    from overturelink_data_pipeline_spark.operators.lifecycle import (
+        _preflight_verdict,
+    )
+
+    rows = [
+        {"kind": "clash", "num": None, "id": "10"},
+        {"kind": "clash", "num": None, "id": "3"},
+        {"kind": "dmax", "num": 1, "id": None},
+    ]
+    with pytest.raises(ValueError, match=r"\[3, 10\]"):
+        _preflight_verdict(rows, 0, 100, "doc_id", "t")
+
+
+def test_shard_scratch_override_live_after_import(monkeypatch, tmp_path):
+    """$SPARK_GRAFT_SCRATCH set AFTER import must be honored — the
+    paths are resolved per call, not frozen as module constants (and a
+    fork()ed child resolves its OWN pid leaf)."""
+    from overturelink_data_pipeline_spark.operators import curation
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path / "ovr"))
+    assert curation.shard_out_dir().startswith(str(tmp_path / "ovr"))
+    assert curation.shard_parent().startswith(str(tmp_path / "ovr"))
+    assert f"pid-{os.getpid()}" in curation.shard_out_dir()
+
+
+def test_event_stream_link_repoints_stale_target(monkeypatch, tmp_path):
+    """A stale events symlink (target moved) is repointed atomically —
+    rename over the live name, never remove-then-create — and a stale
+    pid-tmp from a crashed earlier repoint does not wedge it."""
+    import hashlib
+
+    from overturelink_data_pipeline_spark.streaming import events
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path / "scr"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    tgt = sf / "events.parquet"
+    tgt.mkdir()
+    key = hashlib.md5(os.path.abspath(str(sf)).encode()).hexdigest()[:12]
+    d = os.path.join(str(tmp_path / "scr"), "event_stream", key)
+    os.makedirs(d)
+    stale = tmp_path / "elsewhere"
+    stale.mkdir()
+    link = os.path.join(d, "events.parquet")
+    os.symlink(str(stale), link)
+    os.symlink(str(stale), f"{link}.{os.getpid()}.tmp")  # crashed repoint
+    events._stream_dirs.pop(str(sf), None)
+    got = events._stream_dir(str(sf))
+    assert os.path.realpath(os.path.join(got, "events.parquet")) == (
+        os.path.realpath(str(tgt))
+    )
+    assert not os.path.lexists(f"{link}.{os.getpid()}.tmp")

@@ -192,13 +192,13 @@ def test_shard_writer_splits_files_and_sorts(spark, sf_dir):
 
     from overturelink_data_pipeline_spark.operators.curation import SHARD_MAX_ROWS
 
-    from overturelink_data_pipeline_spark.operators.curation import SHARD_OUT_DIR
+    from overturelink_data_pipeline_spark.operators.curation import shard_out_dir
 
     from overturelink_data_pipeline_spark.operators.curation import SHARD_SALT_ROWS
 
     rows = registry.QUERIES["sink_training_shards"](spark, sf_dir).collect()
     assert rows and all(r["n_files"] >= 2 for r in rows), "split path unexercised"
-    salt_dirs = glob.glob(os.path.join(SHARD_OUT_DIR, "source=*", "salt=*"))
+    salt_dirs = glob.glob(os.path.join(shard_out_dir(), "source=*", "salt=*"))
     expected_groups = (
         read_table(spark, sf_dir, "documents")
         .select("source", (F.col("doc_id") / SHARD_SALT_ROWS).cast("long").alias("salt"))
@@ -206,7 +206,7 @@ def test_shard_writer_splits_files_and_sorts(spark, sf_dir):
         .count()
     )
     assert len(salt_dirs) == expected_groups, "salted layout != (source, salt) groups"
-    parts = glob.glob(os.path.join(SHARD_OUT_DIR, "source=*", "salt=*", "*.parquet"))
+    parts = glob.glob(os.path.join(shard_out_dir(), "source=*", "salt=*", "*.parquet"))
     assert parts
     for f in parts[:8]:
         t = pq.read_table(f, columns=["doc_id"])

@@ -16,13 +16,13 @@ def test_shard_manifest_matches_disk(spark, sf_dir):
     for exactly the on-disk files (one row per shard) and exactly the
     input rows — the audit trusts it instead of globbing, so this is
     the test that keeps it honest."""
-    from overturelink_data_pipeline_spark.operators.curation import SHARD_OUT_DIR
+    from overturelink_data_pipeline_spark.operators.curation import shard_out_dir
 
     audit = registry.QUERIES["sink_training_shards"](spark, sf_dir).collect()
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
-    man = spark.read.parquet(SHARD_OUT_DIR + "_manifest")
+    man = spark.read.parquet(shard_out_dir() + "_manifest")
     disk_files = glob.glob(
-        os.path.join(SHARD_OUT_DIR, "source=*", "salt=*", "*.parquet")
+        os.path.join(shard_out_dir(), "source=*", "salt=*", "*.parquet")
     )
     assert man.count() == len(disk_files)
     man_paths = {
