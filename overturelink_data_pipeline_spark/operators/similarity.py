@@ -881,7 +881,21 @@ def _pq_assign_sub(V, C, s: int):
     POSITIONS into C[s]). Ties break to the first (lowest-id) centroid
     (np.argmin), matching the oracle's ORDER BY distance, cl LIMIT 1.
     The matrix form's pairwise summation is shared by every PQ caller,
-    so a near-tie flip cannot split encode from update."""
+    so a near-tie flip cannot split encode from update.
+
+    Cross-ENGINE drift (vs the DuckDB oracle) is accepted as bounded,
+    not eliminated (review r10 raised both channels): (a) numpy's
+    summation order differs from list_distance's fold, so an argmin
+    could flip only on a ~1-ulp tie between two centroid distances —
+    centroids are ROUND(avg, 6) lattice points against real-valued
+    data, so exact ties don't arise and 1-ulp ones are measure-zero;
+    (b) the oracle's partial distances square a sqrt
+    (power(list_distance, 2)) where this side sums squares directly —
+    a ~1e-16-relative wobble that only matters within 1e-16·value of
+    a 0.5e-6 rounding boundary. Forcing identical fold order would
+    mean abandoning the GEMM for per-element UDF loops on both sides;
+    the adc values are rounded to 1e-6/1e-4 precisely so ulp noise
+    cannot reach the compared digits except at those boundaries."""
     Vs = V[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
     d2 = ((Vs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
     return Vs, d2.argmin(axis=1)
@@ -1162,8 +1176,15 @@ def semantic_prune(
         F.array(F.element_at("v", 1) + 0.05),
         F.slice("v", 2, F.size("v") - 1),
     )
-    corpus = with_planted_copies(
-        emb, SEMDEDUP_MODULUS, mangle={"v": perturbed}, id_col="vec_id"
+    # persisted: the scan + cast + planted-copy explode otherwise
+    # re-runs for every Lloyd job (init collect, per-iteration updates,
+    # final assign) — the same shape semantic_prune_incremental
+    # persists for the same reason (measured there: 3.86→3.43 s at sf1)
+    corpus = _fresh_persist(
+        "sem_prune_corpus",
+        with_planted_copies(
+            emb, SEMDEDUP_MODULUS, mangle={"v": perturbed}, id_col="vec_id"
+        ),
     )
     assigned = _lloyd_assign(corpus, _lloyd_fit(corpus, k=k))
 

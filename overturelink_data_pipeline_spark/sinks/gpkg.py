@@ -53,10 +53,25 @@ def _sqlite_type(dt: T.DataType) -> str:
     return "TEXT"
 
 
-def _gp_blob(wkb_bytes: bytes) -> tuple[bytes, tuple[float, float, float, float]]:
+def _gp_blob(
+    wkb_bytes: bytes,
+) -> tuple[bytes, tuple[float, float, float, float] | None]:
     """Wrap WKB in the GeoPackage binary header (magic 'GP', version 0,
-    flags = little-endian + XY envelope) and return (blob, bbox)."""
+    flags = little-endian + XY envelope) and return (blob, bbox).
+
+    EMPTY geometries (bbox is the inf/-inf sentinel) take the spec's
+    empty-geometry form instead — envelope indicator 0 plus the empty
+    flag (bit 4), no envelope doubles — and return bbox None so the
+    layer extent never absorbs ±inf (review r10: packing the sentinel
+    produced min>max envelopes strict readers reject)."""
     xmin, xmax, ymin, ymax = G.bbox(W.loads(wkb_bytes))
+    if xmin > xmax:  # empty geometry sentinel
+        header = (
+            b"GP"
+            + bytes([0, 0b00010001])  # flags: LE + empty, envelope ind 0
+            + struct.pack("<i", _SRS_ID)
+        )
+        return header + bytes(wkb_bytes), None
     header = (
         b"GP"
         + bytes([0, 0b00000011])  # version 0; flags: LE byte order + XY envelope
@@ -124,7 +139,20 @@ def write_gpkg(
         os.remove(path)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
 
-    fields = [f for f in df.schema.fields if f.name != _GEOM_COL]
+    # an existing integral 'fid' column becomes THE primary key (the
+    # round-trip case: read_gpkg_layer returns fid in every row dict) —
+    # emitting it as a regular column alongside the synthesized
+    # autoincrement key produced duplicate-column DDL (review r10)
+    fid_field = next((f for f in df.schema.fields if f.name == "fid"), None)
+    if fid_field is not None and not isinstance(
+        fid_field.dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise ValueError(
+            "GPKG layers key on an INTEGER fid; rename or cast the "
+            f"non-integral 'fid' column ({fid_field.dataType.simpleString()})"
+        )
+    fields = [f for f in df.schema.fields if f.name not in (_GEOM_COL, "fid")]
     has_geom = any(f.name == _GEOM_COL for f in df.schema.fields)
     col_defs = ", ".join(
         f"{_q(f.name)} {_sqlite_type(f.dataType)}" for f in fields
@@ -132,7 +160,12 @@ def write_gpkg(
     con = sqlite3.connect(path)
     try:
         _ensure_gpkg(con)
-        ddl = f"CREATE TABLE {_q(layer)} (fid INTEGER PRIMARY KEY AUTOINCREMENT"
+        pk = (
+            "fid INTEGER PRIMARY KEY"  # caller-supplied values
+            if fid_field is not None
+            else "fid INTEGER PRIMARY KEY AUTOINCREMENT"
+        )
+        ddl = f"CREATE TABLE {_q(layer)} ({pk}"
         if col_defs:
             ddl += ", " + col_defs
         if has_geom:
@@ -140,7 +173,11 @@ def write_gpkg(
         ddl += ")"
         con.execute(ddl)
 
-        names = [f.name for f in fields] + ([_GEOM_COL] if has_geom else [])
+        names = (
+            (["fid"] if fid_field is not None else [])
+            + [f.name for f in fields]
+            + ([_GEOM_COL] if has_geom else [])
+        )
         placeholders = ", ".join("?" for _ in names)
         insert = (
             f"INSERT INTO {_q(layer)} ({', '.join(_q(n) for n in names)}) "
@@ -150,32 +187,44 @@ def write_gpkg(
         n = 0
         ext = [None, None, None, None]  # min_x, min_y, max_x, max_y
         geom_types: set[str] = set()
-        simple = {
-            f.name: not isinstance(
-                f.dataType, (T.StructType, T.ArrayType, T.MapType)
-            )
-            for f in fields
-        }
+
+        def _converter(f):
+            # sqlite3 cannot bind decimal.Decimal (review r10 — verified
+            # ProgrammingError), and binding date/datetime relies on the
+            # deprecated default adapters; both columns are declared
+            # REAL/TEXT, so convert driver-side
+            if isinstance(f.dataType, T.DecimalType):
+                return float
+            if isinstance(f.dataType, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+                return lambda v: v.isoformat()
+            if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+                return str  # nested types stringify (GPKG is flat)
+            return None
+
+        convert = {f.name: _converter(f) for f in fields}
 
         def encode_row(row) -> tuple:
             nonlocal n
-            vals = []
+            vals = [row["fid"]] if fid_field is not None else []
             for f in fields:
                 v = row[f.name]
-                if v is not None and not simple[f.name]:
-                    v = str(v)  # nested types stringify (GPKG is flat)
+                c = convert[f.name]
+                if v is not None and c is not None:
+                    v = c(v)
                 vals.append(v)
             if has_geom:
                 wkb_bytes = row[_GEOM_COL]
                 if wkb_bytes is None:
                     vals.append(None)
                 else:
-                    blob, (xmin, xmax, ymin, ymax) = _gp_blob(bytes(wkb_bytes))
+                    blob, bb = _gp_blob(bytes(wkb_bytes))
                     geom_types.add(W.geometry_type(bytes(wkb_bytes)))
-                    ext[0] = xmin if ext[0] is None else min(ext[0], xmin)
-                    ext[1] = ymin if ext[1] is None else min(ext[1], ymin)
-                    ext[2] = xmax if ext[2] is None else max(ext[2], xmax)
-                    ext[3] = ymax if ext[3] is None else max(ext[3], ymax)
+                    if bb is not None:  # empty geoms carry no envelope
+                        xmin, xmax, ymin, ymax = bb
+                        ext[0] = xmin if ext[0] is None else min(ext[0], xmin)
+                        ext[1] = ymin if ext[1] is None else min(ext[1], ymin)
+                        ext[2] = xmax if ext[2] is None else max(ext[2], xmax)
+                        ext[3] = ymax if ext[3] is None else max(ext[3], ymax)
                     vals.append(blob)
             n += 1
             return tuple(vals)
@@ -187,11 +236,19 @@ def write_gpkg(
             geom_types.pop().upper() if len(geom_types) == 1 else "GEOMETRY"
         )
         now = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.000Z")
+        # spec: 'features' REQUIRES a gpkg_geometry_columns row, so a
+        # geometry-less layer registers as 'attributes' (review r10 —
+        # the old 'features' row without one was spec-invalid)
         con.execute(
             "INSERT OR REPLACE INTO gpkg_contents "
             "(table_name, data_type, identifier, description, last_change, "
             " min_x, min_y, max_x, max_y, srs_id) VALUES (?,?,?,?,?,?,?,?,?,?)",
-            (layer, "features", layer, "", now, ext[0], ext[1], ext[2], ext[3], _SRS_ID),
+            (
+                layer,
+                "features" if has_geom else "attributes",
+                layer, "", now,
+                ext[0], ext[1], ext[2], ext[3], _SRS_ID,
+            ),
         )
         if has_geom:
             con.execute(
@@ -267,10 +324,18 @@ def read_gpkg_layer(path: str, layer: str) -> list[dict]:
 
 
 def unwrap_gp_blob(blob: bytes) -> bytes:
-    """Strip the GP header (respecting its flags) → standard WKB."""
-    if blob[:2] != b"GP":
+    """Strip the GP header (respecting its flags) → standard WKB.
+    Malformed blobs raise ValueError per the module contract — never a
+    bare KeyError/IndexError (review r10): indicators 5-7 are invalid
+    per spec, and a blob shorter than the fixed 8-byte header cannot
+    be a GP geometry at all."""
+    if len(blob) < 8 or blob[:2] != b"GP":
         raise ValueError("not a GeoPackage geometry blob")
     flags = blob[3]
     envelope_ind = (flags >> 1) & 0b111
-    env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[envelope_ind]
+    env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}.get(envelope_ind)
+    if env_len is None:
+        raise ValueError(
+            f"invalid GeoPackage envelope indicator {envelope_ind}"
+        )
     return blob[8 + env_len :]

@@ -46,9 +46,23 @@ class CacheMetadata:
     cached_at: str
 
     @classmethod
-    def from_json(cls, path: str) -> CacheMetadata:
-        with open(path) as f:
-            return cls(**json.load(f))
+    def from_json(cls, path: str) -> CacheMetadata | None:
+        """Parse a sidecar; None when it is unreadable. Tolerant by
+        design (review r10): a truncated sidecar or one written by a
+        newer version with extra keys must degrade to a skipped entry —
+        a strict ``cls(**json.load(f))`` made ONE corrupt file crash
+        list/stats AND clear-cache, disabling exactly the tool that
+        recovers from corruption. Unknown keys are dropped; missing
+        keys (or non-dict JSON) read as unreadable."""
+        import dataclasses
+
+        try:
+            with open(path) as f:
+                raw = json.load(f)
+            known = {fl.name for fl in dataclasses.fields(cls)}
+            return cls(**{k: v for k, v in raw.items() if k in known})
+        except (OSError, ValueError, TypeError, AttributeError):
+            return None
 
 
 def sector_name(theme: str, type_: str) -> str:
@@ -180,12 +194,15 @@ def read_cache(
 # -- S7: list / stats / clear ------------------------------------------------
 
 def list_cache(root: str) -> list[CacheMetadata]:
-    """Walk metadata sidecars (reference source.py:1569-1641)."""
+    """Walk metadata sidecars (reference source.py:1569-1641);
+    unreadable sidecars are skipped (from_json's tolerance contract)."""
     out = []
     for dirpath, _dirs, files in os.walk(root):
         for name in sorted(files):
             if name.endswith(".meta.json"):
-                out.append(CacheMetadata.from_json(os.path.join(dirpath, name)))
+                meta = CacheMetadata.from_json(os.path.join(dirpath, name))
+                if meta is not None:
+                    out.append(meta)
     return out
 
 
@@ -211,9 +228,18 @@ def cache_stats(root: str) -> dict:
 
 def clear_cache(root: str, release: str | None = None) -> int:
     """Remove cache trees; returns removed entry count (reference
-    source.py:1674-1695)."""
+    source.py:1674-1695). Clearing everything removes the root's
+    CHILDREN, not the root itself (review r10): the configured cache
+    root may be a standing directory holding unrelated artifacts, and
+    callers expect it to exist afterward."""
     n = len([e for e in list_cache(root) if release is None or e.release == release])
-    target = os.path.join(root, release) if release else root
-    if os.path.exists(target):
-        shutil.rmtree(target)
+    if release:
+        target = os.path.join(root, release)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        return n
+    if os.path.isdir(root):
+        for child in os.listdir(root):
+            p = os.path.join(root, child)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
     return n

@@ -497,3 +497,138 @@ def test_shapefile_roundtrip(spark, tmp_path):
 
     with _pt.raises(ValueError, match="split_by_geometry"):
         write_shapefile(mixed, str(tmp_path / "mixed.shp"))
+
+
+def test_gpkg_decimal_date_and_fid_columns(spark, tmp_path):
+    """review r10: sqlite3 cannot bind decimal.Decimal (DecimalType
+    maps to REAL but the value crashed executemany), and an incoming
+    'fid' column used to produce duplicate-column DDL. Decimals land
+    as floats, dates as ISO text, and an integral fid becomes THE
+    primary key (the read-back round-trip case)."""
+    import datetime
+    from decimal import Decimal
+
+    from overturelink_data_pipeline_spark.sinks.gpkg import (
+        read_gpkg_layer,
+        write_gpkg,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, Decimal("12.50"), datetime.date(2026, 8, 16)),
+            (2, Decimal("-0.25"), datetime.date(2025, 1, 1)),
+        ],
+        "id long, price decimal(10,2), day date",
+    )
+    path = str(tmp_path / "dec.gpkg")
+    assert write_gpkg(df, path, layer="t") == 2
+    back = {r["id"]: r for r in read_gpkg_layer(path, "t")}
+    assert back[1]["price"] == 12.5 and back[2]["price"] == -0.25
+    assert back[1]["day"] == "2026-08-16"
+
+    # round-trip the read-back rows (they carry fid) into a new layer
+    rows = read_gpkg_layer(path, "t")
+    df2 = spark.createDataFrame(
+        [(r["fid"], r["id"], r["price"]) for r in rows],
+        "fid long, id long, price double",
+    )
+    path2 = str(tmp_path / "dec2.gpkg")
+    assert write_gpkg(df2, path2, layer="t") == 2
+    back2 = read_gpkg_layer(path2, "t")
+    assert [r["fid"] for r in back2] == [r["fid"] for r in rows]
+
+    # a non-integral fid is a clear error, not duplicate-column DDL
+    bad = spark.createDataFrame([("x",)], "fid string")
+    with pytest.raises(ValueError, match="INTEGER fid"):
+        write_gpkg(bad, str(tmp_path / "bad.gpkg"), layer="t")
+
+
+def test_gpkg_attribute_table_and_empty_geometry(spark, tmp_path):
+    """review r10: a geometry-less layer must register as data_type
+    'attributes' (a 'features' row without a gpkg_geometry_columns
+    entry is spec-invalid), and an EMPTY geometry writes the spec's
+    empty-flag header with NO envelope — never ±inf doubles — while
+    its WKB still round-trips."""
+    import sqlite3
+
+    from overturelink_data_pipeline_spark.sinks.gpkg import (
+        read_gpkg_layer,
+        unwrap_gp_blob,
+        write_gpkg,
+    )
+
+    attrs = spark.createDataFrame([(1, "a")], "id long, tag string")
+    path = str(tmp_path / "mix.gpkg")
+    write_gpkg(attrs, path, layer="meta_only")
+    empty_mp = bytes.fromhex("010600000000000000")  # LE empty MultiPolygon
+    geoms = spark.createDataFrame(
+        [(1, bytearray(empty_mp))], "id long, geometry binary"
+    )
+    write_gpkg(geoms, path, layer="empties", mode="a")
+
+    con = sqlite3.connect(path)
+    try:
+        dt = dict(
+            con.execute(
+                "SELECT table_name, data_type FROM gpkg_contents"
+            ).fetchall()
+        )
+        assert dt == {"meta_only": "attributes", "empties": "features"}
+        ext = con.execute(
+            "SELECT min_x, max_x FROM gpkg_contents WHERE table_name='empties'"
+        ).fetchone()
+        assert ext == (None, None)  # no ±inf extents
+        blob = con.execute("SELECT geometry FROM empties").fetchone()[0]
+    finally:
+        con.close()
+    assert blob[3] & 0b10000  # empty flag set
+    assert (blob[3] >> 1) & 0b111 == 0  # envelope indicator 0
+    assert unwrap_gp_blob(bytes(blob)) == empty_mp
+    assert read_gpkg_layer(path, "empties")[0]["geometry"] == empty_mp
+
+
+def test_gpkg_unwrap_rejects_malformed_blobs():
+    """review r10: malformed blobs raise ValueError per the module
+    contract, never bare KeyError/IndexError."""
+    from overturelink_data_pipeline_spark.sinks.gpkg import unwrap_gp_blob
+
+    with pytest.raises(ValueError):
+        unwrap_gp_blob(b"GP\x00")  # shorter than the fixed header
+    bad_ind = b"GP" + bytes([0, 5 << 1]) + b"\x00" * 12
+    with pytest.raises(ValueError, match="envelope indicator"):
+        unwrap_gp_blob(bad_ind)
+
+
+def test_cache_tools_tolerate_corrupt_sidecars(tmp_path):
+    """review r10: one corrupt (or newer-version) sidecar used to crash
+    list/stats AND clear-cache — the recovery tool itself. Corrupt
+    sidecars now read as skipped entries, and clearing everything
+    keeps the cache ROOT directory in place."""
+    import json as _json
+
+    from overturelink_data_pipeline_spark.sources.cache import (
+        CacheMetadata,
+        cache_stats,
+        clear_cache,
+        list_cache,
+    )
+
+    root = tmp_path / "cache"
+    d = root / "2026-08-01.0" / "CH"
+    d.mkdir(parents=True)
+    good = dict(
+        country="CH", theme="places", type="place", release="2026-08-01.0",
+        feature_count=3, bbox=[0.0, 0.0, 1.0, 1.0], cached_at="t",
+    )
+    (d / "CH_places.parquet.meta.json").write_text(_json.dumps(good))
+    (d / "CH_roads.parquet.meta.json").write_text("{ truncated")
+    newer = dict(good, type="segment", schema_epoch=99)  # future key
+    (d / "CH_rails.parquet.meta.json").write_text(_json.dumps(newer))
+
+    entries = list_cache(str(root))
+    assert len(entries) == 2  # corrupt one skipped, future one parsed
+    assert {e.type for e in entries} == {"place", "segment"}
+    assert cache_stats(str(root))["files"] == 2
+    assert clear_cache(str(root)) == 2
+    assert root.is_dir() and not any(root.iterdir())
+    assert CacheMetadata.from_json(str(d / "nonexistent.meta.json")) is None
