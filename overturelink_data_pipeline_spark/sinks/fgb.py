@@ -25,13 +25,16 @@ scalable bulk path remains GeoParquet/GeoJSONSeq.
 from __future__ import annotations
 
 import os
+import shutil
 import struct
+import tempfile
 from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from overturelink_data_pipeline_spark.geo import wkb as W
+from overturelink_data_pipeline_spark.geo.geom import bbox as _bbox
 from overturelink_data_pipeline_spark.geo.geom import is_empty as _is_empty
 
 _GEOM_COL = "geometry"
@@ -95,8 +98,9 @@ class _Builder:
 
     def prep(self, size: int, additional: int) -> None:
         self._minalign = max(self._minalign, size)
-        while (len(self._buf) + additional) % size:
-            self._pad(1)
+        rem = (len(self._buf) + additional) % size
+        if rem:
+            self._pad(size - rem)  # one batched pad, not per-byte moves
 
     def _place(self, fmt: str, v: Any) -> None:
         self._buf[:0] = struct.pack(fmt, v)
@@ -117,11 +121,16 @@ class _Builder:
         return self.offset()
 
     def create_scalar_vector(self, fmt: str, size: int, values) -> int:
+        # ONE batched pack + prepend: element-at-a-time `self._buf[:0]`
+        # is an O(len(buf)) memmove per element, making geometry
+        # encoding O(vertices²) — measured 2k verts 2 ms → 32k verts
+        # 421 ms (~14× per 4×) before this fix; a country polygon's
+        # ring would take minutes (review r10)
         values = list(values)
         self.prep(4, len(values) * size)
         self.prep(size, len(values) * size)
-        for v in reversed(values):
-            self._place(fmt, v)
+        if values:
+            self._place_bytes(struct.pack(f"<{len(values)}{fmt[-1]}", *values))
         self._place("<I", len(values))
         return self.offset()
 
@@ -232,7 +241,16 @@ def _build_geometry(b: _Builder, geom: W.Geom) -> int:
     kind = geom[0]
     gtype = _GEOM_TYPES[kind]
     if kind in ("MultiPolygon", "GeometryCollection"):
-        part_offs = [_build_geometry(b, child) for child in geom[1]]
+        # drop EMPTY children before recursing (review r10): a child
+        # like POINT EMPTY carries body None, and the coordinate
+        # flattener would crash on it — same rule as _flat_parts'
+        # member drops; the container itself was already screened by
+        # is_empty, so at least one non-empty child remains
+        part_offs = [
+            _build_geometry(b, child)
+            for child in geom[1]
+            if not _is_empty(child)
+        ]
         parts_vec = b.create_offset_vector(part_offs)
         b.start_table(8)
         b.slot_scalar(6, "<B", 1, gtype, 0)
@@ -326,13 +344,18 @@ def write_fgb(
     """Write ``df`` (with a WKB ``geometry`` column) as an unindexed
     FlatGeobuf file; returns the feature count.
 
-    Header ``geometry_type`` is the concrete type when the frame is
-    uniform, else Unknown (0) with per-feature types — the spec's
+    Header ``features_count`` and the envelope are exact, and both
+    live BEFORE the features in the file, so the features must be
+    staged until the last row is seen. ``stream=True`` stages them in
+    a disk spool (tempfile) while rows arrive via ``toLocalIterator``
+    — driver MEMORY stays O(1) in features, as the module docstring
+    promises (review r10: they previously accumulated in a list, so
+    streaming saved row memory but not feature memory); the default
+    in-memory list avoids the extra file for small exports. Header
+    ``geometry_type`` is the concrete type when the frame is uniform,
+    else Unknown (0) with per-feature types — the spec's
     mixed-geometry form, so no pre-split is required (unlike the
-    shapefile sink). ``features_count`` and the envelope are exact,
-    which requires buffering feature buffers on the driver; with
-    ``stream=True`` rows arrive via ``toLocalIterator`` but the
-    encoded features still accumulate until the header is written.
+    shapefile sink).
     """
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     fields = [
@@ -342,6 +365,7 @@ def write_fgb(
         )
     ]
 
+    spool = tempfile.TemporaryFile() if stream else None
     feature_bufs: list[bytes] = []
     geom_types: set[int] = set()
     box = [None, None, None, None]
@@ -361,14 +385,21 @@ def write_fgb(
                 geom = None
         if geom is not None:
             geom_types.add(_GEOM_TYPES[geom[0]])
-            gx0, gy0, gx1, gy1 = _geom_bbox(geom)
-            box[0] = gx0 if box[0] is None else min(box[0], gx0)
-            box[1] = gy0 if box[1] is None else min(box[1], gy0)
-            box[2] = gx1 if box[2] is None else max(box[2], gx1)
-            box[3] = gy1 if box[3] is None else max(box[3], gy1)
-        feature_bufs.append(
-            _build_feature(geom, _encode_properties(row, fields))
-        )
+            # geo.geom.bbox, not a private duplicate (review r10: the
+            # local copy crashed on Multi*/GC with EMPTY members, which
+            # bbox's coordinate iterator simply skips); note its
+            # (xmin, xmax, ymin, ymax) order
+            gx0, gx1, gy0, gy1 = _bbox(geom)
+            if gx0 <= gx1:  # guard: all-empty members → sentinel
+                box[0] = gx0 if box[0] is None else min(box[0], gx0)
+                box[1] = gy0 if box[1] is None else min(box[1], gy0)
+                box[2] = gx1 if box[2] is None else max(box[2], gx1)
+                box[3] = gy1 if box[3] is None else max(box[3], gy1)
+        buf = _build_feature(geom, _encode_properties(row, fields))
+        if spool is not None:
+            spool.write(buf)
+        else:
+            feature_bufs.append(buf)
         n += 1
 
     header_type = geom_types.pop() if len(geom_types) == 1 else 0
@@ -376,31 +407,14 @@ def write_fgb(
     with open(path, "wb") as f:
         f.write(MAGIC)
         f.write(_build_header(name, header_type, fields, n, envelope))
-        for buf in feature_bufs:
-            f.write(buf)
+        if spool is not None:
+            spool.seek(0)
+            shutil.copyfileobj(spool, f)
+            spool.close()
+        else:
+            for buf in feature_bufs:
+                f.write(buf)
     return n
-
-
-def _geom_bbox(geom: W.Geom) -> tuple[float, float, float, float]:
-    kind, body = geom
-    if kind == "Point":
-        return body[0], body[1], body[0], body[1]
-    if kind == "LineString":
-        xs = [p[0] for p in body]
-        ys = [p[1] for p in body]
-        return min(xs), min(ys), max(xs), max(ys)
-    if kind == "Polygon":
-        xs = [p[0] for ring in body for p in ring]
-        ys = [p[1] for ring in body for p in ring]
-        return min(xs), min(ys), max(xs), max(ys)
-    # Multi* / GeometryCollection: typed children (geo/wkb.py model)
-    boxes = [_geom_bbox(child) for child in body]
-    return (
-        min(b[0] for b in boxes),
-        min(b[1] for b in boxes),
-        max(b[2] for b in boxes),
-        max(b[3] for b in boxes),
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from overturelink_data_pipeline_spark.geo import geom as G
 from overturelink_data_pipeline_spark.geo import wkb as W
 
 _GEOM_COL = "geometry"
@@ -44,24 +45,45 @@ def _geom_to_geojson(geom: W.Geom) -> dict:
     if name == "Polygon":
         return {"type": "Polygon", "coordinates": [[list(c) for c in ring] for ring in body]}
     if name == "GeometryCollection":
+        # drop EMPTY children (review r10): POINT EMPTY has no valid
+        # GeoJSON form inside a collection — RFC 7946 requires a Point
+        # position of >= 2 numbers
         return {
             "type": "GeometryCollection",
-            "geometries": [_geom_to_geojson(ch) for ch in body],
+            "geometries": [
+                _geom_to_geojson(ch) for ch in body if not G.is_empty(ch)
+            ],
         }
-    # Multi*: children are full geom tuples; GeoJSON wants bare coord arrays
+    # Multi*: children are full geom tuples; GeoJSON wants bare coord
+    # arrays — empty members dropped for the same RFC reason
     return {
         "type": name,
-        "coordinates": [_geom_to_geojson(ch)["coordinates"] for ch in body],
+        "coordinates": [
+            _geom_to_geojson(ch)["coordinates"]
+            for ch in body
+            if not G.is_empty(ch)
+        ],
     }
+
+
+def _wkb_to_geojson_str(b) -> str | None:
+    if b is None:
+        return None
+    geom = W.loads(bytes(b))
+    if G.is_empty(geom):
+        # EMPTY geometries have no valid GeoJSON encoding (a Point
+        # needs a position; review r10: the old [] coordinates were
+        # RFC-invalid) — emit a null geometry like the sibling sinks'
+        # Null Shape / geometry-less feature treatment
+        return None
+    return json.dumps(_geom_to_geojson(geom))
 
 
 @pandas_udf(T.StringType())
 def st_as_geojson(s: pd.Series) -> pd.Series:
-    """WKB → GeoJSON geometry string (Arrow-batched; the one Python hop
-    in the feature-line builder)."""
-    return s.map(
-        lambda b: None if b is None else json.dumps(_geom_to_geojson(W.loads(bytes(b))))
-    )
+    """WKB → GeoJSON geometry string, None for NULL/EMPTY (Arrow-batched;
+    the one Python hop in the feature-line builder)."""
+    return s.map(_wkb_to_geojson_str)
 
 
 def feature_line(df: DataFrame, layer: str | None = None) -> Column:
@@ -71,14 +93,23 @@ def feature_line(df: DataFrame, layer: str | None = None) -> Column:
     prop_cols = [c for c in df.columns if c != _GEOM_COL]
     props = F.to_json(F.struct(*[F.col(c) for c in prop_cols]))
     if layer is not None:
-        # inject the layer tag into properties (reference export.py:277-280);
-        # to_json omits null fields, so an all-null row yields '{}' and the
-        # naive splice would emit a trailing comma — branch on that case
-        props = F.when(
-            props == F.lit("{}"), F.lit('{"layer":"' + layer + '"}')
-        ).otherwise(
+        if "layer" in prop_cols:
+            # injecting would emit the key twice and JSON parsers keep
+            # the LAST one — the tag would silently shadow user data
+            # (review r10); explicit beats silent
+            raise ValueError(
+                "frame already has a 'layer' column — rename it before "
+                "a multi-layer flatten injects the layer tag"
+            )
+        # inject the layer tag into properties (reference export.py:277-280)
+        # via json.dumps so quotes/backslashes in the layer NAME cannot
+        # corrupt the document (review r10); to_json omits null fields,
+        # so an all-null row yields '{}' and the naive splice would emit
+        # a trailing comma — branch on that case
+        tag = json.dumps({"layer": layer}, separators=(",", ":"))
+        props = F.when(props == F.lit("{}"), F.lit(tag)).otherwise(
             F.concat(
-                F.lit('{"layer":"' + layer + '",'),
+                F.lit(tag[:-1] + ","),
                 F.substring(props, 2, 2_000_000_000),
             )
         )
@@ -115,7 +146,7 @@ def write_geojson(
         layers = {"": layers}
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     n = 0
-    with open(path, "w") as f:
+    with open(path, "w", encoding="utf-8") as f:
         f.write('{"type":"FeatureCollection",')
         if metadata is not None:
             f.write('"metadata":' + json.dumps(metadata) + ",")
@@ -152,7 +183,7 @@ def validate_geojson(
                 f"{path}: wrote {expected_features} features, file has {got}"
             )
         return
-    with open(path) as f:
+    with open(path, encoding="utf-8") as f:
         doc = json.load(f)
     if doc.get("type") != "FeatureCollection":
         raise ValueError(f"{path}: not a FeatureCollection")
@@ -234,7 +265,7 @@ def _count_features_streaming(path: str) -> int:
     anywhere in the file raises instead of passing a substring tally.
     """
     decoder = json.JSONDecoder()
-    with open(path) as f:
+    with open(path, encoding="utf-8") as f:
         r = _ChunkReader(f)
         r.expect('{"type":"FeatureCollection",', "FeatureCollection header")
         if r.peek(len('"metadata":')) == '"metadata":':

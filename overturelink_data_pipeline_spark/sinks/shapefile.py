@@ -107,8 +107,12 @@ def _fmt_cell(v: Any, spec: tuple[str, int, int]) -> bytes:
                 f"numeric value {v!r} exceeds DBF field width {w}"
             )
         return s.rjust(w).encode()
-    # C: text, UTF-8, space-padded / truncated at byte boundary
+    # C: text, UTF-8, space-padded / truncated at a CHARACTER boundary
+    # (review r10: a raw byte slice can split a multibyte sequence —
+    # the .cpg sidecar declares UTF-8, so readers would hit a decode
+    # error on that cell; trim back to the last complete character)
     s = b"" if v is None else str(v).encode("utf-8")[:w]
+    s = s.decode("utf-8", "ignore").encode("utf-8")  # drop a cut tail
     return s.ljust(w)
 
 

@@ -172,3 +172,79 @@ def test_cli_export_fgb(tmp_path, capsys, spark):
     assert parsed["geometry_type"] == 2
     props = parsed["features"][0]["properties"]
     assert props.get("country_iso3") == "AAA"
+
+
+# ---------------------------------------------------------------------------
+# review r10 fixes: partially-EMPTY geometries, streaming spool, and
+# the builder's batched vector packing
+# ---------------------------------------------------------------------------
+
+
+def test_fgb_partially_empty_members(spark, tmp_path):
+    """Multi*/GeometryCollection with EMPTY members must export (the
+    empty members dropped, like _flat_parts already did for MultiPoint)
+    instead of crashing the bbox fold / coordinate flattener."""
+    geoms = [
+        ("MultiPoint", [("Point", (1.0, 1.0)), ("Point", None)]),
+        (
+            "GeometryCollection",
+            [("Point", (2.0, 3.0)), ("Point", None)],
+        ),
+        (
+            "MultiLineString",
+            [
+                ("LineString", [(0.0, 0.0), (4.0, 4.0)]),
+                ("LineString", []),
+            ],
+        ),
+    ]
+    rows = [
+        Row(id=i, geometry=W.dumps(g)) for i, g in enumerate(geoms)
+    ]
+    path = str(tmp_path / "partial.fgb")
+    assert write_fgb(spark.createDataFrame(rows), path) == 3
+    out = read_fgb(path)
+    feats = out["features"]
+    assert feats[0]["geometry"] == ("MultiPoint", [("Point", (1.0, 1.0))])
+    assert feats[1]["geometry"] == (
+        "GeometryCollection", [("Point", (2.0, 3.0))]
+    )
+    assert feats[2]["geometry"] == (
+        "MultiLineString", [("LineString", [(0.0, 0.0), (4.0, 4.0)])]
+    )
+    # envelope covers only the real coordinates — no ±inf doubles
+    import struct as _s
+
+    with open(path, "rb") as f:
+        data = f.read()
+    assert _s.pack("<d", float("inf")) not in data
+    assert _s.pack("<d", float("-inf")) not in data
+
+
+def test_fgb_stream_spools_features(mixed_df, tmp_path):
+    """stream=True must produce a byte-identical file to the buffered
+    path (the spool only changes WHERE features wait for the header)."""
+    p1, p2 = str(tmp_path / "buf.fgb"), str(tmp_path / "str.fgb")
+    df = mixed_df.coalesce(1)  # one partition → identical row order
+    assert write_fgb(df, p1) == write_fgb(df, p2, stream=True)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_fgb_large_geometry_fast_and_correct(spark, tmp_path):
+    """The builder packs coordinate vectors in one prepend — a 40k-vertex
+    line must encode in well under a second (the per-element form was
+    O(V²): ~0.4 s at 32k and minutes at country-polygon scale) and
+    round-trip exactly."""
+    import time
+
+    n = 40_000
+    line = ("LineString", [(float(i), float(i % 7)) for i in range(n)])
+    df = spark.createDataFrame([Row(id=1, geometry=W.dumps(line))])
+    rows = df.collect()  # exclude Spark from the timing
+    path = str(tmp_path / "big.fgb")
+    t0 = time.time()
+    assert write_fgb(spark.createDataFrame(rows), path) == 1
+    assert time.time() - t0 < 5.0  # generous; O(V²) took minutes here
+    back = read_fgb(path)["features"][0]["geometry"]
+    assert back[0] == "LineString" and len(back[1]) == n
+    assert back[1][:3] == [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)]

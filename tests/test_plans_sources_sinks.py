@@ -632,3 +632,83 @@ def test_cache_tools_tolerate_corrupt_sidecars(tmp_path):
     assert clear_cache(str(root)) == 2
     assert root.is_dir() and not any(root.iterdir())
     assert CacheMetadata.from_json(str(d / "nonexistent.meta.json")) is None
+
+
+def test_geojson_empty_geometry_is_null(spark, tmp_path):
+    """review r10: POINT EMPTY serialized as {"type":"Point",
+    "coordinates":[]} — invalid GeoJSON (RFC 7946 needs a position).
+    Empty geometries now emit geometry null, and empty MEMBERS of a
+    Multi*/collection are dropped."""
+    from overturelink_data_pipeline_spark.geo import wkb as W
+    from overturelink_data_pipeline_spark.sinks.geojson import write_geojson
+
+    rows = [
+        (1, bytearray(W.dumps(("Point", None)))),
+        (2, bytearray(W.dumps(
+            ("MultiPoint", [("Point", (1.0, 2.0)), ("Point", None)])
+        ))),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, geometry binary")
+    path = str(tmp_path / "empty.geojson")
+    assert write_geojson(df, path) == 3
+    doc = json.load(open(path))
+    by_id = {f["properties"]["id"]: f for f in doc["features"]}
+    assert by_id[1]["geometry"] is None
+    assert by_id[3]["geometry"] is None
+    assert by_id[2]["geometry"] == {
+        "type": "MultiPoint", "coordinates": [[1.0, 2.0]],
+    }
+
+
+def test_geojson_layer_name_escaped_and_collision_rejected(spark, tmp_path):
+    """review r10: the layer tag is spliced via json.dumps (a quote in
+    the layer NAME used to corrupt the document), and a pre-existing
+    'layer' column is an explicit error instead of a silently-shadowed
+    duplicate JSON key."""
+    from overturelink_data_pipeline_spark.sinks.geojson import (
+        feature_line,
+        write_geojson,
+    )
+
+    a = spark.createDataFrame([(1, None)], "id long, geometry binary")
+    b = spark.createDataFrame([(2, None)], "id long, geometry binary")
+    path = str(tmp_path / "esc.geojson")
+    n = write_geojson({'q"uote': a, "plain": b}, path)
+    assert n == 2  # the writer's own validation parsed the file
+    doc = json.load(open(path, encoding="utf-8"))
+    tags = {f["properties"]["layer"] for f in doc["features"]}
+    assert tags == {'q"uote', "plain"}
+
+    has_layer = spark.createDataFrame(
+        [(1, "x", None)], "id long, layer string, geometry binary"
+    )
+    with pytest.raises(ValueError, match="'layer' column"):
+        feature_line(has_layer, layer="dup")
+
+
+def test_geojson_non_ascii_utf8(spark, tmp_path):
+    """review r10: the writer/validators open files as UTF-8 explicitly
+    (RFC 7946 §11.1), independent of the platform locale."""
+    from overturelink_data_pipeline_spark.sinks.geojson import write_geojson
+
+    df = spark.createDataFrame(
+        [(1, "Zürich–Čačak", None)], "id long, name string, geometry binary"
+    )
+    path = str(tmp_path / "utf8.geojson")
+    assert write_geojson(df, path, stream=True) == 1
+    raw = open(path, "rb").read()
+    assert "Zürich–Čačak".encode("utf-8") in raw
+
+
+def test_dbf_truncation_keeps_utf8_valid():
+    """review r10: byte-boundary truncation could split a multibyte
+    character; the cell must stay decodable UTF-8."""
+    from overturelink_data_pipeline_spark.sinks.shapefile import _fmt_cell
+
+    v = "a" * 253 + "é"  # é needs 2 bytes; byte 254 cuts it in half
+    cell = _fmt_cell(v, ("C", 254, 0))
+    assert len(cell) == 254
+    assert cell.rstrip(b" ").decode("utf-8") == "a" * 253
+    intact = _fmt_cell("a" * 252 + "é", ("C", 254, 0))
+    assert intact.rstrip(b" ").decode("utf-8") == "a" * 252 + "é"
