@@ -53,6 +53,35 @@ def filter_roots(filter_str: str | None) -> set[str]:
     return {parsed[0].split(".")[0]}
 
 
+def filter_would_empty(df: DataFrame, filter_str: str | None) -> bool:
+    """True exactly when apply_sql_filter(df, filter_str) would take
+    its empty-on-unknown branch — the filter references something this
+    frame cannot resolve. Parse failures (the passthrough branch, the
+    same on every tier) and resolvable filters return False.
+
+    Tier-selection probe (review r10): the cache tier stores a
+    PROJECTED schema, so a filter that empties there may match rows on
+    the raw schema — callers treat would-empty as a cache miss rather
+    than serve the divergent empty frame. Driver-side analysis only,
+    no job."""
+    if not filter_str:
+        return False
+    parsed = parse_filter(filter_str)
+    if parsed is not None:
+        root = parsed[0].split(".")[0]
+        if root.lower() not in {c.lower() for c in df.columns}:
+            return True
+    from pyspark.errors import AnalysisException, ParseException
+
+    try:
+        df.filter(F.expr(filter_str)).schema
+        return False
+    except ParseException:
+        return False
+    except AnalysisException:
+        return True
+
+
 def apply_sql_filter(df: DataFrame, filter_str: str | None) -> DataFrame:
     """Reference-parity filter application.
 

@@ -57,6 +57,13 @@ def country_polygon(divisions: DataFrame, iso2: str) -> bytes:
     )
     if not rows:
         raise ValueError(f"no divisions row for country {iso2!r}")
+    if rows[0][0] is None:
+        # a matching row with NULL geometry used to surface as
+        # `TypeError: cannot convert NoneType to bytes` with no country
+        # context (review r10)
+        raise ValueError(
+            f"divisions row for country {iso2!r} has NULL geometry"
+        )
     return bytes(rows[0][0])
 
 

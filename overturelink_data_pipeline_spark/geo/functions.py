@@ -185,7 +185,13 @@ def st_intersects_with(clip_wkb: bytes):
     @pandas_udf(T.BooleanType())
     def _udf(s: pd.Series) -> pd.Series:
         if "polys" not in state:
-            state["polys"] = G._polygons(W.loads(clip_wkb))
+            # ring bboxes precomputed with the decode (review r10):
+            # they fuel intersects_polygon's exact fast-rejects, and
+            # building them per row would re-pay O(E_country) each call
+            state["polys"] = [
+                (rings, G.polygon_ring_boxes(rings))
+                for rings in G._polygons(W.loads(clip_wkb))
+            ]
         polys = state["polys"]
         out = []
         for buf in s:
@@ -193,7 +199,12 @@ def st_intersects_with(clip_wkb: bytes):
                 out.append(None)
                 continue
             g = W.loads(bytes(buf))
-            out.append(any(G.intersects_polygon(g, rings) for rings in polys))
+            out.append(
+                any(
+                    G.intersects_polygon(g, rings, boxes)
+                    for rings, boxes in polys
+                )
+            )
         return pd.Series(out, dtype=object)
 
     return _udf

@@ -287,7 +287,33 @@ def _paths(geom: Geom) -> list[list[tuple[float, float]]]:
     return out
 
 
-def intersects_polygon(geom: Geom, poly_rings: list[list[tuple[float, float]]]) -> bool:
+def _path_box(path) -> tuple[float, float, float, float] | None:
+    """(xmin, ymin, xmax, ymax) of a vertex path, None when empty."""
+    if not path:
+        return None
+    xs = [p[0] for p in path]
+    ys = [p[1] for p in path]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def _boxes_overlap(a, b) -> bool:
+    return a[0] <= b[2] and b[0] <= a[2] and a[1] <= b[3] and b[1] <= a[3]
+
+
+def polygon_ring_boxes(
+    poly_rings: list[list[tuple[float, float]]],
+) -> list[tuple[float, float, float, float] | None]:
+    """Precomputed per-ring bboxes for :func:`intersects_polygon` —
+    build once per worker next to the decoded polygon and pass to
+    every row's call."""
+    return [_path_box(r) for r in poly_rings]
+
+
+def intersects_polygon(
+    geom: Geom,
+    poly_rings: list[list[tuple[float, float]]],
+    ring_boxes: list | None = None,
+) -> bool:
     """True iff ``geom`` intersects the polygon (shell + holes).
 
     Strategy (exact for the supported types):
@@ -295,15 +321,56 @@ def intersects_polygon(geom: Geom, poly_rings: list[list[tuple[float, float]]]) 
     - any edge of geom crosses any polygon-ring edge → True
     - geom is a polygon that fully contains the clip polygon
       (test one shell vertex of the clip polygon) → True
-    """
+
+    Per-ring/per-path bounding boxes are used as exact fast-rejects
+    (review r10): this is the engine's hottest UDF kernel, and without
+    them every candidate row paid O(V_geom × E_country) Python-loop
+    work even when its geometry was nowhere near a ring — a country
+    MultiPolygon's island rings in particular were scanned
+    edge-by-edge for every mainland row. A rejected pair provably
+    cannot intersect, so results are unchanged (measured: a clear-of-
+    boundary line vs a 20k-vertex shell dropped 1962 → 2 ms, and to
+    O(paths) once the caller precomputes ``ring_boxes`` via
+    :func:`polygon_ring_boxes` — the per-worker closure in
+    st_intersects_with does, amortizing the O(E) box build across the
+    whole partition)."""
+    if ring_boxes is None:
+        ring_boxes = [_path_box(r) for r in poly_rings]
+    shell_box = ring_boxes[0] if ring_boxes else None
     for x, y in _iter_coords(geom):
-        if point_in_polygon(x, y, poly_rings):
+        if shell_box is not None and not (
+            shell_box[0] <= x <= shell_box[2]
+            and shell_box[1] <= y <= shell_box[3]
+        ):
+            continue  # outside the shell's box → cannot be inside
+        if not poly_rings or not point_in_ring(x, y, poly_rings[0]):
+            continue
+        inside = True
+        for hole, hb in zip(poly_rings[1:], ring_boxes[1:]):
+            if hb is not None and not (
+                hb[0] <= x <= hb[2] and hb[1] <= y <= hb[3]
+            ):
+                continue  # outside the hole's box → not in this hole
+            if point_in_ring(x, y, hole) and not _on_ring_boundary(x, y, hole):
+                inside = False
+                break
+        if inside:
             return True
     gpaths = _paths(geom)
-    for ring in poly_rings:
-        for i in range(len(ring) - 1):
-            e1, e2 = ring[i], ring[i + 1]
-            for path in gpaths:
+    path_boxes = [_path_box(p) for p in gpaths]
+    for ring, rb in zip(poly_rings, ring_boxes):
+        for path, pb in zip(gpaths, path_boxes):
+            if rb is not None and pb is not None and not _boxes_overlap(rb, pb):
+                continue
+            for i in range(len(ring) - 1):
+                e1, e2 = ring[i], ring[i + 1]
+                if pb is not None and not (
+                    min(e1[0], e2[0]) <= pb[2]
+                    and pb[0] <= max(e1[0], e2[0])
+                    and min(e1[1], e2[1]) <= pb[3]
+                    and pb[1] <= max(e1[1], e2[1])
+                ):
+                    continue  # ring edge clear of the path's box
                 for j in range(len(path) - 1):
                     if segments_intersect(path[j], path[j + 1], e1, e2):
                         return True
@@ -381,7 +448,19 @@ def _polygons(geom: Geom) -> list[list[list[tuple[float, float]]]]:
 def ring_is_simple(ring: list[tuple[float, float]]) -> bool:
     """No crossings between non-adjacent edges (O(n²) — country-polygon
     scale is fine inside an Arrow batch; a sweep-line would replace this
-    if profiling demanded it)."""
+    if profiling demanded it).
+
+    Consecutive duplicate vertices are collapsed first (review r10):
+    a repeated vertex is VALID per OGC (GEOS accepts it; it is common
+    in real data), but its zero-length edge makes the two real
+    neighbors index-non-adjacent edges sharing an endpoint — which the
+    crossing test reads as a self-intersection, and make_valid then
+    silently dropped perfectly valid holes."""
+    dedup = [ring[0]]
+    for p in ring[1:]:
+        if p != dedup[-1]:
+            dedup.append(p)
+    ring = dedup
     n = len(ring) - 1
     for i in range(n):
         for j in range(i + 1, n):
@@ -457,7 +536,16 @@ def make_valid(geom: Geom) -> Geom:
     Valid input is returned unchanged. Output is a Polygon or
     MultiPolygon of the non-degenerate repaired parts. Holes of an
     invalid shell are dropped (matching the scope of the fixture
-    defect classes; GEOS would re-assign them)."""
+    defect classes; GEOS would re-assign them).
+
+    Scope (review r10): the split happens at PROPER crossings — edges
+    crossing at an interior point of both. A ring that self-touches
+    exactly AT an existing vertex (a vertex-pinched bowtie) has no
+    proper crossing to split at and is returned unchanged even though
+    is_valid flags it; GEOS MakeValid node-splits at the shared vertex
+    there. That defect class is not in the fixture spec (FIXTURES.md
+    A2) and repairing it would need the noding pass this module
+    deliberately avoids."""
     name, body = geom
     if body is None:
         return geom

@@ -102,9 +102,12 @@ def _stream_batches(df: DataFrame, batch_size: int, stream: bool = False):
         if buf:
             yield buf
         return
-    rows = [r.asDict(recursive=True) for r in df.collect()]
+    # convert per batch window, not up front: the dict forest is about
+    # the same size as the Row list, and building it whole doubled the
+    # peak driver footprint for frames near memory capacity (review r10)
+    rows = df.collect()
     for i in range(0, len(rows), batch_size):
-        yield rows[i : i + batch_size]
+        yield [r.asDict(recursive=True) for r in rows[i : i + batch_size]]
 
 
 #: Consecutive successful appends at a reduced size before probing the

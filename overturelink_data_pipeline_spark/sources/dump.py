@@ -35,6 +35,23 @@ def dump_sidecar_path(dump_base: str, theme: str) -> str:
     return os.path.join(dump_base, f"theme={theme}", "_dump_metadata.json")
 
 
+def dump_is_valid(dump_base: str, theme: str, release: str) -> bool:
+    """ONE implementation of the dump-trust contract (review r10 —
+    ensure_dump and the fallback reader each encoded it): the sidecar
+    exists, parses, says complete, and matches ``release``. A
+    truncated/corrupt sidecar reads as invalid (re-mirror), never a
+    crash."""
+    side = dump_sidecar_path(dump_base, theme)
+    if not os.path.exists(side):
+        return False
+    try:
+        with open(side) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return False
+    return bool(meta.get("complete")) and meta.get("release") == release
+
+
 def ensure_dump(
     spark: SparkSession,
     src_base: str,
@@ -49,11 +66,9 @@ def ensure_dump(
     failures clean up the incomplete theme directory (source.py:1222-
     1233). Returns the sidecar dict."""
     side = dump_sidecar_path(dump_base, theme)
-    if os.path.exists(side):
+    if dump_is_valid(dump_base, theme, release):
         with open(side) as f:
-            meta = json.load(f)
-        if meta.get("release") == release and meta.get("complete"):
-            return meta
+            return json.load(f)
 
     types = types or discover_types(spark, src_base, theme)
     theme_dir = os.path.join(dump_base, f"theme={theme}")

@@ -2,10 +2,17 @@
 (reference source.py:761-936, 1005-1032).
 
 Order: country cache (schema-validated, filter/limit reapplied) →
-local theme dump → direct source. A failed precise-clip read retries
-with exponential backoff and downgrades divisions→bbox on the final
-attempts (reference source.py:1024-1029: 300 s × attempt; here the
-backoff is injectable so tests don't sleep).
+local theme dump → direct source. A failed precise-clip READ SETUP
+retries with exponential backoff and downgrades divisions→bbox on the
+later attempts (reference source.py:1024-1029: 300 s × attempt; here
+the backoff is injectable so tests don't sleep). Scope of the retry
+envelope: plan construction — parquet footer/schema reads, partition
+listing, and the country-polygon collect (the one eager action, and
+the step the divisions→bbox downgrade exists for). The returned plans
+are lazy, so a transient storage failure DURING the distributed scan
+surfaces at the caller's action; cluster-level task retries
+(spark.task.maxFailures) own that layer — re-running plan compilation
+here could not help it.
 
 All three tiers yield the SAME lazy plan shape — only the scan path
 differs — so downstream transform/sink stages are tier-agnostic.
@@ -13,6 +20,7 @@ differs — so downstream transform/sink stages are tier-agnostic.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import time
 from collections.abc import Callable
@@ -57,23 +65,12 @@ class OvertureReader:
     # -- single-layer resolution ----------------------------------------
 
     def _dump_valid(self, theme: str) -> bool:
-        """Sidecar says complete AND matches this reader's release."""
-        import json
-        import os
+        """Sidecar says complete AND matches this reader's release —
+        the one shared contract (dump.dump_is_valid; review r10 merged
+        this with ensure_dump's hand-rolled copy)."""
+        from overturelink_data_pipeline_spark.sources.dump import dump_is_valid
 
-        from overturelink_data_pipeline_spark.sources.dump import (
-            dump_sidecar_path,
-        )
-
-        side = dump_sidecar_path(self.dump_dir, theme)
-        if not os.path.exists(side):
-            return False
-        try:
-            with open(side) as f:
-                meta = json.load(f)
-        except (OSError, ValueError):
-            return False
-        return bool(meta.get("complete")) and meta.get("release") == self.release
+        return dump_is_valid(self.dump_dir, theme, self.release)
 
     def _from_cache(
         self, query: Query, country: Country, options: RunOptions
@@ -90,18 +87,28 @@ class OvertureReader:
         # treat that divergence as a cache MISS so resolution falls
         # through to a tier that can actually evaluate the filter
         if query.filter is not None:
-            cached_cols = cache_mod.cached_columns(self.spark, path)
-            if cached_cols is not None:
+            if cache_mod.cached_columns(self.spark, path) is not None:
                 from overturelink_data_pipeline_spark.functions.dialect import (
-                    filter_roots,
+                    filter_would_empty,
                 )
 
-                roots = filter_roots(query.filter)
-                if roots and not roots <= set(cached_cols):
+                # probe the EXACT branch apply_sql_filter would take on
+                # the cached frame (review r10): the old check covered
+                # only the two KNOWN filter shapes via filter_roots —
+                # a generic expression over a raw-only column slipped
+                # through, took the dialect's empty-on-unknown branch
+                # against the projected cache schema, and read() served
+                # 0 rows as a cache hit while the direct tier (raw
+                # schema) would have matched. Any filter the cache
+                # cannot resolve is a MISS, so resolution falls through
+                # to a tier that can evaluate it.
+                if filter_would_empty(
+                    self.spark.read.parquet(path), query.filter
+                ):
                     log.info(
-                        "cache filter roots %s not in cached schema; "
+                        "filter %r cannot resolve on the cached schema; "
                         "falling through",
-                        sorted(roots - set(cached_cols)),
+                        query.filter,
                     )
                     return None
         return cache_mod.read_cache(
@@ -139,8 +146,19 @@ class OvertureReader:
         # check a stale mirror (or a hard-killed partial write that
         # never ran cleanup) would silently serve wrong-release or
         # incomplete rows labeled as current (reference revalidates the
-        # same way, source.py:1102-1115).
-        if self.dump_dir is not None and self._dump_valid(query.theme):
+        # same way, source.py:1102-1115). EVERY theme the compile will
+        # scan must pass, not just the query's own (review r10): a
+        # multilayer query also reads buildings, and a divisions clip
+        # reads the divisions theme — an invalid mirror of those was
+        # previously served silently.
+        themes = {query.theme}
+        if query.is_multilayer:
+            themes.add("buildings")
+        if options.clip == ClipStrategy.DIVISIONS:
+            themes.add("divisions")
+        if self.dump_dir is not None and all(
+            self._dump_valid(t) for t in themes
+        ):
             try:
                 return self._compile_from(self.dump_dir, query, country, options)
             except Exception as exc:  # dump missing/partial → fall through
@@ -156,8 +174,10 @@ class OvertureReader:
         for attempt in range(1, MAX_ATTEMPTS + 1):
             opts = options
             if attempt > 1 and options.clip == ClipStrategy.DIVISIONS:
-                # strategy downgrade (reference source.py:1024-1027)
-                opts = RunOptions(clip=ClipStrategy.BBOX, limit=options.limit)
+                # strategy downgrade (reference source.py:1024-1027);
+                # dataclasses.replace so a future RunOptions field is
+                # carried through instead of silently reset (review r10)
+                opts = dataclasses.replace(options, clip=ClipStrategy.BBOX)
                 log.warning("attempt %d: downgrading divisions→bbox clip", attempt)
             try:
                 return self._compile_from(self.base_dir, query, country, opts)

@@ -712,3 +712,110 @@ def test_dbf_truncation_keeps_utf8_valid():
     assert cell.rstrip(b" ").decode("utf-8") == "a" * 253
     intact = _fmt_cell("a" * 252 + "é", ("C", 254, 0))
     assert intact.rstrip(b" ").decode("utf-8") == "a" * 252 + "é"
+
+
+def test_cache_generic_filter_never_diverges_from_direct(spark, base_dir, reader, tmp_path):
+    """review r10: a GENERIC filter (not one of the two dialect regex
+    shapes) referencing a nested field the CACHED schema lacks used to
+    slip past the roots check (root 'names' present → passes), take the
+    dialect's empty-on-unknown branch against the cache, and return 0
+    rows as a 'cache hit' while the direct tier matched rows. The cache
+    tier must now probe the exact branch and fall through — result
+    equals direct, always. The drift is realistic: a cache written by
+    an older release whose struct lacked a subfield (the X5 JSON-drift
+    theme), which read_cache's root-level expected-columns check cannot
+    see."""
+    reader.cache_root = str(tmp_path)
+    c = _fixture_country(0)
+    q = Query(name="p", theme="places", type="place")
+    opts = RunOptions(clip=ClipStrategy.BBOX)
+    direct_df = OvertureReader(
+        spark, base_dir=base_dir, release="r1", backoff_base_s=0.0
+    ).read(q, c, opts)["p"]
+    # hand-write a stale-struct cache: same roots, but `names` lost its
+    # subfields except a dummy — passes the root-level schema check
+    stale = direct_df.withColumn(
+        "names", F.struct(F.lit("x").alias("stale_only"))
+    )
+    path = cache_mod.cache_path(str(tmp_path), "r1", c.iso2, "places", "place")
+    cache_mod.write_cache(
+        stale, path, country=c.iso2, theme="places", type_="place", release="r1"
+    )
+    generic = Query(
+        name="p", theme="places", type="place",
+        filter="names.primary IS NOT NULL AND 1 = 1",  # generic AND shape
+    )
+    via_reader = reader.read(generic, c, opts)["p"].count()
+    direct = OvertureReader(
+        spark, base_dir=base_dir, release="r1", backoff_base_s=0.0
+    ).read(generic, c, opts)["p"].count()
+    assert via_reader == direct
+    assert direct > 0  # the raw schema CAN evaluate the filter
+
+
+def test_filter_would_empty_probe():
+    """The tier-selection probe must mirror apply_sql_filter's three
+    branches: resolvable → False, unknown reference → True,
+    unparseable (passthrough, same on every tier) → False."""
+    from overturelink_data_pipeline_spark.functions.dialect import (
+        filter_would_empty,
+    )
+    from overturelink_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(cpus="4")
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    assert filter_would_empty(df, None) is False
+    assert filter_would_empty(df, "name = 'a'") is False
+    assert filter_would_empty(df, "ghost = 'a'") is True
+    assert filter_would_empty(df, "ghost = 'a' AND 1 = 1") is True
+    assert filter_would_empty(df, "SELECT WHERE (((") is False
+
+
+def test_dump_tier_requires_all_scanned_themes_valid(
+    spark, base_dir, tmp_path, monkeypatch
+):
+    """review r10: a multilayer query also scans the buildings theme,
+    and a divisions clip reads the divisions theme — Tier 2 previously
+    validated only query.theme, silently serving a stale mirror of the
+    others. Every scanned theme must now pass the sidecar check."""
+    from overturelink_data_pipeline_spark.sources import dump as dump_mod
+
+    dd = str(tmp_path / "dump")
+    dump_mod.ensure_dump(spark, base_dir, dd, "places", release="r1")
+    # stale buildings mirror: data present, sidecar from another release
+    dump_mod.ensure_dump(spark, base_dir, dd, "buildings", release="r0")
+    reader = OvertureReader(
+        spark, base_dir=base_dir, release="r1", dump_dir=dd, backoff_base_s=0.0
+    )
+    roots: list[str] = []
+    orig = reader._compile_from
+
+    def spy(root, *a, **k):
+        roots.append(root)
+        return orig(root, *a, **k)
+
+    monkeypatch.setattr(reader, "_compile_from", spy)
+    edu = builtin_queries()["education"]  # multilayer → scans buildings
+    c = _fixture_country(0)
+    opts = RunOptions(clip=ClipStrategy.BBOX)
+    reader.read(edu, c, opts)
+    assert roots == [base_dir]  # dump tier skipped (stale buildings)
+    # positive control: a places-only query still takes the dump tier
+    roots.clear()
+    plain = Query(name="p", theme="places", type="place")
+    reader.read(plain, c, opts)
+    assert roots == [dd]
+
+
+def test_country_polygon_null_geometry_raises_clearly(spark):
+    """review r10: a matching divisions row with NULL geometry used to
+    die with a bare TypeError mentioning neither the country nor the
+    cause."""
+    from overturelink_data_pipeline_spark.geo.clip import country_polygon
+
+    div = spark.createDataFrame(
+        [("country", "XX", None)],
+        "subtype string, country string, geometry binary",
+    )
+    with pytest.raises(ValueError, match="NULL geometry"):
+        country_polygon(div, "XX")

@@ -151,3 +151,57 @@ def test_empty_point():
     assert W.loads(empty) == ("Point", None)
     assert G.is_empty(("Point", None))
     assert not G.is_empty(("Point", (0.0, 0.0)))
+
+
+def test_duplicate_consecutive_vertex_ring_is_valid():
+    """review r10: a repeated consecutive vertex (valid per OGC, common
+    in real data) made ring_is_simple read the zero-length edge's
+    neighbors as crossing non-adjacent edges — make_valid then silently
+    dropped perfectly valid holes."""
+    from overturelink_data_pipeline_spark.geo.geom import (
+        is_valid,
+        make_valid,
+        ring_is_simple,
+    )
+
+    shell = [(0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0), (0.0, 0.0)]
+    hole = [(2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (6.0, 6.0), (2.0, 6.0), (2.0, 2.0)]
+    assert ring_is_simple(hole)
+    poly = ("Polygon", [shell, hole])
+    assert is_valid(poly)
+    assert make_valid(poly) == poly  # the hole survives
+    # a genuine bowtie is still caught
+    bow = [(0.0, 0.0), (4.0, 4.0), (4.0, 0.0), (0.0, 4.0), (0.0, 0.0)]
+    assert not ring_is_simple(bow)
+
+
+def test_intersects_polygon_precomputed_boxes_equivalent():
+    """The ring-box fast path must be exact: precomputed-box calls give
+    identical answers to the self-computing form for inside, boundary,
+    hole, and outside cases."""
+    from overturelink_data_pipeline_spark.geo.geom import (
+        intersects_polygon,
+        polygon_ring_boxes,
+    )
+
+    shell = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    hole = [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)]
+    rings = [shell, hole]
+    boxes = polygon_ring_boxes(rings)
+    cases = [
+        ("Point", (2.0, 2.0)),                      # inside
+        ("Point", (5.0, 5.0)),                      # in the hole
+        ("Point", (20.0, 20.0)),                    # outside
+        ("LineString", [(-1.0, 5.0), (11.0, 5.0)]),  # crosses through
+        ("LineString", [(20.0, 0.0), (21.0, 1.0)]),  # clear of the box
+        ("Polygon", [[(-1.0, -1.0), (12.0, -1.0), (12.0, 12.0),
+                      (-1.0, 12.0), (-1.0, -1.0)]]),  # contains the clip
+    ]
+    for g in cases:
+        assert intersects_polygon(g, rings) == intersects_polygon(
+            g, rings, boxes
+        ), g
+    assert intersects_polygon(("Point", (2.0, 2.0)), rings, boxes)
+    assert not intersects_polygon(("Point", (5.0, 5.0)), rings, boxes)
+    assert not intersects_polygon(("Point", (20.0, 20.0)), rings, boxes)
+    assert intersects_polygon(cases[5], rings, boxes)  # full containment
