@@ -88,6 +88,15 @@ def _normalize_layers(layers, query, country, processed_date=None):
         "buildings": normalize_buildings,
         "places": normalize_places,
     }
+    # ONE run timestamp for every layer (review r10): per-call defaults
+    # inside add_metadata could stamp places and buildings differently
+    # across a second boundary, and add_sector_layers then unions two
+    # distinct processed_date values into one combined layer — the
+    # reference computes the run timestamp once (transform.py:151-177)
+    if processed_date is None:
+        from datetime import datetime, timezone
+
+        processed_date = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
     out = {}
     for name, df in layers.items():
         theme = "places" if name == "places" else (

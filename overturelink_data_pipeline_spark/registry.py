@@ -266,7 +266,16 @@ def _driver_round_maps(repo_dir: str) -> tuple[dict[str, int], dict[str, int]]:
 
             warnings.warn(f"skipping unreadable driver artifact {name}: {exc}")
             continue
-        rows = payload.items() if isinstance(payload, dict) else ((q, {}) for q in payload)
+        # a list-shaped artifact enumerates the round's GREEN queries by
+        # name; synthesizing empty rows made the branch dead — every
+        # entry failed the match-flags check and the round read as
+        # never-checked (review r10)
+        _GREEN = {"rows_match": True, "schema_match": True, "hash_match": True}
+        rows = (
+            payload.items()
+            if isinstance(payload, dict)
+            else ((q, dict(_GREEN)) for q in payload)
+        )
         for q, row in rows:
             if not isinstance(row, dict):
                 row = {}
@@ -303,7 +312,10 @@ def load_all() -> None:
     _apply_canonical_order()
 
 
-def derived_rotation_order(repo_dir: str | None = None) -> list[str]:
+def derived_rotation_order(
+    repo_dir: str | None = None,
+    maps: tuple[dict, dict] | None = None,
+) -> list[str]:
     """The canonical registration order, derived from the driver's own
     CORRECTNESS_r*.json artifacts (VERDICT r4 ask #1):
 
@@ -320,10 +332,15 @@ def derived_rotation_order(repo_dir: str | None = None) -> list[str]:
 
     if repo_dir is None:
         repo_dir = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    try:
-        latest, hashed = _driver_round_maps(repo_dir)
-    except OSError:
-        latest, hashed = {}, {}
+    if maps is not None:
+        # reuse a sweep the caller already paid for (review r10:
+        # rotation_report parsed every artifact twice)
+        latest, hashed = maps
+    else:
+        try:
+            latest, hashed = _driver_round_maps(repo_dir)
+        except OSError:
+            latest, hashed = {}, {}
     current = max(latest.values()) if latest else 0
     pos = {n: i for i, n in enumerate(_PRIORITY_ORDER)}
 
@@ -358,7 +375,7 @@ def rotation_report(repo_dir: str | None = None) -> list[tuple[str, str]]:
     except OSError:
         latest, hashed = {}, {}
     out = []
-    for n in derived_rotation_order(repo_dir):
+    for n in derived_rotation_order(repo_dir, maps=(latest, hashed)):
         if n not in latest:
             mark = "NEW"
         elif n in ORACLE and hashed.get(n, 0) == 0:

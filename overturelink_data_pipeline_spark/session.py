@@ -45,7 +45,13 @@ def region_from_url(base_url: str, default: str = "us-west-2") -> str:
     # "my-mirror-2" into the nonexistent region "mirror-2" and bake a
     # broken endpoint into the s3a conf
     if len(parts) >= 3 and parts[-2] in compass and parts[-1].isdigit():
-        return "-".join(parts[-3:])
+        region = "-".join(parts[-3:])
+        # multi-token partitions (us-gov-west-1, us-iso-east-1): the
+        # 3-token slice would yield the nonexistent 'gov-west-1' and
+        # bake a broken endpoint into the s3a conf (review r10)
+        if parts[-3] in ("gov", "iso", "isob", "isoe", "isof") and len(parts) >= 4:
+            region = "-".join(parts[-4:])
+        return region
     return default
 
 

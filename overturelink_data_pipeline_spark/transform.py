@@ -281,6 +281,11 @@ def normalize_buildings(df: DataFrame) -> DataFrame:
         _opt("subtype", "building_type"),
         height.alias("height_m"),
         floors.alias("floors"),
+        *(
+            [F.col("source_type")]  # multilayer tag (J2) — review r10
+            if "source_type" in df.columns
+            else []
+        ),
         F.col("geometry"),
     )
     from overturelink_data_pipeline_spark.geo.functions import st_clean_geometry
@@ -327,7 +332,16 @@ def normalize_places(df: DataFrame, feature_type: str = "place") -> DataFrame:
         if src in df.columns:
             cols.append(clip_str(F.try_element_at(F.col(src), F.lit(1))).alias(dst))
     if "confidence" in df.columns:
-        cols.append(F.col("confidence").cast("double").alias("confidence"))
+        # try_cast like height/floors (T4): a drifted string 'n/a' must
+        # null, not throw under the ANSI-on session default (review r10)
+        cols.append(
+            F.col("confidence").cast("string").try_cast("double").alias("confidence")
+        )
+    if "source_type" in df.columns:
+        # the multilayer tag compile adds (J2) — the fixed select list
+        # silently dropped it, so normalized multilayer exports lost
+        # the layer provenance the reference keeps (review r10)
+        cols.append(F.col("source_type"))
     cols.append(F.col("geometry"))
     out = df.select(*cols)
     from overturelink_data_pipeline_spark.geo.functions import st_clean_geometry
@@ -396,7 +410,7 @@ def export_filename(iso3: str, query_name: str, fmt: str, raw: bool = False) -> 
     (reference export.py:468-510, utils.py:308-324)."""
     ext = {"geojson": "geojson", "geojsonseq": "geojsonl", "gpkg": "gpkg",
            "fgdb": "gdb", "geoparquet": "parquet", "shapefile": "shp",
-           "flatgeobuf": "fgb"}[fmt]
+           "flatgeobuf": "fgb", "fgb": "fgb"}[fmt]  # CLI passes 'fgb' (review r10)
     stem = f"{iso3.lower()}_{sanitize_service_name(query_name)}"
     if raw:
         stem += "_raw"

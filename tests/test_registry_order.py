@@ -158,3 +158,22 @@ def test_derived_rotation_on_synthetic_artifacts(tmp_path, monkeypatch):
     # tie-break puts gap_q before crashed before brand_new;
     # tier 1: stale_old (r1 < r2); tier 2: fresh (r2), priority order.
     assert order == ["gap_q", "crashed", "brand_new", "stale_old", "fresh_a", "fresh_b"]
+
+
+def test_list_shaped_artifact_reads_green(tmp_path):
+    """review r10: a list-shaped CORRECTNESS artifact (query names =
+    that round's green set) synthesized empty rows that could never
+    pass the match-flags check — the whole round silently read as
+    never-checked. List entries now count as green."""
+    import json
+
+    from overturelink_data_pipeline_spark.registry import _driver_round_maps
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(["q_a", "q_b"]))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_a": {"rows_match": True, "schema_match": True,
+                            "hash_match": True, "err": None}})
+    )
+    latest, hashed = _driver_round_maps(str(tmp_path))
+    assert latest == {"q_a": 2, "q_b": 1}
+    assert hashed == {"q_a": 2, "q_b": 1}

@@ -73,3 +73,54 @@ def test_pipeline_places_combined_registered(spark, sf_dir):
     assert "building_centroid" in fts and "place" in fts
     assert set(out.geom_type) == {"Point"}
     assert out.n.sum() > 0
+
+
+def test_export_filename_accepts_cli_fgb_token():
+    """review r10: the CLI's --format choice is 'fgb', which the ext
+    map did not know — default-named FlatGeobuf exports crashed."""
+    from overturelink_data_pipeline_spark.transform import export_filename
+
+    assert export_filename("AAA", "roads", "fgb") == "aaa_roads.fgb"
+    assert export_filename("AAA", "roads", "flatgeobuf") == "aaa_roads.fgb"
+
+
+def test_normalizers_keep_multilayer_source_type(spark):
+    """review r10: compile tags multilayer layers with source_type
+    (J2), but the normalizers' fixed select lists dropped it — a
+    normalized multilayer export lost the provenance tag the reference
+    keeps (PREFERRED_ORDER reserves its slot)."""
+    from pyspark.sql import functions as F
+
+    from overturelink_data_pipeline_spark.geo import fixtures as FX
+    from overturelink_data_pipeline_spark.transform import (
+        normalize_buildings,
+        normalize_places,
+    )
+
+    places = FX.fixture_df(spark, "places_place").withColumn(
+        "source_type", F.lit("places")
+    )
+    out = normalize_places(places)
+    assert "source_type" in out.columns
+    assert out.select("source_type").first()[0] == "places"
+    bld = FX.fixture_df(spark, "buildings_building").withColumn(
+        "source_type", F.lit("buildings")
+    )
+    outb = normalize_buildings(bld)
+    assert "source_type" in outb.columns
+    assert outb.select("source_type").first()[0] == "buildings"
+
+
+def test_confidence_drift_string_nulls_not_throws(spark):
+    """review r10: a drifted string confidence ('n/a') must null under
+    the ANSI-on session default, like height/floors (T4)."""
+    from overturelink_data_pipeline_spark.geo import wkb as W
+    from overturelink_data_pipeline_spark.transform import normalize_places
+
+    pt = bytearray(W.dumps(("Point", (1.0, 2.0))))
+    df = spark.createDataFrame(
+        [("a", "x", "n/a", pt), ("b", "y", "0.75", pt)],
+        "id string, name string, confidence string, geometry binary",
+    )
+    rows = {r["id"]: r["confidence"] for r in normalize_places(df).collect()}
+    assert rows["a"] is None and rows["b"] == 0.75

@@ -104,3 +104,11 @@ def test_geojson_layer_tag_all_null_props(spark, tmp_path):
                    key=lambda f: f["properties"].get("name") or "")
     assert feats[0]["properties"] == {"layer": "roads"}
     assert feats[1]["properties"] == {"layer": "roads", "name": "x"}
+
+
+def test_region_from_url_multitoken_partitions():
+    """review r10: us-gov-west-1 / us-iso-east-1 buckets used to yield
+    the nonexistent 'gov-west-1' / 'iso-east-1'."""
+    assert region_from_url("s3://mirror-us-gov-west-1/x") == "us-gov-west-1"
+    assert region_from_url("s3://mirror-us-iso-east-1/x") == "us-iso-east-1"
+    assert region_from_url("s3://data-us-west-2/x") == "us-west-2"
