@@ -87,6 +87,18 @@ def decode_media(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payloads are skipped, not decoded (review r10):
+            # bytes(None) raised inside the task and one failed-fetch
+            # row killed the whole decode job. reset_index so the kept
+            # media_id/kind Series align positionally with the lists
+            # appended below (a filtered Series keeps its old labels
+            # and pd.DataFrame would NaN-misalign the columns)
+            pdf = pdf[pdf["payload"].notna()].reset_index(drop=True)
+            if pdf.empty:
+                # an all-null batch must yield NOTHING: an empty
+                # DataFrame infers float64 for the feature column and
+                # Arrow cannot cast that to list<float>
+                continue
             out = {
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -247,8 +259,8 @@ def sample_frames(df: DataFrame, step: int = FRAME_STEP) -> DataFrame:
             for media_id, payload, kind in zip(
                 pdf["media_id"], pdf["payload"], pdf["kind"]
             ):
-                if kind != "video":
-                    continue
+                if kind != "video" or payload is None:
+                    continue  # null payload: nothing to sample (review r10)
                 raw = bytes(payload)
                 _, _, n_frames, _ = _fake_decode(raw, kind)
                 for i in range(0, n_frames, step):
@@ -358,7 +370,10 @@ def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = [
                 [mid, *_fake_phash(bytes(p))]
                 for mid, p in zip(pdf["media_id"], pdf["payload"])
+                if p is not None  # null payload: no hash (review r10)
             ]
+            if not rows:
+                continue  # empty-batch dtype inference trap (see decode)
             yield pd.DataFrame(rows, columns=[f.name for f in PHASH_SCHEMA.fields])
 
     return corpus.mapInPandas(run, schema=PHASH_SCHEMA)

@@ -91,6 +91,17 @@ def theme_path(base_dir: str, theme: str, type_: str) -> str:
     return f"{base_dir}/theme={theme}/type={type_}"
 
 
+def _source_expr(spec: str) -> str:
+    """The source half of a PROJECTIONS entry — the text before a
+    case-INsensitive ``as`` (review r10: the root checks split on
+    lowercase ``' as '`` while projection_output_name matched
+    case-insensitively, so an uppercase-AS spec silently dropped the
+    column from every compiled frame AND reported a phantom missing
+    root to the dump validator)."""
+    low = spec.lower()
+    return spec[: low.index(" as ")].strip() if " as " in low else spec.strip()
+
+
 def projection_output_name(spec: str) -> str:
     """Output name of one PROJECTIONS entry — pure string parsing (the
     two shapes the reference emits: ``a.b as y`` and plain ``a`` /
@@ -106,8 +117,7 @@ def projection_output_name(spec: str) -> str:
 def parse_projection(spec: str) -> tuple[Column, str]:
     """One PROJECTIONS entry → (column, output name)."""
     alias = projection_output_name(spec)
-    low = spec.lower()
-    expr = spec[: low.index(" as ")].strip() if " as " in low else spec.strip()
+    expr = _source_expr(spec)
     return F.col(expr).alias(alias), alias
 
 
@@ -125,7 +135,7 @@ def expected_source_columns(type_: str) -> set[str]:
     what a pre-projection mirror like the theme dump must validate
     against, since the dump copies raw source schema."""
     specs = PROJECTIONS.get(type_, ["id", "geometry"])
-    roots = {s.split(" as ")[0].strip().split(".")[0] for s in specs}
+    roots = {_source_expr(s).split(".")[0] for s in specs}
     roots.add("geometry")
     return roots
 
@@ -137,7 +147,7 @@ def project(df: DataFrame, type_: str) -> DataFrame:
     column is missing is skipped."""
     cols = []
     for spec in PROJECTIONS.get(type_, ["id", "geometry"]):
-        root = spec.split(" as ")[0].strip().split(".")[0]
+        root = _source_expr(spec).split(".")[0]
         if root in df.columns:
             cols.append(parse_projection(spec)[0])
     return df.select(*cols)
@@ -199,6 +209,11 @@ def discover_types(spark: SparkSession, base_dir: str, theme: str) -> list[str]:
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(theme_path(base_dir, theme, "*").rsplit("/", 1)[0])
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        # unknown theme with no theme=<x> dir: empty discovery, like
+        # the reference's glob returning no matches — not an opaque
+        # Py4J FileNotFoundException (review r10)
+        return []
     names = [
         st.getPath().getName()
         for st in fs.listStatus(path)

@@ -118,7 +118,14 @@ def write_filegdb(df: DataFrame, path: str, layer: str = "layer", mode: str = "w
     limit (reference export.py:393-407), hand to
     ``pyogrio.write_dataframe``. Import-gated: the OpenFileGDB writer
     only exists in the GDAL stack — there is no public spec to
-    reimplement (unlike GPKG), so absent GDAL this raises."""
+    reimplement (unlike GPKG), so absent GDAL this raises.
+
+    ``mode='a'`` maps to pyogrio ``append=True`` — GDAL opens the
+    EXISTING dataset and writes rows into ``layer``; rows land in a
+    same-name layer if one exists rather than replacing it (review
+    r10). Callers building multi-layer datasets must therefore target
+    a dataset created fresh this run — stage_file clears its ``.gdb``
+    target before the layer loop for exactly this reason."""
     try:
         import geopandas as gpd
         import pyogrio

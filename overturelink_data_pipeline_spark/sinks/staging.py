@@ -18,10 +18,8 @@ import tempfile
 from pyspark.sql import DataFrame
 
 from overturelink_data_pipeline_spark.sinks.geojson import write_geojson
-from overturelink_data_pipeline_spark.sinks.geoparquet import (
-    write_filegdb,
-    write_gpkg,
-)
+from overturelink_data_pipeline_spark.sinks.geoparquet import write_filegdb
+from overturelink_data_pipeline_spark.sinks.gpkg import write_gpkg_layers
 
 
 def stage_file(
@@ -44,11 +42,17 @@ def stage_file(
     frames = {"layer": layers} if isinstance(layers, DataFrame) else layers
     if fmt == "gpkg":
         path = os.path.join(staging_dir, f"{name}.gpkg")
-        for i, (layer_name, df) in enumerate(frames.items()):
-            write_gpkg(df, path, layer=layer_name, mode="w" if i == 0 else "a")
+        # the canonical multi-layer loop lives in the sink (review r10:
+        # staging hand-rolled the same 'w'-first/'a'-rest dance)
+        write_gpkg_layers(frames, path)
         return path
     if fmt == "fgdb":
         gdb_dir = os.path.join(staging_dir, f"{name}.gdb")
+        # fresh dataset per staging run (review r10): layering onto a
+        # leftover .gdb in a caller-provided staging_dir would append
+        # rows into stale same-name layers under GDAL's append
+        # semantics instead of replacing them
+        shutil.rmtree(gdb_dir, ignore_errors=True)
         for i, (layer_name, df) in enumerate(frames.items()):
             write_filegdb(df, gdb_dir, layer=layer_name, mode="w" if i == 0 else "a")
         zipped = shutil.make_archive(gdb_dir, "zip", staging_dir, f"{name}.gdb")
@@ -58,9 +62,16 @@ def stage_file(
 
 def cleanup_staging(path: str) -> None:
     """Remove a staged artifact and its temp dir (reference registers
-    cleanup handlers, cleanup.py; ours is explicit)."""
+    cleanup handlers, cleanup.py; ours is explicit). In a
+    caller-provided staging dir (no ol_stage_ prefix) the artifact's
+    companions go too: an fgdb staging leaves the unzipped ``.gdb``
+    directory next to the zip, which otherwise accumulated one full
+    FileGDB per publish cycle (review r10)."""
     d = os.path.dirname(os.path.abspath(path))
     if os.path.basename(d).startswith("ol_stage_"):
         shutil.rmtree(d, ignore_errors=True)
-    elif os.path.exists(path):
+        return
+    if path.endswith(".gdb.zip"):
+        shutil.rmtree(path[: -len(".zip")], ignore_errors=True)
+    if os.path.exists(path):
         os.remove(path)

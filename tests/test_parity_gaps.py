@@ -86,3 +86,70 @@ def test_resolve_latest_release_local(tmp_path):
 def test_resolve_latest_release_failure():
     with pytest.raises(LookupError):
         resolve_latest_release(base_dir="/nonexistent")
+
+
+def test_cleanup_staging_removes_fgdb_companion(tmp_path):
+    """review r10: in a caller-provided staging dir, cleanup removed
+    only the zip and leaked the unzipped .gdb directory every cycle."""
+    import os
+
+    from overturelink_data_pipeline_spark.sinks.staging import cleanup_staging
+
+    gdb = tmp_path / "staged.gdb"
+    gdb.mkdir()
+    (gdb / "a00000001.gdbtable").write_bytes(b"x")
+    z = tmp_path / "staged.gdb.zip"
+    z.write_bytes(b"zip")
+    cleanup_staging(str(z))
+    assert not z.exists() and not gdb.exists()
+    assert tmp_path.exists()  # the caller's dir itself is kept
+
+
+def test_projection_as_parsing_case_insensitive():
+    """review r10: the root checks split on lowercase ' as ' while the
+    output-name parser was case-insensitive — an uppercase-AS spec
+    silently dropped the column from compiled frames and reported a
+    phantom missing source root."""
+    from overturelink_data_pipeline_spark.plans.overture import (
+        _source_expr,
+        projection_output_name,
+    )
+
+    for spec in ("confidence as conf", "confidence AS conf", "confidence As conf"):
+        assert projection_output_name(spec) == "conf"
+        assert _source_expr(spec) == "confidence"
+    assert _source_expr("names.primary") == "names.primary"
+
+
+def test_discover_types_missing_theme_is_empty(spark, tmp_path):
+    """review r10: an unknown theme with no theme=<x> directory used to
+    surface a raw Py4J FileNotFoundException."""
+    from overturelink_data_pipeline_spark.plans import overture as O
+
+    saved = O.THEME_TYPES
+    O.THEME_TYPES = {}
+    try:
+        assert O.discover_types(spark, str(tmp_path), "weather") == []
+    finally:
+        O.THEME_TYPES = saved
+
+
+def test_media_kernels_skip_null_payloads(spark):
+    """review r10: bytes(None) inside the media kernels killed the
+    whole job on a single failed-fetch row; null payloads now skip."""
+    from pyspark.sql import functions as F
+
+    from overturelink_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"abcdef")), (2, "video", None),
+         (3, "video", bytearray(b"ghijkl"))],
+        "media_id long, kind string, payload binary",
+    )
+    decoded = decode_media(df)
+    assert {r["media_id"] for r in decoded.collect()} == {1, 3}
+    frames = sample_frames(df)
+    assert {r["media_id"] for r in frames.collect()} == {3}
