@@ -231,20 +231,28 @@ def test_fgb_stream_spools_features(mixed_df, tmp_path):
 
 
 def test_fgb_large_geometry_fast_and_correct(spark, tmp_path):
-    """The builder packs coordinate vectors in one prepend — a 40k-vertex
-    line must encode in well under a second (the per-element form was
-    O(V²): ~0.4 s at 32k and minutes at country-polygon scale) and
-    round-trip exactly."""
+    """The builder packs coordinate vectors in one prepend. Timed on
+    the PURE-PYTHON encode only (no Spark jobs — this box has
+    documented multi-second stall windows that flaked the first cut of
+    this test) at a size where the per-element O(V²) form measurably
+    blows up: 200k vertices cost it ~16 s extrapolated from the
+    0.42 s/32k review measurement, vs milliseconds batched. The Spark
+    round-trip then checks correctness at 40k without a wall bound."""
     import time
+
+    from overturelink_data_pipeline_spark.sinks.fgb import _build_feature
+
+    big = ("LineString", [(float(i), float(i % 7)) for i in range(200_000)])
+    t0 = time.time()
+    buf = _build_feature(big, b"")
+    assert time.time() - t0 < 5.0  # pure Python; O(V²) needed ~16 s
+    assert len(buf) > 200_000 * 16  # all coordinates present
 
     n = 40_000
     line = ("LineString", [(float(i), float(i % 7)) for i in range(n)])
     df = spark.createDataFrame([Row(id=1, geometry=W.dumps(line))])
-    rows = df.collect()  # exclude Spark from the timing
     path = str(tmp_path / "big.fgb")
-    t0 = time.time()
-    assert write_fgb(spark.createDataFrame(rows), path) == 1
-    assert time.time() - t0 < 5.0  # generous; O(V²) took minutes here
+    assert write_fgb(df, path) == 1
     back = read_fgb(path)["features"][0]["geometry"]
     assert back[0] == "LineString" and len(back[1]) == n
     assert back[1][:3] == [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)]
