@@ -141,6 +141,23 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Percentiles / distinct counting
 # ---------------------------------------------------------------------------
 
+def _cumulative_value_frame(df, group_col: str, value_col: str):
+    """Per-(group, value) histogram with cumulative + total counts —
+    the frame _interpolated_quantile consumes. THE one construction
+    (review r10: agg_sketch_audit carried a verbatim copy of
+    agg_percentiles_exact's block; the cross-engine percentile recipe
+    is supposed to be encoded once)."""
+    hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.partitionBy(group_col).orderBy(value_col)
+    w_all = Window.partitionBy(group_col)
+    return hist.select(
+        group_col,
+        value_col,
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+
 def _interpolated_quantile(rank_col: str, value_col: str, q: float):
     """``percentile_cont(q)``'s order statistic as an AGGREGATE over a
     frame carrying a 1-based cumulative position (``rank_col`` — a
@@ -201,17 +218,7 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   3. percentile_cont's order statistic r = q·(n−1) is then two
     #      conditional mins over the cumulative frame + linear
     #      interpolation (v_hi falls back to v_lo at the domain edge).
-    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w_cum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    w_all = Window.partitionBy("l_returnflag")
-    cum = hist.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
+    cum = _cumulative_value_frame(li, "l_returnflag", "l_extendedprice")
     aggs = [
         _interpolated_quantile("cum", "l_extendedprice", q).alias(name)
         for q, name in [(0.5, "p50"), (0.95, "p95")]
@@ -569,17 +576,7 @@ def agg_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = agg_quantile_sampled(spark, sf_dir)
     li = read_table(spark, sf_dir, "lineitem")
-    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w_cum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    w_all = Window.partitionBy("l_returnflag")
-    cum = hist.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
+    cum = _cumulative_value_frame(li, "l_returnflag", "l_extendedprice")
     qexact = cum.groupBy("l_returnflag").agg(
         _interpolated_quantile("cum", "l_extendedprice", 0.5).alias("exact_p50")
     )

@@ -10,7 +10,6 @@ the reference's three CLI lifecycles (SURVEY.md §3.1-§3.3).
 
 from __future__ import annotations
 
-import json
 import os
 import tempfile
 
@@ -18,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from overturelink_data_pipeline_spark import scratch
 from overturelink_data_pipeline_spark.geo import fixtures as FX
 from overturelink_data_pipeline_spark.plans.config import builtin_queries
 from overturelink_data_pipeline_spark.plans.models import (
@@ -57,7 +57,15 @@ def fixture_base_dir(spark: SparkSession) -> str:
     theme=/type= layout; reuse across queries (they are read-only)."""
     key = spark.sparkContext.applicationId
     if key not in _fixture_dirs:
-        base = tempfile.mkdtemp(prefix="overture_fixtures_")
+        # scratch-root contract, not mkdtemp (review r10): a fresh temp
+        # dir per process leaked one full fixture copy per bench/driver
+        # subprocess — the r8 orphaned-dataset incident class. Dead
+        # siblings are reaped; the per-process leaf is keyed by app id
+        # so sequential sessions in one process get fresh dirs that die
+        # with the process.
+        scratch.reap_dead_owners(scratch.scratch_root("overture_fixtures"))
+        base = scratch.process_dir("overture_fixtures", key)
+        os.makedirs(base, exist_ok=True)
         FX.write_fixtures(spark, base)
         _fixture_dirs[key] = base
     return _fixture_dirs[key]
@@ -210,7 +218,11 @@ def pipeline_roads_geojsonseq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     roads = normalize_roads(layers[q.name])
     roads = add_metadata(roads, "BBB", "Borland", "transport", processed_date=_PROCESSED)
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="geojsonseq_"), "roads")
+    # per-process scratch leaf + dead-owner reap, like the other sink
+    # queries (review r10: a mkdtemp per invocation leaked one exported
+    # dataset per run — the r8 incident class)
+    scratch.reap_dead_owners(scratch.scratch_root("geojsonseq"))
+    out_dir = scratch.process_dir("geojsonseq", "roads")
     write_geojsonseq(roads, out_dir)
     feature_schema = T.StructType(
         [
@@ -341,6 +353,12 @@ def pipeline_power_split_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = publish_multi_layer(
         enriched, factory, mode="initial", seed_count=8, batch_size=32, batch_floor=2
     )
+    # the split layers ride a persisted tagged parent (geo/split.py);
+    # publish consumed them eagerly above, so release the executor
+    # storage now — without this every invocation in a long-lived
+    # session pinned a fresh cached copy (review r10)
+    if hasattr(layers, "unpersist"):
+        layers.unpersist()
     rows = [
         (name, counts[name], services[name].count(), int(services[name].created))
         for name in sorted(counts)

@@ -411,7 +411,10 @@ def flatten_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("first_dim").alias("kind"),
         F.col("vec_id").cast("bigint").alias("key"),
         F.lit(None).cast("string").alias("sval"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("dval"),
+        # try_element_at: a zero-length embedding must yield NULL like
+        # the oracle's embedding[1], not raise under the driver's ANSI
+        # session (review r10; same pitfall analytics.py documents)
+        F.round(F.try_element_at("embedding", F.lit(1)).cast("double"), 6).alias("dval"),
         F.size("embedding").cast("bigint").alias("nval"),
     )
     return clip.unionByName(first).orderBy("kind", "key")

@@ -581,8 +581,17 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
         " (w, i) -> struct(w AS w1, t[i + 1] AS w2))"
     )
-    pairs = docs.select("doc_id", F.explode(bigr).alias("b")).select(
-        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    from .dedup import _fresh_persist
+
+    # persisted: pairs feeds the count tables AND the scoring probe —
+    # unpersisted, each consumer re-ran the scan + tokenize + explode
+    # subtree (review r10; the CMS query persists its shared vocabulary
+    # frame for the same reason)
+    pairs = _fresh_persist(
+        "lm_pairs",
+        docs.select("doc_id", F.explode(bigr).alias("b")).select(
+            "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+        ),
     )
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
