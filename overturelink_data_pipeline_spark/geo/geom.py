@@ -456,6 +456,11 @@ def ring_is_simple(ring: list[tuple[float, float]]) -> bool:
     neighbors index-non-adjacent edges sharing an endpoint — which the
     crossing test reads as a self-intersection, and make_valid then
     silently dropped perfectly valid holes."""
+    if not ring:
+        # public helper: current callers pre-check len>=4, but an empty
+        # ring must not IndexError on the dedup seed (ADVICE r10);
+        # vacuously simple is the honest answer for zero edges
+        return True
     dedup = [ring[0]]
     for p in ring[1:]:
         if p != dedup[-1]:

@@ -266,15 +266,19 @@ def _driver_round_maps(repo_dir: str) -> tuple[dict[str, int], dict[str, int]]:
 
             warnings.warn(f"skipping unreadable driver artifact {name}: {exc}")
             continue
-        # a list-shaped artifact enumerates the round's GREEN queries by
-        # name; synthesizing empty rows made the branch dead — every
+        # a list-shaped artifact enumerates the round's checked queries
+        # by name; synthesizing empty rows made the branch dead — every
         # entry failed the match-flags check and the round read as
-        # never-checked (review r10)
-        _GREEN = {"rows_match": True, "schema_match": True, "hash_match": True}
+        # never-checked (review r10). But a bare name carries NO hash
+        # evidence, so synthesize the weaker err='no_oracle' row: the
+        # entry counts as latest-checked (rotates out of the front of
+        # the window) without being recorded as oracle-hash-verified
+        # (ADVICE r10 — a list of attempted-but-unhashed queries must
+        # not skip the rotate-to-front policy for hash staleness).
         rows = (
             payload.items()
             if isinstance(payload, dict)
-            else ((q, dict(_GREEN)) for q in payload)
+            else ((q, {"err": "no_oracle"}) for q in payload)
         )
         for q, row in rows:
             if not isinstance(row, dict):

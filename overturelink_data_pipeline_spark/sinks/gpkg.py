@@ -194,6 +194,12 @@ def write_gpkg(
             # deprecated default adapters; both columns are declared
             # REAL/TEXT, so convert driver-side
             if isinstance(f.dataType, T.DecimalType):
+                # column affinity is REAL (see _sqlite_type), so wide
+                # decimals (e.g. DECIMAL(38,0)) lose precision beyond
+                # float53 — documented GPKG-sink semantics (ADVICE
+                # r10): GeoPackage itself has no decimal type, and
+                # matching readers (ogr2ogr) make the same trade. Cast
+                # to string upstream to keep exact digits as TEXT.
                 return float
             if isinstance(f.dataType, (T.DateType, T.TimestampType, T.TimestampNTZType)):
                 return lambda v: v.isoformat()
@@ -203,9 +209,33 @@ def write_gpkg(
 
         convert = {f.name: _converter(f) for f in fields}
 
+        seen_fids: set[int] = set()
+
         def encode_row(row) -> tuple:
             nonlocal n
-            vals = [row["fid"]] if fid_field is not None else []
+            vals: list = []
+            if fid_field is not None:
+                # validate eagerly with a clear message (ADVICE r10):
+                # sqlite would otherwise silently rowid-assign a NULL
+                # fid (corrupting the caller's keying on round-trip)
+                # or abort mid-insert with an opaque IntegrityError on
+                # a duplicate. The whole insert is one transaction
+                # (close-without-commit rolls back), so no partial
+                # layer persists either way — this is about the error
+                # contract, not durability.
+                fid = row["fid"]
+                if fid is None:
+                    raise ValueError(
+                        "caller-supplied 'fid' column contains NULL; "
+                        "GPKG primary keys must be non-null integers"
+                    )
+                if fid in seen_fids:
+                    raise ValueError(
+                        f"duplicate fid {fid} in caller-supplied 'fid' "
+                        "column; GPKG primary keys must be unique"
+                    )
+                seen_fids.add(fid)
+                vals.append(fid)
             for f in fields:
                 v = row[f.name]
                 c = convert[f.name]

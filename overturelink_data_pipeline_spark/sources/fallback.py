@@ -87,24 +87,38 @@ class OvertureReader:
         # treat that divergence as a cache MISS so resolution falls
         # through to a tier that can actually evaluate the filter
         if query.filter is not None:
-            if cache_mod.cached_columns(self.spark, path) is not None:
+            cols = cache_mod.cached_columns(self.spark, path)
+            if cols is not None:
                 from overturelink_data_pipeline_spark.functions.dialect import (
                     filter_would_empty,
+                    parse_filter,
                 )
 
-                # probe the EXACT branch apply_sql_filter would take on
-                # the cached frame (review r10): the old check covered
-                # only the two KNOWN filter shapes via filter_roots —
-                # a generic expression over a raw-only column slipped
-                # through, took the dialect's empty-on-unknown branch
-                # against the projected cache schema, and read() served
-                # 0 rows as a cache hit while the direct tier (raw
-                # schema) would have matched. Any filter the cache
+                # Resolvability gate (review r10): any filter the cache
                 # cannot resolve is a MISS, so resolution falls through
-                # to a tier that can evaluate it.
-                if filter_would_empty(
-                    self.spark.read.parquet(path), query.filter
-                ):
+                # to a tier (raw schema) that can evaluate it — the
+                # dialect's empty-on-unknown branch would otherwise
+                # serve 0 rows here as a "hit". Two cost tiers
+                # (ADVICE r10): a KNOWN-shape filter over a SIMPLE
+                # top-level column is fully decided by the footer
+                # column list cached_columns already fetched — no
+                # second reader, no expression analysis. Only dotted
+                # paths (nested-field presence needs resolution) and
+                # generic expressions pay the analysis probe, which
+                # mirrors the exact branch apply_sql_filter would take.
+                parsed = parse_filter(query.filter)
+                resolvable: bool | None = None
+                if parsed is not None:
+                    root = parsed[0].split(".")[0]
+                    if root.lower() not in {c.lower() for c in cols}:
+                        resolvable = False
+                    elif "." not in parsed[0]:
+                        resolvable = True
+                if resolvable is None:
+                    resolvable = not filter_would_empty(
+                        self.spark.read.parquet(path), query.filter
+                    )
+                if not resolvable:
                     log.info(
                         "filter %r cannot resolve on the cached schema; "
                         "falling through",

@@ -282,7 +282,11 @@ def normalize_buildings(df: DataFrame) -> DataFrame:
         height.alias("height_m"),
         floors.alias("floors"),
         *(
-            [F.col("source_type")]  # multilayer tag (J2) — review r10
+            # multilayer provenance tag (J2): folded into feature_type
+            # per the reference's column convention (transform.py:
+            # 529-530 — source_type never survives normalization;
+            # feature_type is the provenance column). ADVICE r10.
+            [clip_str(F.col("source_type").cast("string")).alias("feature_type")]
             if "source_type" in df.columns
             else []
         ),
@@ -311,7 +315,20 @@ def normalize_places(df: DataFrame, feature_type: str = "place") -> DataFrame:
         cols.append(clip_str(F.col("name")).alias("name"))
     elif "names" in df.columns:
         cols.append(clip_str(F.col("names.primary")).alias("name"))
-    cols.append(F.lit(feature_type).alias("feature_type"))
+    # reference transform.py:529-530 folds the multilayer provenance
+    # tag INTO feature_type (result_gdf['feature_type'] =
+    # gdf['source_type']) and keeps no separate source_type column
+    # (ADVICE r10 — the r10 extra-column shape diverged by one column
+    # and lost per-frame provenance in feature_type). One intentional
+    # residual divergence, for schema stability: the reference omits
+    # feature_type entirely when the frame carries no tag; we emit the
+    # constant default so normalized places schemas are fixed.
+    if "source_type" in df.columns:
+        cols.append(
+            clip_str(F.col("source_type").cast("string")).alias("feature_type")
+        )
+    else:
+        cols.append(F.lit(feature_type).alias("feature_type"))
     cols.extend(_name_cols(df))
     if "categories" in df.columns:
         # X2 — categories{primary, alternate[]} (reference transform.py:675-696)
@@ -337,11 +354,6 @@ def normalize_places(df: DataFrame, feature_type: str = "place") -> DataFrame:
         cols.append(
             F.col("confidence").cast("string").try_cast("double").alias("confidence")
         )
-    if "source_type" in df.columns:
-        # the multilayer tag compile adds (J2) — the fixed select list
-        # silently dropped it, so normalized multilayer exports lost
-        # the layer provenance the reference keeps (review r10)
-        cols.append(F.col("source_type"))
     cols.append(F.col("geometry"))
     out = df.select(*cols)
     from overturelink_data_pipeline_spark.geo.functions import st_clean_geometry

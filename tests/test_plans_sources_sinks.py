@@ -542,6 +542,34 @@ def test_gpkg_decimal_date_and_fid_columns(spark, tmp_path):
     with pytest.raises(ValueError, match="INTEGER fid"):
         write_gpkg(bad, str(tmp_path / "bad.gpkg"), layer="t")
 
+    # ADVICE r10: NULL and duplicate caller-supplied fids fail eagerly
+    # with named errors (sqlite would silently rowid-assign the NULL
+    # and raise an opaque IntegrityError on the duplicate), and the
+    # single-transaction write leaves no partial layer behind
+    import sqlite3 as _sq
+
+    nulfid = spark.createDataFrame([(None, "a"), (2, "b")], "fid long, v string")
+    p_nul = str(tmp_path / "nul.gpkg")
+    with pytest.raises(ValueError, match="NULL"):
+        write_gpkg(nulfid, p_nul, layer="t")
+    dupfid = spark.createDataFrame([(1, "a"), (1, "b")], "fid long, v string")
+    p_dup = str(tmp_path / "dup.gpkg")
+    with pytest.raises(ValueError, match="duplicate fid 1"):
+        write_gpkg(dupfid, p_dup, layer="t")
+    for p in (p_nul, p_dup):
+        if os.path.exists(p):
+            con = _sq.connect(p)
+            try:
+                tables = {
+                    r[0]
+                    for r in con.execute(
+                        "SELECT name FROM sqlite_master WHERE type='table'"
+                    )
+                }
+            finally:
+                con.close()
+            assert "t" not in tables  # rolled back, no partial layer
+
 
 def test_gpkg_attribute_table_and_empty_geometry(spark, tmp_path):
     """review r10: a geometry-less layer must register as data_type

@@ -160,11 +160,12 @@ def test_derived_rotation_on_synthetic_artifacts(tmp_path, monkeypatch):
     assert order == ["gap_q", "crashed", "brand_new", "stale_old", "fresh_a", "fresh_b"]
 
 
-def test_list_shaped_artifact_reads_green(tmp_path):
-    """review r10: a list-shaped CORRECTNESS artifact (query names =
-    that round's green set) synthesized empty rows that could never
-    pass the match-flags check — the whole round silently read as
-    never-checked. List entries now count as green."""
+def test_list_shaped_artifact_counts_latest_not_hashed(tmp_path):
+    """review r10 / ADVICE r10: a list-shaped CORRECTNESS artifact
+    (bare query names) counts its entries as latest-checked that round
+    — but a bare name carries no hash evidence, so it must NOT mark
+    them oracle-hash-verified (a list of attempted-but-unhashed
+    queries would wrongly skip the rotate-to-front policy)."""
     import json
 
     from overturelink_data_pipeline_spark.registry import _driver_round_maps
@@ -176,4 +177,4 @@ def test_list_shaped_artifact_reads_green(tmp_path):
     )
     latest, hashed = _driver_round_maps(str(tmp_path))
     assert latest == {"q_a": 2, "q_b": 1}
-    assert hashed == {"q_a": 2, "q_b": 1}
+    assert hashed == {"q_a": 2}

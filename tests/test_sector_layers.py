@@ -84,11 +84,14 @@ def test_export_filename_accepts_cli_fgb_token():
     assert export_filename("AAA", "roads", "flatgeobuf") == "aaa_roads.fgb"
 
 
-def test_normalizers_keep_multilayer_source_type(spark):
-    """review r10: compile tags multilayer layers with source_type
-    (J2), but the normalizers' fixed select lists dropped it — a
-    normalized multilayer export lost the provenance tag the reference
-    keeps (PREFERRED_ORDER reserves its slot)."""
+def test_normalizers_fold_source_type_into_feature_type(spark):
+    """ADVICE r10: the multilayer provenance tag (J2 source_type) folds
+    INTO feature_type per the reference (transform.py:529-530:
+    result_gdf['feature_type'] = gdf['source_type']) — no standalone
+    source_type column survives normalization, and feature_type carries
+    per-frame provenance instead of the constant default. Without a
+    tag, places still emit the constant default (documented divergence:
+    fixed schemas; the reference omits the column entirely)."""
     from pyspark.sql import functions as F
 
     from overturelink_data_pipeline_spark.geo import fixtures as FX
@@ -101,14 +104,21 @@ def test_normalizers_keep_multilayer_source_type(spark):
         "source_type", F.lit("places")
     )
     out = normalize_places(places)
-    assert "source_type" in out.columns
-    assert out.select("source_type").first()[0] == "places"
+    assert "source_type" not in out.columns
+    assert out.select("feature_type").first()[0] == "places"
+    untagged = normalize_places(FX.fixture_df(spark, "places_place"))
+    assert untagged.select("feature_type").first()[0] == "place"
     bld = FX.fixture_df(spark, "buildings_building").withColumn(
         "source_type", F.lit("buildings")
     )
     outb = normalize_buildings(bld)
-    assert "source_type" in outb.columns
-    assert outb.select("source_type").first()[0] == "buildings"
+    assert "source_type" not in outb.columns
+    assert outb.select("feature_type").first()[0] == "buildings"
+    # untagged buildings carry no provenance column at all (reference
+    # _normalize_buildings_schema emits neither)
+    assert "feature_type" not in normalize_buildings(
+        FX.fixture_df(spark, "buildings_building")
+    ).columns
 
 
 def test_confidence_drift_string_nulls_not_throws(spark):
