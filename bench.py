@@ -117,6 +117,56 @@ def main() -> None:
     )
     _wq.awaitTermination()
 
+    # ALSO warm the RocksDB provider (JNI library load + instance
+    # init) and the stream-stream symmetric-hash-join machinery — both
+    # one-time session costs the rate-source aggregate above does NOT
+    # touch (it warms only the default provider). Without this, the
+    # first wide-state stream query in alphabetical order absorbs
+    # ~3-14 s of session warm-up (r11 A/B, scripts/ab_stream_unload.py:
+    # first-pass stream_stream_attribution 20.6 s vs 6.6 s steady).
+    from overturelink_data_pipeline_spark.streaming.events import (
+        ROCKSDB_PROVIDER,
+    )
+
+    _prov_key = "spark.sql.streaming.stateStore.providerClass"
+    _old_prov = spark.conf.get(_prov_key, None)
+    spark.conf.set(_prov_key, ROCKSDB_PROVIDER)
+    try:
+        _ckpt2 = os.path.join(_tf.mkdtemp(prefix="bench_ckpt_"), "w2")
+        _ra = (
+            spark.readStream.format("rate").option("rowsPerSecond", "1")
+            .load().withWatermark("timestamp", "0 seconds")
+            .selectExpr("value AS k", "timestamp AS ta")
+        )
+        _rb = (
+            spark.readStream.format("rate").option("rowsPerSecond", "1")
+            .load().withWatermark("timestamp", "0 seconds")
+            .selectExpr("value AS k2", "timestamp AS tb")
+        )
+        _wq2 = (
+            _ra.join(
+                _rb,
+                F.expr("k = k2 AND tb BETWEEN ta AND ta + interval 1 second"),
+            )
+            .writeStream.format("memory")
+            .queryName("warm" + _uuid.uuid4().hex[:8])
+            .outputMode("append").option("checkpointLocation", _ckpt2)
+            .trigger(availableNow=True).start()
+        )
+        _wq2.awaitTermination()
+    finally:
+        if _old_prov is None:
+            spark.conf.unset(_prov_key)
+        else:
+            spark.conf.set(_prov_key, _old_prov)
+        # release the warm-up's providers the same way the replay
+        # harness does — stale loaded providers are exactly the
+        # batched-session contamination this round removed
+        try:
+            spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        except Exception:
+            pass
+
     # Box calibration (VERDICT r10 ask #3): one FIXED DuckDB query and
     # one FIXED Spark job, identical across rounds and independent of
     # SF, timed after warm-up. Two artifacts from different sessions /
