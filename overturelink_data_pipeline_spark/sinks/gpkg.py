@@ -209,32 +209,26 @@ def write_gpkg(
 
         convert = {f.name: _converter(f) for f in fields}
 
-        seen_fids: set[int] = set()
-
         def encode_row(row) -> tuple:
             nonlocal n
             vals: list = []
             if fid_field is not None:
-                # validate eagerly with a clear message (ADVICE r10):
-                # sqlite would otherwise silently rowid-assign a NULL
-                # fid (corrupting the caller's keying on round-trip)
-                # or abort mid-insert with an opaque IntegrityError on
-                # a duplicate. The whole insert is one transaction
-                # (close-without-commit rolls back), so no partial
-                # layer persists either way — this is about the error
-                # contract, not durability.
+                # NULL fids fail eagerly with a clear message (ADVICE
+                # r10): sqlite would silently rowid-assign them,
+                # corrupting the caller's keying on round-trip. The
+                # check is per-row O(1); DUPLICATE fids are enforced by
+                # the PK constraint itself and re-raised below with the
+                # same clarity — a driver-side seen-set would add O(n)
+                # driver memory to the stream=True path whose whole
+                # point is bounded memory (review r11). The whole
+                # insert is one transaction (close-without-commit rolls
+                # back), so no partial layer persists either way.
                 fid = row["fid"]
                 if fid is None:
                     raise ValueError(
                         "caller-supplied 'fid' column contains NULL; "
                         "GPKG primary keys must be non-null integers"
                     )
-                if fid in seen_fids:
-                    raise ValueError(
-                        f"duplicate fid {fid} in caller-supplied 'fid' "
-                        "column; GPKG primary keys must be unique"
-                    )
-                seen_fids.add(fid)
                 vals.append(fid)
             for f in fields:
                 v = row[f.name]
@@ -260,7 +254,20 @@ def write_gpkg(
             return tuple(vals)
 
         rows = df.toLocalIterator() if stream else df.collect()
-        con.executemany(insert, (encode_row(r) for r in rows))
+        try:
+            con.executemany(insert, (encode_row(r) for r in rows))
+        except sqlite3.IntegrityError as exc:
+            # duplicate caller-supplied fid: sqlite's PK constraint is
+            # the memory-free uniqueness check; translate its opaque
+            # "UNIQUE constraint failed" into the sink's error contract
+            # (the open transaction rolls back on close — no partial
+            # layer persists)
+            if fid_field is not None and "fid" in str(exc):
+                raise ValueError(
+                    "duplicate fid in caller-supplied 'fid' column; "
+                    "GPKG primary keys must be unique"
+                ) from exc
+            raise
 
         type_name = (
             geom_types.pop().upper() if len(geom_types) == 1 else "GEOMETRY"

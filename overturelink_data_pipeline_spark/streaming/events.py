@@ -220,6 +220,53 @@ def _resolve_state_provider(
     )
 
 
+def unload_all_state_providers(spark: SparkSession) -> bool:
+    """Unload every loaded state-store provider — the one
+    implementation of the `StateStore.stop()` py4j incantation (the
+    review of r11's first cut found it copy-pasted across four sites
+    that would each break separately on a Spark-internal rename).
+
+    SCOPE GUARD: `StateStore.stop()` is JVM-global, so firing it while
+    ANOTHER streaming query is active in this session would close that
+    query's providers mid-flight (task failure + full state reload
+    from checkpoint). The replay harness's contamination case — a
+    batched bench or driver sim, where terminated replays' stale
+    providers pile up — has no concurrently active streams, so the
+    guard skips the unload exactly when it could hurt and fires it
+    exactly when it helps; skipped providers fall back to the normal
+    60 s maintenance-tick reaping. Both the maintenance task and the
+    coordinator restart lazily on the next streaming start. On a real
+    cluster this reaches only the driver-local registry; executor
+    providers follow coordinator deactivation as usual.
+
+    Returns True when the unload ran (the test hook)."""
+    try:
+        if spark.streams.active:
+            return False
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        return True
+    except Exception:
+        return False
+
+
+def loaded_provider_count(spark: SparkSession) -> int | None:
+    """Size of the JVM's loadedProviders registry, or None when the
+    package-private member is not reflectable (Spark-internal layout
+    drift — callers must treat None as 'unknown', never as 0). Local
+    mode only: driver and executor share the JVM there."""
+    try:
+        jvm = spark._jvm
+        cls = jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.execution.streaming.state.StateStore$"
+        )
+        mod = cls.getDeclaredField("MODULE$").get(None)
+        f = cls.getDeclaredField("loadedProviders")
+        f.setAccessible(True)
+        return f.get(mod).size()
+    except Exception:
+        return None
+
+
 def run_to_completion(
     streaming_df: DataFrame,
     spark: SparkSession,
@@ -345,16 +392,8 @@ def run_to_completion(
         # A/B (scripts/ab_stream_unload.py): first batched pass of all
         # 8 stream queries 65.3 → 36.4 s, stream_stream_attribution
         # 20.6 → 6.7 s, once stale providers stopped accumulating.
-        # StateStore.stop() unloads all and halts the maintenance
-        # task; both restart lazily on the next streaming run (safety
-        # + result-identity pinned in tests/test_streaming.py). On a
-        # real cluster this py4j call reaches only the driver-local
-        # registry; executor providers are deactivated by the
-        # coordinator and reaped by their own maintenance threads.
-        try:
-            spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        except Exception:
-            pass
+        # Safety + result-identity pinned in tests/test_streaming.py.
+        unload_all_state_providers(spark)
         if old_prog is None:
             spark.conf.unset(_PROG_KEY)
         else:

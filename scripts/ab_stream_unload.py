@@ -40,19 +40,14 @@ from overturelink_data_pipeline_spark.session import get_spark
 
 
 def loaded_count(spark):
-    """Size of the executor-side loadedProviders registry (reflection:
-    the member is package-private; local mode only)."""
-    try:
-        jvm = spark._jvm
-        cls = jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.execution.streaming.state.StateStore$"
-        )
-        mod = cls.getDeclaredField("MODULE$").get(None)
-        f = cls.getDeclaredField("loadedProviders")
-        f.setAccessible(True)
-        return f.get(mod).size()
-    except Exception as exc:  # JVM layout drift — report, don't crash
-        return f"?({str(exc)[:60]})"
+    """One implementation of the reflection probe lives in
+    streaming/events.py (review r11 dedupe); '?' when not reflectable."""
+    from overturelink_data_pipeline_spark.streaming.events import (
+        loaded_provider_count,
+    )
+
+    n = loaded_provider_count(spark)
+    return "?" if n is None else n
 
 
 def main() -> None:

@@ -554,8 +554,12 @@ def test_gpkg_decimal_date_and_fid_columns(spark, tmp_path):
         write_gpkg(nulfid, p_nul, layer="t")
     dupfid = spark.createDataFrame([(1, "a"), (1, "b")], "fid long, v string")
     p_dup = str(tmp_path / "dup.gpkg")
-    with pytest.raises(ValueError, match="duplicate fid 1"):
+    with pytest.raises(ValueError, match="duplicate fid"):
         write_gpkg(dupfid, p_dup, layer="t")
+    # ... including on the bounded-memory streaming path (review r11:
+    # uniqueness comes from the PK constraint, not a driver-side set)
+    with pytest.raises(ValueError, match="duplicate fid"):
+        write_gpkg(dupfid, p_dup, layer="t", stream=True)
     for p in (p_nul, p_dup):
         if os.path.exists(p):
             con = _sq.connect(p)

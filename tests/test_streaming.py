@@ -289,19 +289,6 @@ def test_run_to_completion_restores_conf_unset_state(spark, sf_dir):
     assert spark.conf.get(parts_key, None) == before_parts
 
 
-def _loaded_provider_count(spark):
-    """Reflection probe for StateStore.loadedProviders (package-private;
-    local mode — driver and executor share the JVM)."""
-    jvm = spark._jvm
-    cls = jvm.java.lang.Class.forName(
-        "org.apache.spark.sql.execution.streaming.state.StateStore$"
-    )
-    mod = cls.getDeclaredField("MODULE$").get(None)
-    f = cls.getDeclaredField("loadedProviders")
-    f.setAccessible(True)
-    return f.get(mod).size()
-
-
 def test_run_to_completion_unloads_state_providers(spark, sf_dir):
     """VERDICT r10 ask #1: terminated replays must not leave loaded
     state-store providers behind — the stream-stream join leaks 32 per
@@ -310,21 +297,48 @@ def test_run_to_completion_unloads_state_providers(spark, sf_dir):
     maintenance tick and measurably slow every later query in a
     batched session (scripts/ab_stream_unload.py: first batched pass
     65.3 -> 36.4 s). Also pins that the unload is SAFE: a second
-    replay after StateStore.stop() returns identical rows."""
+    replay after the unload returns identical rows."""
     import pytest as _pytest
 
     from overturelink_data_pipeline_spark.registry import QUERIES, load_all
+    from overturelink_data_pipeline_spark.streaming.events import (
+        loaded_provider_count,
+    )
 
     load_all()
     q = QUERIES["stream_stream_attribution"]
     r1 = q(spark, sf_dir).collect()
-    try:
-        n_loaded = _loaded_provider_count(spark)
-    except Exception as exc:  # Scala member layout drift
-        _pytest.skip(f"loadedProviders not reflectable: {exc}")
+    n_loaded = loaded_provider_count(spark)
+    if n_loaded is None:  # Scala member layout drift
+        _pytest.skip("loadedProviders not reflectable")
     assert n_loaded == 0, (
         f"{n_loaded} state-store providers still loaded after replay"
     )
     r2 = q(spark, sf_dir).collect()
     assert [tuple(x) for x in r1] == [tuple(x) for x in r2]
-    assert _loaded_provider_count(spark) == 0
+    assert loaded_provider_count(spark) == 0
+
+
+def test_unload_skips_when_other_streams_active(spark, tmp_path):
+    """Review r11: StateStore.stop() is JVM-global — firing it while
+    ANOTHER streaming query is active would close that query's
+    providers mid-flight. The helper must skip (and report False)
+    while any stream is active, and fire once the session is quiet."""
+    from overturelink_data_pipeline_spark.streaming.events import (
+        unload_all_state_providers,
+    )
+
+    other = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1")
+        .load().groupBy("value").count()
+        .writeStream.format("memory").queryName("live_guard_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        assert unload_all_state_providers(spark) is False
+    finally:
+        other.stop()
+        other.awaitTermination()
+    assert unload_all_state_providers(spark) is True
