@@ -202,8 +202,8 @@ def main() -> None:
             ).fetchall()
         ),
         "spark_s": _best2(
-            # xxhash64 keeps the job CPU-bound and ANSI-safe (sum of
-            # squares over 400M longs overflows int64 under the ANSI
+            # xxhash64 keeps the job CPU-bound and ANSI-safe (a sum of
+            # squares at this row count overflows int64 under the ANSI
             # default); bit_xor cannot overflow
             lambda: spark.range(2_000_000_000)
             .selectExpr("bit_xor(xxhash64(id)) AS s")
