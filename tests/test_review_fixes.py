@@ -100,12 +100,23 @@ def test_cache_filter_root_miss_falls_through(spark, tmp_path):
     from overturelink_data_pipeline_spark.plans.models import RunOptions
 
     assert reader._from_cache(raw_q, country, RunOptions()) is None
-    # filter on a projected column IS served from cache
+    # filter on a projected column IS served from cache (ADVICE r11
+    # fast path: a known-shape simple column present in the footer
+    # list resolves without the analysis probe)
     proj_q = Query(
         name=base_q.name, theme=base_q.theme, type=base_q.type,
         filter="category = 'education'",
     )
     assert reader._from_cache(proj_q, country, RunOptions()) is not None
+    # dotted path whose ROOT is projected but whose nested field is
+    # not: the footer list can't decide this tier — the analysis
+    # probe must, and it must read MISS (the cache would silently
+    # empty where the raw tier resolves)
+    nested_q = Query(
+        name=base_q.name, theme=base_q.theme, type=base_q.type,
+        filter="names.ghost_field = 'x'",
+    )
+    assert reader._from_cache(nested_q, country, RunOptions()) is None
 
 
 def test_dump_validation_failure_preserves_prior_mirror(spark, tmp_path):
