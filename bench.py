@@ -19,6 +19,17 @@ from overturelink_data_pipeline_spark import registry
 from overturelink_data_pipeline_spark.session import get_spark
 
 
+def _stamp_requested(argv: list[str] | None = None) -> bool:
+    """True only when the caller explicitly asked for a round-stamped
+    ledger copy: `--stamp` on the command line or SPARK_GRAFT_STAMP
+    set to a non-empty value other than '0'. Default is NO stamp."""
+    args = sys.argv[1:] if argv is None else argv
+    if "--stamp" in args:
+        return True
+    env = os.environ.get("SPARK_GRAFT_STAMP", "")
+    return bool(env) and env != "0"
+
+
 def _write_round_stamped(repo_dir: str, full: dict) -> None:
     """BENCH_LOCAL_r{N:02d}.json for the round currently being built
     (N = latest CORRECTNESS artifact file + 1, or the explicit
@@ -288,9 +299,13 @@ def main() -> None:
     # make the next bench overwrite the red round's committed copy.
     # Only stamped at the driver's bench shape (no SF override): local
     # verification runs at sf0.001 would otherwise clobber the round's
-    # authoritative sf0.1 numbers.
+    # authoritative sf0.1 numbers. Stamping is OPT-IN (VERDICT r11
+    # ask #3): an auto-stamp polluted the judge's own verification
+    # session with a stray next-round artifact — the builder's ledger
+    # runs pass --stamp (or SPARK_GRAFT_STAMP=1); every other caller,
+    # including the driver and the judge, gets BENCH_LOCAL.json only.
     try:
-        if not os.environ.get("SPARK_GRAFT_SF_DIR"):
+        if _stamp_requested() and not os.environ.get("SPARK_GRAFT_SF_DIR"):
             _write_round_stamped(repo_dir, full)
     except Exception as exc:
         # the stamped copy is evidence hygiene, never a bench failure —

@@ -261,8 +261,18 @@ def write_gpkg(
             # the memory-free uniqueness check; translate its opaque
             # "UNIQUE constraint failed" into the sink's error contract
             # (the open transaction rolls back on close — no partial
-            # layer persists)
-            if fid_field is not None and "fid" in str(exc):
+            # layer persists). Match the full message shape — constraint
+            # kind AND the .fid column suffix — so a layer NAME merely
+            # containing 'fid' with a different integrity failure is
+            # not mislabeled, and sqlite message drift falls through to
+            # the raw error instead of silently mistranslating
+            # (ADVICE r11).
+            msg = str(exc)
+            if (
+                fid_field is not None
+                and "UNIQUE constraint failed" in msg
+                and msg.rstrip().endswith(".fid")
+            ):
                 raise ValueError(
                     "duplicate fid in caller-supplied 'fid' column; "
                     "GPKG primary keys must be unique"

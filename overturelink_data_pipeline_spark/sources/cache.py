@@ -155,9 +155,20 @@ def cached_columns(spark: SparkSession, parquet_path: str) -> list[str] | None:
     """Root columns of a cache entry (footer-only read), or None on
     miss — lets callers decide whether a filter can even resolve here
     before committing to the cache tier."""
+    schema = cached_schema(spark, parquet_path)
+    return None if schema is None else schema.names
+
+
+def cached_schema(spark: SparkSession, parquet_path: str):
+    """Full root schema of a cache entry (same footer-only read as
+    cached_columns), or None on miss. Callers that gate on TYPE — not
+    just presence — need this: a cache written from a transformed frame
+    can carry a same-named column with a different type than the raw
+    tier (ADVICE r11), and a name-only check would wave such a filter
+    through the footer fast path."""
     if not os.path.exists(parquet_path) or not os.path.exists(_meta_path(parquet_path)):
         return None
-    return spark.read.parquet(parquet_path).columns
+    return spark.read.parquet(parquet_path).schema
 
 
 def read_cache(

@@ -27,6 +27,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from overturelink_data_pipeline_spark.plans.compile import compile_query
 from overturelink_data_pipeline_spark.plans.models import (
@@ -87,7 +88,8 @@ class OvertureReader:
         # treat that divergence as a cache MISS so resolution falls
         # through to a tier that can actually evaluate the filter
         if query.filter is not None:
-            cols = cache_mod.cached_columns(self.spark, path)
+            schema = cache_mod.cached_schema(self.spark, path)
+            cols = None if schema is None else schema.names
             if cols is not None:
                 from overturelink_data_pipeline_spark.functions.dialect import (
                     filter_would_empty,
@@ -101,18 +103,28 @@ class OvertureReader:
                 # serve 0 rows here as a "hit". Two cost tiers
                 # (ADVICE r10): a KNOWN-shape filter over a SIMPLE
                 # top-level column is fully decided by the footer
-                # column list cached_columns already fetched — no
-                # second reader, no expression analysis. Only dotted
-                # paths (nested-field presence needs resolution) and
-                # generic expressions pay the analysis probe, which
-                # mirrors the exact branch apply_sql_filter would take.
+                # schema cached_schema already fetched — no second
+                # reader, no expression analysis. Only dotted paths
+                # (nested-field presence needs resolution) and generic
+                # expressions pay the analysis probe, which mirrors the
+                # exact branch apply_sql_filter would take. The fast
+                # path additionally requires the cached column's type
+                # to be ATOMIC (ADVICE r11): a cache written from a
+                # transformed frame can carry a same-named column with
+                # a complex type (struct/array/map) on which a scalar
+                # comparison would NOT resolve — those fall to the
+                # analysis probe, which decides it exactly.
                 parsed = parse_filter(query.filter)
                 resolvable: bool | None = None
                 if parsed is not None:
                     root = parsed[0].split(".")[0]
-                    if root.lower() not in {c.lower() for c in cols}:
+                    by_lower = {f.name.lower(): f for f in schema.fields}
+                    field = by_lower.get(root.lower())
+                    if field is None:
                         resolvable = False
-                    elif "." not in parsed[0]:
+                    elif "." not in parsed[0] and isinstance(
+                        field.dataType, T.AtomicType
+                    ):
                         resolvable = True
                 if resolvable is None:
                     resolvable = not filter_would_empty(

@@ -239,6 +239,18 @@ def unload_all_state_providers(spark: SparkSession) -> bool:
     cluster this reaches only the driver-local registry; executor
     providers follow coordinator deactivation as usual.
 
+    CONTRACT — single-session JVM assumed (ADVICE r11): the guard
+    reads `spark.streams.active`, which is PER-SparkSession, while the
+    stop() it gates is JVM-wide. A stream started from a sibling or
+    cloned SparkSession sharing this SparkContext is invisible to the
+    guard, and its providers would be closed mid-flight (the stream
+    recovers — task retry reloads state from the checkpoint — but the
+    reload is a latency cliff, not free). Spark exposes no
+    enumerate-all-sessions API, so this cannot be guarded from here;
+    callers that clone sessions must not call this helper while any
+    clone streams. Every in-repo caller (the replay harness and
+    bench.py) owns its JVM and uses exactly one session.
+
     Returns True when the unload ran (the test hook)."""
     try:
         if spark.streams.active:

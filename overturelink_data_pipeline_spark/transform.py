@@ -79,6 +79,11 @@ PREFERRED_ORDER = [
     "country_name",
     "data_sector",
     "geometry_family",
+    # source_type never survives normalization (folded into
+    # feature_type per reference transform.py:529-530), but the slot is
+    # NOT dead: ordered_select is a general T6 surface also applied to
+    # PRE-normalization frames — split_by_geometry tags source_type on
+    # its layers (geo/split.py:47) and callers order those directly.
     "source_type",
     "geometry",
 ]
