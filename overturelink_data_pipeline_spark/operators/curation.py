@@ -1178,3 +1178,164 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_rows", "n_files", "min_doc", "max_doc", "total_chars")
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / host-level crawl dedup (VERDICT r11 ask #5a — the crawl-curation
+# primitive the dedup family didn't cover: cosmetic URL variants are the
+# FIRST dedup layer a crawl pipeline runs, before any content hashing).
+# ---------------------------------------------------------------------------
+
+def url_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic crawl-URL table derived from `documents` (the
+    corpus carries no URL column, so — like media_fixture — the fixture
+    synthesizes one per doc, exercising every canonicalization rule:
+    scheme/host case, www., default ports, trailing slash, utm params,
+    fragments). The oracle constructs the identical URLs, so parity
+    checks the CANONICALIZER, not the synthetic data."""
+    d = F.col("doc_id")
+    tld = F.when(d % 2 == 0, ".example.com").otherwise(".example.org")
+    base = F.concat(F.col("source"), tld)
+    hostraw = F.when(d % 3 == 0, F.concat(F.lit("WWW."), F.upper(base))).otherwise(base)
+    scheme = F.when(d % 2 == 0, "HTTPS").otherwise("http")
+    port = F.when(
+        d % 5 == 0, F.when(d % 2 == 0, ":443").otherwise(":80")
+    ).otherwise("")
+    path = F.concat(F.lit("/docs/"), (d % 7).cast("string"))
+    trail = F.when(d % 4 == 0, "/").otherwise("")
+    qry = (
+        F.when(
+            d % 3 == 1,
+            F.concat(F.lit("?utm_source=feed&ref="), (d % 5).cast("string")),
+        )
+        .when(d % 3 == 2, "?utm_campaign=x")
+        .otherwise("")
+    )
+    frag = F.when(d % 6 == 0, "#sec").otherwise("")
+    url = F.concat(scheme, F.lit("://"), hostraw, port, path, trail, qry, frag)
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
+
+
+# One CTE per canonicalization rule, mirroring functions/urls.py 1:1
+# (RE2 dialect: \1 backrefs, no lookarounds — the patterns were chosen
+# so both engines run the same regexes).
+_URL_ORACLE = r"""
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+         || '://'
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN 'WWW.' || UPPER(source ||
+                       (CASE WHEN doc_id % 2 = 0
+                             THEN '.example.com' ELSE '.example.org' END))
+                  ELSE source ||
+                       (CASE WHEN doc_id % 2 = 0
+                             THEN '.example.com' ELSE '.example.org' END)
+             END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+                  ELSE '' END)
+         || '/docs/' || CAST(doc_id % 7 AS VARCHAR)
+         || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 1
+                  THEN '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR)
+                  WHEN doc_id % 3 = 2 THEN '?utm_campaign=x'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents
+), s1 AS (  -- 1. fragment
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS c FROM raw
+), s2 AS (  -- 2. lowercase scheme+authority
+  SELECT doc_id, url,
+         lower(regexp_extract(c, '^[^:/?#]+://[^/?#]*'))
+           || substr(c, length(regexp_extract(c, '^[^:/?#]+://[^/?#]*')) + 1)
+           AS c
+  FROM s1
+), s3 AS (  -- 3. www.   4. default ports
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(c, '^([a-z][a-z0-9+.-]*://)www\.', '\1'),
+             '^(https://[^/:?#]*):443(([/?#].*)?)$', '\1\2'),
+           '^(http://[^/:?#]*):80(([/?#].*)?)$', '\1\2') AS c
+  FROM s2
+), s4 AS (  -- 5. utm params (mid then terminal)
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(c, '([?&])utm_[^&#]*&', '\1'),
+           '[?&]utm_[^&#]*$', '') AS c
+  FROM s3
+), s5 AS (  -- 6. '/?'→'?', trailing '?'/'&', trailing '/'
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(c, '/\?', '?'),
+             '[?&]$', ''),
+           '/$', '') AS c
+  FROM s4
+), hosted AS (
+  SELECT doc_id, url, c,
+         regexp_extract(c, '^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1) AS host
+  FROM s5
+)
+SELECT host,
+       regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+       CAST(COUNT(*) AS BIGINT)              AS n_docs,
+       CAST(COUNT(DISTINCT c) AS BIGINT)     AS n_urls,
+       CAST(COUNT(DISTINCT url) AS BIGINT)   AS n_raw,
+       ROUND(1 - CAST(COUNT(DISTINCT c) AS DOUBLE)
+                 / COUNT(DISTINCT url), 4)   AS dup_ratio
+FROM hosted
+GROUP BY host
+ORDER BY host
+"""
+
+
+@spark_query("url_host_dedup_rollup", oracle=_URL_ORACLE)
+def url_host_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host-level dedup rollup (VERDICT r11
+    ask #5a): canonicalize every crawl URL (functions/urls.py — pure
+    codegen'd regexp expressions, scan-local), group by canonical host,
+    and report how much of each host's raw URL space collapses —
+    `dup_ratio` is the fraction of raw variants that were cosmetic.
+
+    Scale: the canonicalizer is a projection (no shuffle); the single
+    groupBy keys on host — the natural crawl partition key, with
+    partial aggregation collapsing each map partition to
+    one row per (host, distinct-seen) before the exchange. COUNT
+    DISTINCT over urls rewrites to a two-phase expand+agg, still one
+    exchange family. No UDFs, no collects."""
+    from overturelink_data_pipeline_spark.functions.urls import (
+        canonical_url,
+        registered_domain,
+        url_host,
+    )
+
+    urls = url_fixture(spark, sf_dir)
+    canon = urls.select(
+        "doc_id", "url", canonical_url(F.col("url")).alias("c")
+    ).withColumn("host", url_host(F.col("c")))
+    return (
+        canon.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("c").cast("bigint").alias("n_urls"),
+            F.countDistinct("url").cast("bigint").alias("n_raw"),
+            F.round(
+                F.lit(1)
+                - F.countDistinct("c").cast("double") / F.countDistinct("url"),
+                4,
+            ).alias("dup_ratio"),
+        )
+        .select(
+            "host",
+            registered_domain(F.col("host")).alias("domain"),
+            "n_docs",
+            "n_urls",
+            "n_raw",
+            "dup_ratio",
+        )
+        .orderBy("host")
+    )

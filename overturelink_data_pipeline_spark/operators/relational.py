@@ -233,13 +233,9 @@ def filter_dialect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # A4: DISTINCT + sort (reference type-discovery, source.py:1329-1334).
+# Registered via group_distinct_type_audit below (merged r12) — kept as
+# a plain callable for direct API use.
 # ---------------------------------------------------------------------------
-@spark_query(
-    "distinct_sort",
-    oracle="""
-    SELECT DISTINCT event_type FROM events ORDER BY event_type
-    """,
-)
 def distinct_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         read_table(spark, sf_dir, "events")
@@ -278,21 +274,60 @@ def agg_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A2: group-count (reference geom_type.value_counts(), source.py:569).
+# A2 + A4 merged (VERDICT r11 ask #5 slot funding): group-count
+# (reference geom_type.value_counts(), source.py:569) and DISTINCT+sort
+# (type discovery, source.py:1329-1334) over the SAME events scan —
+# the group keys ARE the sorted distinct set, so one Aggregate attests
+# both; `ord` makes the sorted-distinct-rank semantics an explicit
+# output column rather than an implicit property of the key column.
+# Both r10-green at merge time, so retiring the pair shrinks the r12
+# stale set by 2 and the window stays feasible at 50.
 # ---------------------------------------------------------------------------
 @spark_query(
-    "group_count_by_type",
+    "group_distinct_type_audit",
     oracle="""
     SELECT event_type,
-           CAST(COUNT(*) AS BIGINT)  AS n,
-           ROUND(AVG(value), 4)      AS avg_value,
-           ROUND(SUM(value), 2)      AS sum_value
-    FROM events
-    GROUP BY event_type
+           CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS BIGINT) AS ord,
+           n, avg_value, sum_value
+    FROM (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT)  AS n,
+             ROUND(AVG(value), 4)      AS avg_value,
+             ROUND(SUM(value), 2)      AS sum_value
+      FROM events
+      GROUP BY event_type
+    )
     ORDER BY event_type
     """,
 )
+def group_distinct_type_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    # global window over the POST-aggregation frame only — its row
+    # count is the event_type cardinality (bounded, single digits),
+    # the same benign shape documented for the other audit queries
+    from pyspark.sql import Window
+
+    w = Window.orderBy("event_type")
+    return agg.select(
+        "event_type",
+        F.row_number().over(w).cast("bigint").alias("ord"),
+        "n",
+        "avg_value",
+        "sum_value",
+    ).orderBy("event_type")
+
+
 def group_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 standalone surface (registered coverage now rides
+    group_distinct_type_audit)."""
     return (
         read_table(spark, sf_dir, "events")
         .groupBy("event_type")

@@ -109,14 +109,18 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     # r8-green i.e. STALE-in-r10 — the standing feasibility rule: the
     # r10 window is then 46 stale + 4 never-checked = exactly 50.
     "filter_dialect_bucket",
-    "distinct_sort",
-    "group_count_by_type",
+    # distinct_sort + group_count_by_type merged into
+    # group_distinct_type_audit r12 (same events scan: the group keys
+    # ARE the sorted distinct set; VERDICT r11 ask #5 slot funding for
+    # url_host_dedup_rollup). Both were r10-green i.e. STALE in r12,
+    # so the window stays feasible: 50 - 4 stale + 4 never-checked.
     "flatten_hygiene_audit",
     "regexp_extract_discovery",
     "semi_join_customers_with_urgent_orders",
-    "mm_decode_features",
+    # mm_decode_features + mm_frame_sample merged into
+    # mm_decode_frame_audit r12 (same media fixture, both mapInPandas
+    # stub kernels in one driver row; second r12 slot funding).
     "mm_metadata_rollup",
-    "mm_frame_sample",
     "pipeline_education_multilayer",
     "pipeline_roads_geojsonseq",
     "pipeline_places_combined",
@@ -210,6 +214,12 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     # the window head automatically) ------------------------------------
     "sink_gpkg_audit",
     "stream_stream_attribution",
+    # --- round-12 registrations (slot funding: the two merges above;
+    # never-checked tier floats these to the window head) ----------------
+    "group_distinct_type_audit",
+    "mm_decode_frame_audit",
+    "url_host_dedup_rollup",
+    "sink_fgdb_audit",
 )
 
 

@@ -116,9 +116,11 @@ def write_filegdb(df: DataFrame, path: str, layer: str = "layer", mode: str = "w
     """S10 — FileGDB sink (OpenFileGDB driver): collect the bounded
     country-sized output, truncate field names to the 64-char FGDB
     limit (reference export.py:393-407), hand to
-    ``pyogrio.write_dataframe``. Import-gated: the OpenFileGDB writer
-    only exists in the GDAL stack — there is no public spec to
-    reimplement (unlike GPKG), so absent GDAL this raises.
+    ``pyogrio.write_dataframe``. Import-gated: the FileGDB format has
+    no OFFICIAL public spec — absent GDAL this raises, pointing at the
+    pure-Python table-format fallback (sinks/fgdb_table.py, r12: the
+    reverse-engineered-spec subset, points only; evidence ledger in
+    docs/FGDB.md).
 
     ``mode='a'`` maps to pyogrio ``append=True`` — GDAL opens the
     EXISTING dataset and writes rows into ``layer``; rows land in a
@@ -132,8 +134,9 @@ def write_filegdb(df: DataFrame, path: str, layer: str = "layer", mode: str = "w
     except ImportError as exc:
         raise NotImplementedError(
             "FileGDB export needs pyogrio/geopandas/GDAL (not in this "
-            "container); use write_gpkg (pure-sqlite3) or the "
-            "distributed sinks instead"
+            "container); for point layers use sinks.fgdb_table."
+            "write_fgdb_layers (pure-Python table format), else "
+            "write_gpkg (pure-sqlite3) or the distributed sinks"
         ) from exc
     if "OpenFileGDB" not in pyogrio.list_drivers(write=True):
         raise RuntimeError("GDAL present but OpenFileGDB write driver missing")

@@ -176,7 +176,13 @@ def test_lloyd_assign_arrow_kernel_matches_catalyst(spark, sf_dir):
 
 
 def test_multimodal_decode_plumbing(spark, sf_dir, q):
-    out = q["mm_decode_features"](spark, sf_dir).toPandas()
+    # mm_decode_features merged into mm_decode_frame_audit r12; the
+    # standalone decode surface stays pinned here directly
+    from overturelink_data_pipeline_spark.operators.multimodal import (
+        mm_decode_features,
+    )
+
+    out = mm_decode_features(spark, sf_dir).toPandas()
     assert set(out.kind) == {"image", "audio", "video"}
     assert (out.width.between(64, 319)).all()
     assert (out[out.kind == "image"].n_frames == 1).all()
@@ -184,7 +190,7 @@ def test_multimodal_decode_plumbing(spark, sf_dir, q):
     # feature dim surfaced value is bounded
     assert out.f0.abs().max() <= 1.0
     # determinism
-    again = q["mm_decode_features"](spark, sf_dir).toPandas()
+    again = mm_decode_features(spark, sf_dir).toPandas()
     assert out.equals(again)
 
 
