@@ -142,6 +142,7 @@ def main() -> None:
     # first-pass stream_stream_attribution 20.6 s vs 6.6 s steady).
     from overturelink_data_pipeline_spark.streaming.events import (
         ROCKSDB_PROVIDER,
+        loaded_provider_count,
         unload_all_state_providers,
     )
 
@@ -226,12 +227,22 @@ def main() -> None:
     _dk_con.close()
 
     timings: dict[str, float] = {}
+    #: loaded state-store providers observed AFTER each stream-family
+    #: query (VERDICT r11 ask #6's escalation lever, armed proactively:
+    #: if the driver artifact's stream numbers blow up while local runs
+    #: stay flat, this field says whether the replay unload stopped
+    #: firing there — nonzero growth across entries = leaked providers)
+    stream_providers: dict[str, int] = {}
     for name in sorted(registry.QUERIES):
         t0 = time.perf_counter()
         registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        if name.startswith("stream"):
+            n_prov = loaded_provider_count(spark)
+            if n_prov is not None:
+                stream_providers[name] = n_prov
         if os.environ.get("SPARK_GRAFT_NO_ISOLATE"):
             continue
         # isolate queries from each other: drop persisted frames and
@@ -268,6 +279,7 @@ def main() -> None:
         "protocol": protocol,
         "calibration": calibration,
         "queries": timings,
+        "stream_providers_after": stream_providers,
         "sf": sf_num,
         "notes": {
             "agg_percentiles_exact": (
