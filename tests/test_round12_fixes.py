@@ -109,3 +109,23 @@ def test_gpkg_fid_translation_matches_full_message(spark, tmp_path):
     p = str(tmp_path / "fidlayer.gpkg")
     with pytest.raises(ValueError, match="duplicate fid"):
         write_gpkg(dup, p, layer="confidence_fidelity", stream=True)
+
+
+def test_pipeline_geo_text_corpus_staged_parity(spark, sf_dir):
+    """Local replica of the driver gate for the STAGED r13 candidate
+    (geo+text composite, VERDICT r11 ask #5b): Spark frame vs its
+    DuckDB oracle, same compare as CORRECTNESS_r{N}.json."""
+    from overturelink_data_pipeline_spark import testing
+    from overturelink_data_pipeline_spark.operators.geospatial import (
+        PIPELINE_GEO_TEXT_CORPUS_ORACLE,
+        pipeline_geo_text_corpus,
+    )
+
+    con = testing.duckdb_connect(sf_dir)
+    oracle = con.execute(PIPELINE_GEO_TEXT_CORPUS_ORACLE).fetchdf()
+    res = testing.compare(
+        "pipeline_geo_text_corpus",
+        pipeline_geo_text_corpus(spark, sf_dir),
+        oracle,
+    )
+    assert res.ok, res
