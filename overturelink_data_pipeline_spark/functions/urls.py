@@ -21,10 +21,14 @@ crawl / C4 pipelines):
 5. drop ``utm_*`` tracking parameters (other params kept, in order);
 6. normalize slash-before-query and trailing ``?``/``&``/``/``.
 
-Single-pass contract: each rule is one regexp_replace application —
-a URL carrying two ADJACENT utm params keeps the second (the fixture
-and oracle never construct one; a general crawl cleaner would loop
-rule 5 to fixpoint).
+The utm rule matches the whole ADJACENT RUN (`(utm_[^&#]*&)+`) rather
+than one param, so any count of consecutive trackers collapses in one
+application — deliberately, because a per-param pattern makes
+replace-all (Spark) and replace-first (DuckDB default) diverge at four
+adjacent params; the run pattern plus the end-anchored terminal rule
+give both dialects identical results for runs anywhere in the query
+(oracles pass the 'g' flag for multiple separated runs). Pinned in
+tests/test_round12_fixes.py.
 """
 
 from __future__ import annotations
@@ -57,8 +61,8 @@ def canonical_url(u: Column) -> Column:
     # is well-defined in both Java and RE2 regex engines
     c = F.regexp_replace(c, r"^(https://[^/:?#]*):443(([/?#].*)?)$", "$1$2")
     c = F.regexp_replace(c, r"^(http://[^/:?#]*):80(([/?#].*)?)$", "$1$2")
-    # 5. utm_* params: mid-query (followed by &) then terminal
-    c = F.regexp_replace(c, r"([?&])utm_[^&#]*&", "$1")
+    # 5. utm_* params: whole adjacent runs mid-query, then terminal
+    c = F.regexp_replace(c, r"([?&])(utm_[^&#]*&)+", "$1")
     c = F.regexp_replace(c, r"[?&]utm_[^&#]*$", "")
     # 6. hygiene: '/?'→'?', then trailing '?'/'&', then trailing '/'
     c = F.regexp_replace(c, r"/\?", "?")

@@ -1261,10 +1261,11 @@ WITH raw AS (
              '^(https://[^/:?#]*):443(([/?#].*)?)$', '\1\2'),
            '^(http://[^/:?#]*):80(([/?#].*)?)$', '\1\2') AS c
   FROM s2
-), s4 AS (  -- 5. utm params (mid then terminal)
+), s4 AS (  -- 5. utm params (adjacent RUNS mid-query, then terminal;
+            -- 'g' so separated runs behave like Spark's replace-all)
   SELECT doc_id, url,
          regexp_replace(
-           regexp_replace(c, '([?&])utm_[^&#]*&', '\1'),
+           regexp_replace(c, '([?&])(utm_[^&#]*&)+', '\1', 'g'),
            '[?&]utm_[^&#]*$', '') AS c
   FROM s3
 ), s5 AS (  -- 6. '/?'→'?', trailing '?'/'&', trailing '/'

@@ -129,3 +129,58 @@ def test_pipeline_geo_text_corpus_staged_parity(spark, sf_dir):
         oracle,
     )
     assert res.ok, res
+
+
+def test_canonical_url_edge_cases(spark):
+    """Unit pins for functions/urls.py beyond the fixture's shapes:
+    non-default ports survive, 'www' only strips as a whole LEADING
+    label, root slash, multiple kept params, and the documented
+    single-pass utm contract (two ADJACENT utm params keep the second)."""
+    from overturelink_data_pipeline_spark.functions.urls import (
+        canonical_url,
+        registered_domain,
+        url_host,
+    )
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTPS://WWW.Foo.COM:443/a/b/#x", "https://foo.com/a/b"),
+        ("http://foo.com:80/a", "http://foo.com/a"),
+        ("http://foo.com:8080/a", "http://foo.com:8080/a"),  # kept
+        ("https://foo.com:4430/a", "https://foo.com:4430/a"),  # NOT :443
+        ("http://xwww.foo.com/a", "http://xwww.foo.com/a"),  # not a label
+        ("http://www.foo.com", "http://www.foo.com".replace("www.", "")),
+        ("http://foo.com/", "http://foo.com"),
+        ("http://foo.com/a?x=1&y=2#frag", "http://foo.com/a?x=1&y=2"),
+        ("http://foo.com/a?utm_s=1", "http://foo.com/a"),
+        ("http://foo.com/a?utm_s=1&x=2", "http://foo.com/a?x=2"),
+        ("http://foo.com/a?x=2&utm_s=1", "http://foo.com/a?x=2"),
+        ("http://foo.com/a/?utm_s=1", "http://foo.com/a"),
+        # adjacent-utm runs collapse in one application (the run
+        # pattern), so ANY count of consecutive trackers is removed —
+        # a per-param pattern would diverge between replace-all and
+        # replace-first dialects at four adjacent
+        ("http://foo.com/a?utm_a=1&utm_b=2", "http://foo.com/a"),
+        ("http://foo.com/a?utm_a=1&utm_b=2&utm_c=3", "http://foo.com/a"),
+        ("http://foo.com/a?utm_a=1&utm_b=2&utm_c=3&utm_d=4&x=9",
+         "http://foo.com/a?x=9"),
+        # two SEPARATED runs
+        ("http://foo.com/a?utm_a=1&x=1&utm_b=2&utm_c=3&y=2",
+         "http://foo.com/a?x=1&y=2"),
+        ("HTTP://User.Host.ORG/CaseKept?Q=Vv", "http://user.host.org/CaseKept?Q=Vv"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    for (raw, want), c in zip(cases, got):
+        assert c == want, (raw, c, want)
+
+    hosts = spark.createDataFrame(
+        [("https://a.b.example.org:4430/x",)], "c string"
+    ).select(url_host(F.col("c")).alias("h"))
+    h = hosts.first()["h"]
+    assert h == "a.b.example.org"
+    d = hosts.select(registered_domain(F.col("h")).alias("d")).first()["d"]
+    assert d == "example.org"
