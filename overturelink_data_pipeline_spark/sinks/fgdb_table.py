@@ -247,41 +247,53 @@ def _infer_fields(names: list[str], dtypes: dict[str, str]) -> list[_Field]:
 # single-table write / read
 # ---------------------------------------------------------------------------
 
-def write_fgdb_table(base: str, rows: list[tuple], fields: list[_Field]) -> int:
-    """Write ``base``.gdbtable + ``base``.gdbtablx for ``rows`` (tuples
-    aligned with ``fields``; the OBJECTID slot must be present but its
-    value is ignored — objectids are implied 1..n). Returns row count."""
+def write_fgdb_table(base: str, rows, fields: list[_Field]) -> int:
+    """Write ``base``.gdbtable + ``base``.gdbtablx for ``rows`` (any
+    ITERABLE of tuples aligned with ``fields``; the OBJECTID slot must
+    be present but its value is ignored — objectids are implied 1..n).
+    Returns row count.
+
+    Streaming write: rows are encoded and flushed one at a time behind
+    a placeholder header that is patched once the count/size are known
+    (the gpkg sink's bounded-memory posture — a country-sized export
+    must not hold every encoded row in driver memory twice). Residual
+    driver memory is the 8-byte-per-row offset list the index file
+    needs anyway."""
     geom_type = GEOM_POINT if any(
         f.ftype == FT_GEOMETRY for f in fields
     ) else GEOM_NONE
     desc = _descriptor(fields, geom_type)
-    encoded = [_encode_row(fields, r) for r in rows]
     offsets: list[int] = []
-    pos = 40 + len(desc)
-    for e in encoded:
-        offsets.append(pos)
-        pos += len(e)
-    file_size = pos
-    max_row = max((len(e) - 4 for e in encoded), default=0)
-    header = struct.pack(
-        "<6I", MAGIC, len(rows), max_row, _HDR_UNKNOWN_12, 0, 0
-    ) + struct.pack("<qq", file_size, 40)
+    max_row = 0
     with open(base + ".gdbtable", "wb") as fh:
-        fh.write(header)
+        fh.write(bytes(40))  # header placeholder, patched below
         fh.write(desc)
-        for e in encoded:
+        pos = 40 + len(desc)
+        for r in rows:
+            e = _encode_row(fields, r)
+            offsets.append(pos)
+            pos += len(e)
+            if len(e) - 4 > max_row:
+                max_row = len(e) - 4
             fh.write(e)
+        file_size = pos
+        fh.seek(0)
+        fh.write(
+            struct.pack("<6I", MAGIC, len(offsets), max_row, _HDR_UNKNOWN_12, 0, 0)
+            + struct.pack("<qq", file_size, 40)
+        )
+    n_rows = len(offsets)
     # ---- .gdbtablx: 1024-entry blocks of 5-byte offsets ----
-    n_blocks = math.ceil(len(rows) / 1024) if rows else 1
+    n_blocks = math.ceil(n_rows / 1024) if n_rows else 1
     with open(base + ".gdbtablx", "wb") as fh:
-        fh.write(struct.pack("<4I", MAGIC, n_blocks, len(rows), 5))
+        fh.write(struct.pack("<4I", MAGIC, n_blocks, n_rows, 5))
         for i in range(n_blocks * 1024):
-            off = offsets[i] if i < len(offsets) else 0
+            off = offsets[i] if i < n_rows else 0
             if off >= 1 << 40:
                 raise ValueError("table exceeds 5-byte offset space")
             fh.write(struct.pack("<Q", off)[:5])
         fh.write(bytes(16))  # trailer (best-effort zeros)
-    return len(rows)
+    return n_rows
 
 
 def read_fgdb_table(base: str) -> tuple[list[str], list[tuple]]:
@@ -471,14 +483,32 @@ def write_fgdb(layers: dict[str, tuple[list[str], dict[str, str], list[tuple]]],
         (None, name, 0) for name in _SYSTEM_TABLE_NAMES
     ]
     counts: dict[str, int] = {}
-    for i, (name, (cols, dtypes, rows)) in enumerate(sorted(layers.items())):
-        tid = _FIRST_USER_ID + i
-        assert tid == len(cat_rows) + 1  # row position IS the table id
-        fields = _infer_fields(cols, dtypes)
-        padded = [(None, *r) for r in rows]  # objectid slot (ignored)
-        counts[name] = write_fgdb_table(_table_base(gdb_dir, tid), padded, fields)
-        cat_rows.append((None, name, 0))
-    write_fgdb_table(_table_base(gdb_dir, 1), cat_rows, _CATALOG_FIELDS)
+    written: list[str] = []
+    try:
+        for i, (name, (cols, dtypes, rows)) in enumerate(sorted(layers.items())):
+            tid = _FIRST_USER_ID + i
+            assert tid == len(cat_rows) + 1  # row position IS the table id
+            fields = _infer_fields(cols, dtypes)
+            padded = ((None, *r) for r in rows)  # objectid slot (ignored)
+            base = _table_base(gdb_dir, tid)
+            written.append(base)
+            counts[name] = write_fgdb_table(base, padded, fields)
+            cat_rows.append((None, name, 0))
+        write_fgdb_table(_table_base(gdb_dir, 1), cat_rows, _CATALOG_FIELDS)
+    except Exception:
+        # the writer streams rows, so a mid-stream failure (bad value,
+        # non-point geometry surfacing from a lazy iterator) leaves a
+        # partial table on disk — remove every pair this call created
+        # (the catalog is written LAST, so no partial dataset can ever
+        # carry one) and re-raise: no-partial-layer, same contract as
+        # the gpkg sink's transaction rollback
+        for base in written:
+            for ext in (".gdbtable", ".gdbtablx"):
+                try:
+                    os.unlink(base + ext)
+                except OSError:
+                    pass
+        raise
     return counts
 
 
@@ -513,13 +543,10 @@ def write_fgdb_layers(layers, gdb_dir: str) -> dict[str, int]:
     from overturelink_data_pipeline_spark.geo import wkb as W
     from overturelink_data_pipeline_spark.sinks.geoparquet import fgdb_field_names
 
-    payload: dict[str, tuple[list[str], dict[str, str], list[tuple]]] = {}
-    for name, df in layers.items():
-        for old, new in fgdb_field_names(df.columns).items():
-            df = df.withColumnRenamed(old, new)
-        cols = list(df.columns)
-        dtypes = dict(df.dtypes)
-        rows: list[tuple] = []
+    def unwrap(name: str, df, cols: list[str]):
+        """Lazy row stream: toLocalIterator pulls one partition at a
+        time and the streaming table writer flushes row-by-row, so
+        driver memory is bounded by a partition, not the layer."""
         for r in df.toLocalIterator():
             vals: list = []
             for c in cols:
@@ -534,6 +561,12 @@ def write_fgdb_layers(layers, gdb_dir: str) -> dict[str, int]:
                         )
                     v = tuple(g[1])
                 vals.append(v)
-            rows.append(tuple(vals))
-        payload[name] = (cols, dtypes, rows)
+            yield tuple(vals)
+
+    payload: dict[str, tuple] = {}
+    for name, df in layers.items():
+        for old, new in fgdb_field_names(df.columns).items():
+            df = df.withColumnRenamed(old, new)
+        cols = list(df.columns)
+        payload[name] = (cols, dict(df.dtypes), unwrap(name, df, cols))
     return write_fgdb(payload, gdb_dir)

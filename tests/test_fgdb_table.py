@@ -193,3 +193,27 @@ def test_spark_layer_writer_points_only(spark, tmp_path):
     bad = spark.createDataFrame([(1, line)], "id long, geometry binary")
     with pytest.raises(ValueError, match="scoped to points"):
         write_fgdb_layers({"l": bad}, str(tmp_path / "l.gdb"))
+
+
+def test_failed_write_leaves_no_partial_files(spark, tmp_path):
+    """The streaming writer must clean up every pair it created when a
+    lazy row stream fails mid-write (no-partial-layer contract, same
+    as the gpkg sink's rollback)."""
+    import os
+
+    from overturelink_data_pipeline_spark.geo import wkb as W
+    from overturelink_data_pipeline_spark.sinks.fgdb_table import (
+        write_fgdb_layers,
+    )
+
+    pt = bytes(W.dumps(("Point", (1.0, 2.0))))
+    line = bytes(W.dumps(("LineString", [(0.0, 0.0), (1.0, 1.0)])))
+    # first row fine, second row blows up inside the stream
+    df = spark.createDataFrame(
+        [(1, pt), (2, line)], "id long, geometry binary"
+    ).coalesce(1)
+    d = str(tmp_path / "p.gdb")
+    with pytest.raises(ValueError, match="scoped to points"):
+        write_fgdb_layers({"pts": df}, d)
+    leftovers = [f for f in os.listdir(d) if f.startswith("a")]
+    assert leftovers == [], leftovers
