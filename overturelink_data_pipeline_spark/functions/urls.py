@@ -64,8 +64,15 @@ def canonical_url(u: Column) -> Column:
     # 5. utm_* params: whole adjacent runs mid-query, then terminal
     c = F.regexp_replace(c, r"([?&])(utm_[^&#]*&)+", "$1")
     c = F.regexp_replace(c, r"[?&]utm_[^&#]*$", "")
-    # 6. hygiene: '/?'→'?', then trailing '?'/'&', then trailing '/'
-    c = F.regexp_replace(c, r"/\?", "?")
+    # 6. hygiene: path-end slash before the query, then trailing
+    # '?'/'&', then trailing '/'. The slash rule is ANCHORED to the
+    # start ([^?#]* keeps the match before the first '?'), so only the
+    # path→query boundary collapses — an unanchored '/\?' would also
+    # rewrite literal '/?' sequences INSIDE the query value (corrupting
+    # distinct URLs into one) and would diverge between replace-all
+    # and replace-first dialects on such URLs; anchored, both dialects
+    # have exactly one possible match (review r12)
+    c = F.regexp_replace(c, r"^([a-z][a-z0-9+.-]*://[^?#]*)/\?", "$1?")
     c = F.regexp_replace(c, r"[?&]$", "")
     c = F.regexp_replace(c, r"/$", "")
     return c

@@ -1268,11 +1268,13 @@ WITH raw AS (
            regexp_replace(c, '([?&])(utm_[^&#]*&)+', '\1', 'g'),
            '[?&]utm_[^&#]*$', '') AS c
   FROM s3
-), s5 AS (  -- 6. '/?'→'?', trailing '?'/'&', trailing '/'
+), s5 AS (  -- 6. path-end slash before the query (ANCHORED — one
+            -- possible match, so replace-first == replace-all),
+            -- trailing '?'/'&', trailing '/'
   SELECT doc_id, url,
          regexp_replace(
            regexp_replace(
-             regexp_replace(c, '/\?', '?'),
+             regexp_replace(c, '^([a-z][a-z0-9+.-]*://[^?#]*)/\?', '\1?'),
              '[?&]$', ''),
            '/$', '') AS c
   FROM s4
@@ -1324,11 +1326,6 @@ def url_host_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.countDistinct("c").cast("bigint").alias("n_urls"),
             F.countDistinct("url").cast("bigint").alias("n_raw"),
-            F.round(
-                F.lit(1)
-                - F.countDistinct("c").cast("double") / F.countDistinct("url"),
-                4,
-            ).alias("dup_ratio"),
         )
         .select(
             "host",
@@ -1336,7 +1333,11 @@ def url_host_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_urls",
             "n_raw",
-            "dup_ratio",
+            # derived from the output columns so the ratio can never
+            # desynchronize from the counts it reports (review r12)
+            F.round(
+                F.lit(1) - F.col("n_urls").cast("double") / F.col("n_raw"), 4
+            ).alias("dup_ratio"),
         )
         .orderBy("host")
     )

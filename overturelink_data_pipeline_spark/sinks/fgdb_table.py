@@ -299,7 +299,23 @@ def write_fgdb_table(base: str, rows, fields: list[_Field]) -> int:
 def read_fgdb_table(base: str) -> tuple[list[str], list[tuple]]:
     """Strict reader: returns (column names, rows). Raises ValueError on
     any violated structural invariant — this is the audit's verifier,
-    so it must never 'repair' bad bytes silently."""
+    so it must never 'repair' bad bytes silently. The ValueError
+    contract covers EVERY corruption shape: missing files and
+    low-level decode failures (struct/index/unicode errors from
+    mangled bytes) are normalized to ValueError so a consumer that
+    follows the docstring cannot misclassify detected corruption as a
+    crash (review r12)."""
+    try:
+        return _read_fgdb_table(base)
+    except ValueError:
+        raise
+    except FileNotFoundError as exc:
+        raise ValueError(f"missing FGDB table file: {exc.filename}") from exc
+    except (struct.error, IndexError, UnicodeDecodeError) as exc:
+        raise ValueError(f"corrupt FGDB table {base!r}: {exc}") from exc
+
+
+def _read_fgdb_table(base: str) -> tuple[list[str], list[tuple]]:
     with open(base + ".gdbtable", "rb") as fh:
         buf = fh.read()
     if len(buf) < 40:
@@ -378,6 +394,8 @@ def read_fgdb_table(base: str) -> tuple[list[str], list[tuple]]:
     for oid, off in enumerate(offsets, start=1):
         if off == 0:
             raise ValueError(f"row {oid}: zero offset in dense table")
+        if off + 4 > len(buf):
+            raise ValueError(f"row {oid}: offset {off} beyond table end")
         (rlen,) = struct.unpack_from("<I", buf, off)
         body = buf[off + 4 : off + 4 + rlen]
         if len(body) != rlen:
@@ -474,6 +492,17 @@ def write_fgdb(layers: dict[str, tuple[list[str], dict[str, str], list[tuple]]],
     name -> (column names, spark dtypes, row tuples WITHOUT the
     objectid slot). Returns rows-per-layer."""
     os.makedirs(gdb_dir, exist_ok=True)
+    # refuse to write over an existing dataset: the streaming writer
+    # overwrites table pairs in place, so an in-place rewrite that
+    # failed mid-stream would leave the OLD catalog pointing at NEW
+    # (deleted) files — a previously valid dataset corrupted by a
+    # failed call. Callers replace datasets by removing the directory
+    # first (sink_fgdb_audit does exactly that). (review r12)
+    if os.path.exists(_table_base(gdb_dir, 1) + ".gdbtable"):
+        raise ValueError(
+            f"{gdb_dir!r} already contains a FileGDB dataset; remove it "
+            "before rewriting (in-place overwrite is not supported)"
+        )
     for name in layers:
         if not name or any(ch in name for ch in "/\\.\0"):
             raise ValueError(f"invalid FGDB layer name {name!r}")
@@ -494,6 +523,11 @@ def write_fgdb(layers: dict[str, tuple[list[str], dict[str, str], list[tuple]]],
             written.append(base)
             counts[name] = write_fgdb_table(base, padded, fields)
             cat_rows.append((None, name, 0))
+        # the catalog pair is registered BEFORE its write so a failure
+        # mid-catalog (ENOSPC) cleans it up too — a half-written
+        # catalog is the one partial file that could make the dataset
+        # read as corrupt rather than absent (review r12)
+        written.append(_table_base(gdb_dir, 1))
         write_fgdb_table(_table_base(gdb_dir, 1), cat_rows, _CATALOG_FIELDS)
     except Exception:
         # the writer streams rows, so a mid-stream failure (bad value,

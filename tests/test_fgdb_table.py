@@ -217,3 +217,46 @@ def test_failed_write_leaves_no_partial_files(spark, tmp_path):
         write_fgdb_layers({"pts": df}, d)
     leftovers = [f for f in os.listdir(d) if f.startswith("a")]
     assert leftovers == [], leftovers
+
+
+def test_reader_valueerror_contract_and_fresh_dir_guard(tmp_path):
+    """Review r12: every corruption shape — missing files, offsets past
+    EOF, mangled bytes that would surface struct/index errors — reads
+    as ValueError (the documented contract); and write_fgdb refuses an
+    existing dataset rather than corrupting it via in-place overwrite."""
+    import os
+    import struct as _s
+
+    d = _mk(tmp_path, [(1, "a", 1.0, (1.0, 2.0))])
+    base = FG._table_base(d, 9)
+    # missing table file
+    with pytest.raises(ValueError, match="missing"):
+        FG.read_fgdb_table(str(tmp_path / "nope"))
+    # tablx offset pointing past EOF (passes the nonzero check)
+    xorig = open(base + ".gdbtablx", "rb").read()
+    badx = bytearray(xorig)
+    badx[16:21] = (1 << 39).to_bytes(5, "little")
+    with open(base + ".gdbtablx", "wb") as fh:
+        fh.write(bytes(badx))
+    with pytest.raises(ValueError, match="beyond table end"):
+        FG.read_fgdb_table(base)
+    with open(base + ".gdbtablx", "wb") as fh:
+        fh.write(xorig)
+    # descriptor nlen mangled so the parse runs off the buffer end:
+    # must normalize to ValueError, not IndexError/struct.error
+    orig = open(base + ".gdbtable", "rb").read()
+    bad = bytearray(orig)
+    bad[54] = 255  # first field's name-length byte (desc starts at 40:
+    # size4 + version4 + flags4 + nfields2 -> 54)
+    with open(base + ".gdbtable", "wb") as fh:
+        fh.write(bytes(bad))
+    with pytest.raises(ValueError):
+        FG.read_fgdb_table(base)
+    with open(base + ".gdbtable", "wb") as fh:
+        fh.write(orig)
+
+    # existing dataset -> refuse in-place rewrite, leave it untouched
+    with pytest.raises(ValueError, match="already contains"):
+        FG.write_fgdb({"t2": (["v"], {"v": "int"}, [(1,)])}, d)
+    assert FG.list_fgdb_layers(d) == ["t"]
+    assert not os.path.exists(FG._table_base(d, 10) + ".gdbtable")

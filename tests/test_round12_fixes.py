@@ -168,6 +168,11 @@ def test_canonical_url_edge_cases(spark):
         ("http://foo.com/a?utm_a=1&x=1&utm_b=2&utm_c=3&y=2",
          "http://foo.com/a?x=1&y=2"),
         ("HTTP://User.Host.ORG/CaseKept?Q=Vv", "http://user.host.org/CaseKept?Q=Vv"),
+        # the slash-before-query rule is anchored to the path→query
+        # boundary: a literal '/?' INSIDE the query value must survive
+        # (an unanchored rule corrupted it and diverged between
+        # replace-all and replace-first dialects — review r12)
+        ("http://foo.com/a/?x=1/?y", "http://foo.com/a?x=1/?y"),
     ]
     df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
     got = [
