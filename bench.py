@@ -21,13 +21,16 @@ from overturelink_data_pipeline_spark.session import get_spark
 
 def _stamp_requested(argv: list[str] | None = None) -> bool:
     """True only when the caller explicitly asked for a round-stamped
-    ledger copy: `--stamp` on the command line or SPARK_GRAFT_STAMP
-    set to a non-empty value other than '0'. Default is NO stamp."""
+    ledger copy: `--stamp` on the command line or SPARK_GRAFT_STAMP set
+    to an explicit opt-in value ('1'/'true'/'yes'/'on'). Everything
+    else — including conventional falsy strings like 'false' or 'no' —
+    is NO stamp (ADVICE r12: any-non-'0' treated 'false' as opt-in,
+    the exact pollution failure this gate exists to prevent)."""
     args = sys.argv[1:] if argv is None else argv
     if "--stamp" in args:
         return True
     env = os.environ.get("SPARK_GRAFT_STAMP", "")
-    return bool(env) and env != "0"
+    return env.strip().lower() in {"1", "true", "yes", "on"}
 
 
 def _write_round_stamped(repo_dir: str, full: dict) -> None:

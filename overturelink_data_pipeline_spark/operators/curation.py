@@ -49,6 +49,7 @@ from overturelink_data_pipeline_spark.operators.text import (
 )
 from overturelink_data_pipeline_spark.functions.grouped import grouped_topk
 from overturelink_data_pipeline_spark.registry import spark_query
+from overturelink_data_pipeline_spark.functions import urls as _urls
 from overturelink_data_pipeline_spark.session import (
     ensure_parallelism,
     read_table,
@@ -86,9 +87,23 @@ def _shingles(tok: Column, k: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-@spark_query(
-    "text_decontaminate",
-    oracle=f"""
+def _eval_shingle_frame(toks: DataFrame) -> DataFrame:
+    """Distinct shingles of the synthesized eval excerpts (every
+    EVAL_MODULUS-th doc donates its first EVAL_EXCERPT_TOKENS tokens)."""
+    return (
+        toks.filter(F.col("doc_id") % EVAL_MODULUS == 0)
+        .select(
+            F.explode(
+                _shingles(F.slice(F.col("t"), 1, EVAL_EXCERPT_TOKENS), DECONTAM_K)
+            ).alias("sh")
+        )
+        .distinct()
+    )
+
+
+#: De-registered r13 (merged into text_decontaminate_audit); kept as a
+#: module constant so the local parity replica still gates the parent.
+TEXT_DECONTAMINATE_ORACLE = f"""
     WITH d AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents
@@ -119,12 +134,19 @@ def _shingles(tok: Column, k: int) -> Column:
              AS contaminated
     FROM d LEFT JOIN hits h USING (doc_id)
     ORDER BY doc_id
-    """,
-)
+    """
+
+
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     k-token shingle with an eval set (excerpts planted from every 37th
     doc; see module docstring for why the eval set is synthesized).
+
+    De-registered r13: its driver slot was merged (with
+    text_bloom_decontaminate's) into text_decontaminate_audit, which
+    runs BOTH legs off one shared scan; this parent stays the
+    direct-call API and keeps its local oracle-replica gate
+    (tests/test_round13_fixes.py).
 
     100 TB plan shape: the eval benchmark is tiny (MMLU+GSM8K+... is
     a few hundred MB of shingles) and arrives as a **broadcast** hash
@@ -135,15 +157,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", _ltokens(F.col("text")).alias("t"))
-    eval_sh = (
-        toks.filter(F.col("doc_id") % EVAL_MODULUS == 0)
-        .select(
-            F.explode(
-                _shingles(F.slice(F.col("t"), 1, EVAL_EXCERPT_TOKENS), DECONTAM_K)
-            ).alias("sh")
-        )
-        .distinct()
-    )
+    eval_sh = _eval_shingle_frame(toks)
     train_sh = toks.select(
         "doc_id", F.explode(_shingles(F.col("t"), DECONTAM_K)).alias("sh")
     )
@@ -192,9 +206,31 @@ def _bloom_pos(j: int, col: Column) -> Column:
     )
 
 
-@spark_query(
-    "text_bloom_decontaminate",
-    oracle=f"""
+def _bloom_bits_literal(eval_sh: DataFrame) -> Column:
+    """Collect the eval shingles' Bloom image (≤ BLOOM_M bits, bounded
+    by geometry regardless of eval-set size) and fold it into ONE
+    literal-array expression — the scan-side probe is then pure
+    whole-stage codegen with zero joins. One F.expr string, not
+    BLOOM_M F.lit columns (the CMS lesson: thousands of py4j Column
+    constructions are real driver latency)."""
+    set_bits = {
+        int(r["p"])
+        for r in eval_sh.select(
+            F.explode(
+                F.array(*[_bloom_pos(j, F.col("sh")) for j in range(BLOOM_K)])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    }
+    return F.expr(
+        "array(" + ",".join("1" if b in set_bits else "0" for b in range(BLOOM_M)) + ")"
+    )
+
+
+#: De-registered r13 (merged into text_decontaminate_audit); kept as a
+#: module constant so the local parity replica still gates the parent.
+TEXT_BLOOM_DECONTAMINATE_ORACLE = f"""
     WITH d AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents
@@ -241,8 +277,9 @@ def _bloom_pos(j: int, col: Column) -> Column:
              AS flagged
     FROM d LEFT JOIN agg a USING (doc_id)
     ORDER BY doc_id
-    """,
-)
+    """
+
+
 def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination via a DETERMINISTIC Bloom filter over the eval
     shingle set: a doc's shingle is flagged iff all BLOOM_K md5-derived
@@ -263,33 +300,15 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry like the CMS grid) collects to the driver and probes as
     one constant-folded literal-array lookup per plane — whole-stage
     codegen, zero joins on the scan side; the only exchange is the
-    bounded per-doc hit count."""
+    bounded per-doc hit count.
+
+    De-registered r13: driver slot merged into
+    text_decontaminate_audit (shared scan, both legs); this parent
+    stays the direct-call API with its local oracle-replica gate."""
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", _ltokens(F.col("text")).alias("t"))
-    eval_sh = (
-        toks.filter(F.col("doc_id") % EVAL_MODULUS == 0)
-        .select(
-            F.explode(
-                _shingles(F.slice(F.col("t"), 1, EVAL_EXCERPT_TOKENS), DECONTAM_K)
-            ).alias("sh")
-        )
-        .distinct()
-    )
-    set_bits = {
-        int(r["p"])
-        for r in eval_sh.select(
-            F.explode(
-                F.array(*[_bloom_pos(j, F.col("sh")) for j in range(BLOOM_K)])
-            ).alias("p")
-        )
-        .distinct()
-        .collect()
-    }
-    # one F.expr string, not BLOOM_M F.lit columns (the CMS lesson:
-    # thousands of py4j Column constructions are real driver latency)
-    bits = F.expr(
-        "array(" + ",".join("1" if b in set_bits else "0" for b in range(BLOOM_M)) + ")"
-    )
+    eval_sh = _eval_shingle_frame(toks)
+    bits = _bloom_bits_literal(eval_sh)
     train_sh = toks.select(
         "doc_id", F.explode(_shingles(F.col("t"), DECONTAM_K)).alias("sh")
     )
@@ -311,6 +330,141 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_bloom_hits"),
             (F.coalesce(F.col("c"), F.lit(0)) > 0).cast("int").alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merged decontamination audit (r13): exact broadcast-set leg + Bloom
+# leg in ONE frame, funding the registry slot for
+# pipeline_geo_text_corpus under the 100-query ceiling (precedent:
+# group_distinct_type_audit, r12).
+# ---------------------------------------------------------------------------
+
+
+@spark_query(
+    "text_decontaminate_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    eval_t AS (
+      SELECT list_slice(t, 1, {EVAL_EXCERPT_TOKENS}) AS t
+      FROM d WHERE doc_id % {EVAL_MODULUS} = 0
+    ),
+    eval_sh AS (
+      SELECT DISTINCT array_to_string(list_slice(t, i, i + {DECONTAM_K - 1}), ' ') AS sh
+      FROM eval_t, unnest(generate_series(1, len(t) - {DECONTAM_K - 1})) AS u(i)
+      WHERE len(t) >= {DECONTAM_K}
+    ),
+    train_sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i, i + {DECONTAM_K - 1}), ' ') AS sh
+      FROM d, unnest(generate_series(1, len(t) - {DECONTAM_K - 1})) AS u(i)
+      WHERE len(t) >= {DECONTAM_K}
+    ),
+    hits AS (
+      SELECT train_sh.doc_id, COUNT(*) AS c
+      FROM train_sh JOIN eval_sh USING (sh)
+      GROUP BY 1
+    ),
+    pos AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(sh), 1 + 8 * j, 8) AS BIGINT) % {BLOOM_M} AS p
+      FROM eval_sh CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS j) js
+    ),
+    probes AS (
+      -- p computed in a projection, THEN equi-joined: an expression
+      -- inside the ON clause makes DuckDB nested-loop pos x probes
+      -- (measured >400 s at sf1 vs ~3 s for the hash join)
+      SELECT t.doc_id, t.sh,
+             CAST('0x' || substr(md5(t.sh), 1 + 8 * j, 8) AS BIGINT) % {BLOOM_M} AS p
+      FROM train_sh t
+      CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS j) js
+    ),
+    bhits AS (
+      SELECT doc_id, sh
+      FROM probes JOIN pos USING (p)
+      GROUP BY doc_id, sh
+      HAVING COUNT(*) = {BLOOM_K}
+    ),
+    bagg AS (SELECT doc_id, COUNT(*) AS c FROM bhits GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.c, 0) AS BIGINT) AS n_overlap,
+           CAST(CASE WHEN COALESCE(h.c, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS contaminated,
+           CAST(COALESCE(b.c, 0) AS BIGINT) AS n_bloom_hits,
+           CAST(CASE WHEN COALESCE(b.c, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS flagged,
+           CAST(CASE WHEN COALESCE(b.c, 0) > 0 AND COALESCE(h.c, 0) = 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS bloom_fp
+    FROM d
+    LEFT JOIN hits h USING (doc_id)
+    LEFT JOIN bagg b USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_decontaminate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both decontamination plans over ONE shared scan: the exact
+    broadcast-set leg (text_decontaminate) and the constant-size Bloom
+    leg (text_bloom_decontaminate), per-doc side by side, with the
+    false-positive surface (`bloom_fp` = flagged but not contaminated)
+    made explicit — the column an operator of a real pipeline watches
+    to size BLOOM_M against the eval suite.
+
+    r13 merge of the two parents (both r11-green; slot funds
+    pipeline_geo_text_corpus). The parents remain direct-call API with
+    their own local oracle gates; Bloom ⊇ exact dominance is pinned in
+    tests/test_round5_ops.py.
+
+    100 TB plan shape: tokenize + shingle the corpus ONCE, then score
+    both legs per shingle row in the same pass — the exact leg is a
+    LEFT broadcast join against the (distinct) eval set, the Bloom leg
+    a constant-folded literal-array probe in codegen — and collapse to
+    one row per doc with a single groupBy. The parents' two separate
+    explode+aggregate pipelines become one; the only exchanges are the
+    per-doc hit-count groupBy and the doc-id stitch back onto the
+    corpus (both one-row-per-doc frames keyed identically)."""
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", _ltokens(F.col("text")).alias("t"))
+    eval_sh = _eval_shingle_frame(toks)
+    bits = _bloom_bits_literal(eval_sh)
+    train_sh = toks.select(
+        "doc_id", F.explode(_shingles(F.col("t"), DECONTAM_K)).alias("sh")
+    )
+    bloom_hit = functools.reduce(
+        lambda a, b: a & b,
+        [
+            F.element_at(bits, (_bloom_pos(j, F.col("sh")) + 1).cast("int")) == 1
+            for j in range(BLOOM_K)
+        ],
+    )
+    # eval_sh is DISTINCT, so a left join adds at most one match per
+    # train shingle — counting matches == the parents' inner-join count
+    hits = (
+        train_sh.join(
+            F.broadcast(eval_sh.withColumn("_m", F.lit(1))), "sh", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_m"), F.lit(0))).alias("c_exact"),
+            F.sum(bloom_hit.cast("int")).alias("c_bloom"),
+        )
+    )
+    n_overlap = F.coalesce(F.col("c_exact"), F.lit(0))
+    n_bloom = F.coalesce(F.col("c_bloom"), F.lit(0))
+    return (
+        toks.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_overlap.cast("bigint").alias("n_overlap"),
+            (n_overlap > 0).cast("int").alias("contaminated"),
+            n_bloom.cast("bigint").alias("n_bloom_hits"),
+            (n_bloom > 0).cast("int").alias("flagged"),
+            ((n_bloom > 0) & (n_overlap == 0)).cast("int").alias("bloom_fp"),
         )
         .orderBy("doc_id")
     )
@@ -1194,7 +1348,12 @@ def url_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     fragments). The oracle constructs the identical URLs, so parity
     checks the CANONICALIZER, not the synthetic data."""
     d = F.col("doc_id")
-    tld = F.when(d % 2 == 0, ".example.com").otherwise(".example.org")
+    # every 9th doc lands under a MULTI-label public suffix so the
+    # driver row exercises the PSL lookup, not just the default rule
+    # (r13: registered_domain went PSL-correct — VERDICT r12 ask #3)
+    tld = F.when(d % 9 == 4, ".sample.co.uk").otherwise(
+        F.when(d % 2 == 0, ".example.com").otherwise(".example.org")
+    )
     base = F.concat(F.col("source"), tld)
     hostraw = F.when(d % 3 == 0, F.concat(F.lit("WWW."), F.upper(base))).otherwise(base)
     scheme = F.when(d % 2 == 0, "HTTPS").otherwise("http")
@@ -1220,19 +1379,25 @@ def url_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # One CTE per canonicalization rule, mirroring functions/urls.py 1:1
 # (RE2 dialect: \1 backrefs, no lookarounds — the patterns were chosen
-# so both engines run the same regexes).
+# so both engines run the same regexes). The domain column is the full
+# PSL lookup (r13): both engines parse the SAME vendored snapshot
+# (functions/urls.py::PSL_PATH), so parity checks the algorithm —
+# wildcards, exceptions, longest-match, default `*` — not a copy of
+# its output.
 _URL_ORACLE = r"""
-WITH raw AS (
+WITH raw0 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 9 = 4 THEN '.sample.co.uk'
+              WHEN doc_id % 2 = 0 THEN '.example.com'
+              ELSE '.example.org' END AS tld
+  FROM documents
+), raw AS (
   SELECT doc_id,
          (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
          || '://'
          || (CASE WHEN doc_id % 3 = 0
-                  THEN 'WWW.' || UPPER(source ||
-                       (CASE WHEN doc_id % 2 = 0
-                             THEN '.example.com' ELSE '.example.org' END))
-                  ELSE source ||
-                       (CASE WHEN doc_id % 2 = 0
-                             THEN '.example.com' ELSE '.example.org' END)
+                  THEN 'WWW.' || UPPER(source || tld)
+                  ELSE source || tld
              END)
          || (CASE WHEN doc_id % 5 = 0
                   THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
@@ -1244,15 +1409,23 @@ WITH raw AS (
                   WHEN doc_id % 3 = 2 THEN '?utm_campaign=x'
                   ELSE '' END)
          || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
-  FROM documents
+  FROM raw0
 ), s1 AS (  -- 1. fragment
   SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS c FROM raw
-), s2 AS (  -- 2. lowercase scheme+authority
-  SELECT doc_id, url,
-         lower(regexp_extract(c, '^[^:/?#]+://[^/?#]*'))
-           || substr(c, length(regexp_extract(c, '^[^:/?#]+://[^/?#]*')) + 1)
-           AS c
+), s2a AS (  -- 2. lowercase scheme + host:port, preserving userinfo
+  SELECT doc_id, url, c,
+         regexp_extract(c, '^[^:/?#]+://') AS head,
+         regexp_extract(c, '^[^:/?#]+://([^/?#]*)', 1) AS auth
   FROM s1
+), s2b AS (
+  SELECT doc_id, url, c, head, auth,
+         regexp_extract(auth, '^([^/?#@]*@)', 1) AS ui
+  FROM s2a
+), s2 AS (
+  SELECT doc_id, url,
+         lower(head) || ui || lower(substr(auth, length(ui) + 1))
+           || substr(c, length(head) + length(auth) + 1) AS c
+  FROM s2b
 ), s3 AS (  -- 3. www.   4. default ports
   SELECT doc_id, url,
          regexp_replace(
@@ -1268,32 +1441,87 @@ WITH raw AS (
            regexp_replace(c, '([?&])(utm_[^&#]*&)+', '\1', 'g'),
            '[?&]utm_[^&#]*$', '') AS c
   FROM s3
-), s5 AS (  -- 6. path-end slash before the query (ANCHORED — one
-            -- possible match, so replace-first == replace-all),
-            -- trailing '?'/'&', trailing '/'
+), s5 AS (  -- 6. path-end slash before the query, trailing '?'/'&',
+            -- trailing slash — BOTH slash rules anchored to the start
+            -- so a '/' inside or ending a query value survives and
+            -- each rule has exactly one possible match
+            -- (replace-first == replace-all)
   SELECT doc_id, url,
          regexp_replace(
            regexp_replace(
              regexp_replace(c, '^([a-z][a-z0-9+.-]*://[^?#]*)/\?', '\1?'),
              '[?&]$', ''),
-           '/$', '') AS c
+           '^([a-z][a-z0-9+.-]*://[^?#]*)/$', '\1') AS c
   FROM s4
 ), hosted AS (
   SELECT doc_id, url, c,
-         regexp_extract(c, '^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1) AS host
+         regexp_extract(c, '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]*)', 1)
+           AS host
   FROM s5
+), rolled AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT)              AS n_docs,
+         CAST(COUNT(DISTINCT c) AS BIGINT)     AS n_urls,
+         CAST(COUNT(DISTINCT url) AS BIGINT)   AS n_raw,
+         ROUND(1 - CAST(COUNT(DISTINCT c) AS DOUBLE)
+                   / COUNT(DISTINCT url), 4)   AS dup_ratio
+  FROM hosted
+  GROUP BY host
+), psl_raw AS (
+  SELECT line FROM read_csv('__PSL__', header=false, delim='|', quote='',
+                            columns={'line': 'VARCHAR'})
+), psl AS (
+  SELECT trim(line) AS rule FROM psl_raw
+  WHERE line IS NOT NULL AND trim(line) <> '' AND trim(line) NOT LIKE '//%'
+), rules AS (
+  SELECT CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+              WHEN rule LIKE '*.%' THEN substr(rule, 3)
+              ELSE rule END AS base,
+         rule LIKE '*.%' AS is_wild,
+         rule LIKE '!%'  AS is_exc
+  FROM psl
+), hparts AS (
+  SELECT host, string_split(host, '.') AS p FROM rolled
+), cands AS (
+  SELECT host,
+         array_to_string(list_slice(p, i, len(p)), '.') AS cand,
+         len(p) - i + 1 AS clabels
+  FROM hparts, unnest(generate_series(1, len(p))) AS u(i)
+), cands2 AS (  -- ctail computed in a projection, THEN equi-joined
+  SELECT host, cand, clabels,
+         regexp_replace(cand, '^[^.]+\.', '') AS ctail
+  FROM cands
+), m_norm AS (
+  SELECT c.host, c.clabels AS ml, r.is_exc
+  FROM cands2 c JOIN (SELECT * FROM rules WHERE NOT is_wild) r
+    ON c.cand = r.base
+), m_wild AS (
+  SELECT c.host, c.clabels AS ml, FALSE AS is_exc
+  FROM cands2 c JOIN (SELECT * FROM rules WHERE is_wild AND NOT is_exc) r
+    ON c.ctail = r.base
+  WHERE c.clabels >= 2
+), ph AS (
+  SELECT host,
+         MAX(CASE WHEN is_exc THEN ml - 1 END) AS exc_l,
+         MAX(CASE WHEN NOT is_exc THEN ml END) AS best_l
+  FROM (SELECT * FROM m_norm UNION ALL SELECT * FROM m_wild)
+  GROUP BY host
+), dom AS (
+  SELECT r.host, COALESCE(ph.exc_l, ph.best_l, 1) AS sl,
+         len(string_split(r.host, '.')) AS n
+  FROM rolled r LEFT JOIN ph USING (host)
+), domains AS (
+  SELECT host,
+         CASE WHEN n >= sl + 1
+              THEN array_to_string(
+                     list_slice(string_split(host, '.'), n - sl, n), '.')
+         END AS domain
+  FROM dom
 )
-SELECT host,
-       regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
-       CAST(COUNT(*) AS BIGINT)              AS n_docs,
-       CAST(COUNT(DISTINCT c) AS BIGINT)     AS n_urls,
-       CAST(COUNT(DISTINCT url) AS BIGINT)   AS n_raw,
-       ROUND(1 - CAST(COUNT(DISTINCT c) AS DOUBLE)
-                 / COUNT(DISTINCT url), 4)   AS dup_ratio
-FROM hosted
-GROUP BY host
-ORDER BY host
-"""
+SELECT r.host, d.domain, r.n_docs, r.n_urls, r.n_raw, r.dup_ratio
+FROM rolled r JOIN domains d USING (host)
+ORDER BY r.host
+""".replace("__PSL__", str(_urls.PSL_PATH))
 
 
 @spark_query("url_host_dedup_rollup", oracle=_URL_ORACLE)
@@ -1309,27 +1537,30 @@ def url_host_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation collapsing each map partition to
     one row per (host, distinct-seen) before the exchange. COUNT
     DISTINCT over urls rewrites to a two-phase expand+agg, still one
-    exchange family. No UDFs, no collects."""
+    exchange family. The PSL domain lookup (r13 — full publicsuffix
+    algorithm, broadcast-joined rule table) runs on the POST-rollup
+    frame, so its cost is host-cardinality, not corpus-cardinality.
+    No UDFs, no collects."""
     from overturelink_data_pipeline_spark.functions.urls import (
         canonical_url,
-        registered_domain,
         url_host,
+        with_registered_domain,
     )
 
     urls = url_fixture(spark, sf_dir)
     canon = urls.select(
         "doc_id", "url", canonical_url(F.col("url")).alias("c")
     ).withColumn("host", url_host(F.col("c")))
+    rolled = canon.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("c").cast("bigint").alias("n_urls"),
+        F.countDistinct("url").cast("bigint").alias("n_raw"),
+    )
     return (
-        canon.groupBy("host")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.countDistinct("c").cast("bigint").alias("n_urls"),
-            F.countDistinct("url").cast("bigint").alias("n_raw"),
-        )
+        with_registered_domain(rolled)
         .select(
             "host",
-            registered_domain(F.col("host")).alias("domain"),
+            "domain",
             "n_docs",
             "n_urls",
             "n_raw",

@@ -177,10 +177,14 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_clusters",
     "text_gopher_quality",
     "stream_dedup_hourly",
-    "text_decontaminate",
+    # text_decontaminate + text_bloom_decontaminate merged into
+    # text_decontaminate_audit r13 (one shared scan, both legs +
+    # explicit bloom_fp surface; VERDICT r12 ask #1): the freed slot
+    # funds pipeline_geo_text_corpus, staged since r12.
+    "text_decontaminate_audit",
     # --- round-5 additions (never-checked tier puts these at the
     # window head automatically) ---------------------------------------
-    "text_bloom_decontaminate",
+    "pipeline_geo_text_corpus",
     "corpus_overlap_matrix",
     "text_pack_sequences",
     "text_pii_redact",

@@ -516,7 +516,11 @@ def write_fgdb(layers: dict[str, tuple[list[str], dict[str, str], list[tuple]]],
     try:
         for i, (name, (cols, dtypes, rows)) in enumerate(sorted(layers.items())):
             tid = _FIRST_USER_ID + i
-            assert tid == len(cat_rows) + 1  # row position IS the table id
+            if tid != len(cat_rows) + 1:  # row position IS the table id
+                raise RuntimeError(
+                    f"FGDB catalog invariant broken: table id {tid} != "
+                    f"catalog position {len(cat_rows) + 1}"
+                )
             fields = _infer_fields(cols, dtypes)
             padded = ((None, *r) for r in rows)  # objectid slot (ignored)
             base = _table_base(gdb_dir, tid)

@@ -29,7 +29,7 @@ DEFAULT = [
     "join_asof_last_signup",
     "json_try_cast",
     "text_repetition_filter",
-    "text_decontaminate",
+    "text_decontaminate_audit",  # r13 merge of text_decontaminate
     "ann_pq_topk",
     "dedup_simhash",
     "dedup_clusters",

@@ -29,7 +29,11 @@ def test_decontaminate_flags_every_donor(spark, sf_dir):
     """Every doc that donated an eval excerpt must be contaminated
     (its own excerpt's shingles are a subset of its shingles), and the
     output covers the whole corpus exactly once."""
-    rows = registry.QUERIES["text_decontaminate"](spark, sf_dir).collect()
+    from overturelink_data_pipeline_spark.operators.curation import (
+        text_decontaminate,
+    )
+
+    rows = text_decontaminate(spark, sf_dir).collect()
     total = read_table(spark, sf_dir, "documents").count()
     assert len(rows) == total
     by_id = {r["doc_id"]: r for r in rows}

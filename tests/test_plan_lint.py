@@ -148,9 +148,16 @@ def test_cms_probe_plan_has_no_joins(spark, sf_dir):
 def test_bloom_probe_scan_side_is_join_free(spark, sf_dir):
     """text_bloom_decontaminate's shingle probe is a literal-array
     membership test in codegen; the only join allowed is the final
-    per-doc left join of hit counts back onto doc ids."""
+    per-doc left join of hit counts back onto doc ids. (The parent is
+    direct-call since the r13 merge, so build the plan off the
+    function, not the registry.)"""
+    from overturelink_data_pipeline_spark.operators.curation import (
+        text_bloom_decontaminate,
+    )
+
+    df = text_bloom_decontaminate(spark, sf_dir)
     plan = _strip_aqe_initial_sections(
-        _plan(spark, sf_dir, "text_bloom_decontaminate")
+        df._jdf.queryExecution().executedPlan().toString()
     )
     joins = [l for l in plan.splitlines() if "Join" in l]
     assert len(joins) <= 1, f"expected at most the final doc-id join, got:\n" + "\n".join(joins)

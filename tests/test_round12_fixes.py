@@ -138,7 +138,7 @@ def test_canonical_url_edge_cases(spark):
     single-pass utm contract (two ADJACENT utm params keep the second)."""
     from overturelink_data_pipeline_spark.functions.urls import (
         canonical_url,
-        registered_domain,
+        registered_domain_2label,
         url_host,
     )
 
@@ -187,5 +187,5 @@ def test_canonical_url_edge_cases(spark):
     ).select(url_host(F.col("c")).alias("h"))
     h = hosts.first()["h"]
     assert h == "a.b.example.org"
-    d = hosts.select(registered_domain(F.col("h")).alias("d")).first()["d"]
+    d = hosts.select(registered_domain_2label(F.col("h")).alias("d")).first()["d"]
     assert d == "example.org"

@@ -14,11 +14,15 @@ def test_bloom_flags_superset_of_true_contamination(spark, sf_dir):
     """Bloom membership can only err toward false POSITIVES: every doc
     text_decontaminate marks contaminated must be flagged, and each
     doc's bloom hit count must dominate its true overlap count."""
-    q = registry.QUERIES
-    true_df = q["text_decontaminate"](spark, sf_dir).select(
+    from overturelink_data_pipeline_spark.operators.curation import (
+        text_bloom_decontaminate,
+        text_decontaminate,
+    )
+
+    true_df = text_decontaminate(spark, sf_dir).select(
         "doc_id", "n_overlap", "contaminated"
     )
-    bloom_df = q["text_bloom_decontaminate"](spark, sf_dir).select(
+    bloom_df = text_bloom_decontaminate(spark, sf_dir).select(
         "doc_id", "n_bloom_hits", "flagged"
     )
     j = true_df.join(bloom_df, "doc_id")
@@ -33,9 +37,13 @@ def test_bloom_false_positive_rate_is_bounded(spark, sf_dir):
     rate over non-contaminated docs should stay well under 50% — a
     regression guard on the geometry (a broken position derivation
     tends to flag everything)."""
-    q = registry.QUERIES
-    true_df = q["text_decontaminate"](spark, sf_dir).select("doc_id", "contaminated")
-    bloom_df = q["text_bloom_decontaminate"](spark, sf_dir).select("doc_id", "flagged")
+    from overturelink_data_pipeline_spark.operators.curation import (
+        text_bloom_decontaminate,
+        text_decontaminate,
+    )
+
+    true_df = text_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    bloom_df = text_bloom_decontaminate(spark, sf_dir).select("doc_id", "flagged")
     j = true_df.join(bloom_df, "doc_id").filter(F.col("contaminated") == 0)
     clean = j.count()
     fp = j.filter(F.col("flagged") == 1).count()
