@@ -1396,8 +1396,19 @@ def dedup_minhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     set): pairs sharing >= 1 shingle get |a ∩ b| from a groupBy count,
     df-capped postings guard the hot-shingle blowup with exact
     add-back. 100 TB shape: both legs are the already-audited LSH and
-    inverted-index plans; the final frame is three bounded counts
-    cross-joined (each side a broadcast 1-row aggregate)."""
+    inverted-index plans sharing ONE cached doc-level shingle frame;
+    the final frame is three bounded counts cross-joined (each side a
+    broadcast 1-row aggregate).
+
+    Rejected A/B (r13, measured): persisting the EXPLODED posting
+    table h-repartitioned (the ngram recipe) read 75-120 s at sf1 vs
+    13.3 s for this shape — the cached HashPartitioning(h) satisfies
+    the unblocked self-join's distribution, so Spark plans NO exchange
+    under it and AQE cannot skew-split the collision-heavy partitions
+    (15.9 M collision rows funneled through 32 cache partitions).
+    ngram tolerates the same recipe only because its lang/bucket
+    blocking bounds per-partition collisions; the UNBLOCKED join needs
+    the exchange to exist so AQE can re-plan it."""
     sh = _fresh_persist(
         "mhq_shingles",
         _hashed_shingle_table(spark, sf_dir).select("doc_id", "sh"),
