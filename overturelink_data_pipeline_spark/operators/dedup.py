@@ -1284,6 +1284,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hashed_shingle_table(spark, sf_dir).select("doc_id", "sh"),
         StorageLevel.MEMORY_AND_DISK,
     )
+    # no eager sh.count() here: _lsh_candidates' bands.count() (r13)
+    # materializes this cache as a byproduct of building the band
+    # table, and the verify legs below then read the populated cache —
+    # an extra count job was measured neutral once bands was cached
     post = sh.select("doc_id", F.explode("sh").alias("h"))
     # NOT persisted (unlike simhash's sigs — tried in r5 and reverted,
     # measured 2.48 → 3.09 s at sf1): both self-join sides and the
@@ -1307,9 +1311,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_candidates(post: DataFrame) -> DataFrame:
     """Raw band-bucket candidate pairs (id_a < id_b, deduped) — the
     banding stage of dedup_minhash_lsh factored out so the quality
-    audit measures exactly the shipped candidate generation."""
+    audit measures exactly the shipped candidate generation.
+
+    The band table is persisted and materialized BEFORE it branches
+    (r13): it feeds THREE legs — the census aggregate plus both sides
+    of the bucket self-join — and because the census anti-join hangs
+    UNDER each self-join side, the un-persisted shape duplicated the
+    whole signature pipeline four times statically (plan audit: four
+    Exchange-hashpartitioning(doc_id) subtrees, each a full
+    explode→32-min aggregation; AQE's canonical-plan stage reuse did
+    not collapse them — the profile showed four concurrent ~1.6 MB
+    shuffle-map stages per run). Cached, the signature pipeline runs
+    once and the three legs read (doc_id, band, bucket) rows — 4
+    ints/doc, orders of magnitude below the corpus, the same
+    bounded-intermediate class as simhash's cached ``sigs``."""
     sig = minhash_signatures_agg(post)
-    bands = _band_table(sig)
+    bands = _fresh_persist("minhash_bands", _band_table(sig))
+    bands.count()
     bands = bands.join(
         F.broadcast(_band_census(bands)), ["band", "bucket"], "left_anti"
     )
