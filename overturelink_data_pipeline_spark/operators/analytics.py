@@ -467,15 +467,21 @@ def agg_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     hx = F.substring(F.md5(F.col("user_id").cast("string")), 1, 17)
     base = ev.select("event_type", hx.alias("hx"))
     w = F.expr("substr(hx, 3, 15)")
-    z = F.length(F.regexp_extract(w, "^(0*)", 1))
-    nib = F.expr(
-        "CAST(conv(substr(substr(hx, 3, 15), "
-        "length(regexp_extract(substr(hx, 3, 15), '^(0*)', 1)) + 1, 1), 16, 10) AS INT)"
+    # rank = 61 − bit_length(w as a 60-bit integer). Equivalent to the
+    # r8 formulation (leading-zero-nibble count z via regexp + first
+    # nonzero nibble's bit width: 4z + 5 − bitlen ≡ 61 − bit_length,
+    # zero case 61 in both) but ONE conv+length instead of a
+    # regexp_extract + conv + substr + 4-branch CASE per row — the
+    # per-row rank chain was the hottest stage of this query's profile
+    # (1.9 s of 32-wide compute at sf0.1, r13; conv renders the hex as
+    # binary with leading zeros stripped, so its length IS bit_length).
+    # Identity verified over 500 k md5-derived values + edge cases
+    # before the swap; the oracle's CTE keeps the 4z+5−bitlen spelling,
+    # so the two engines compute the same registers through different
+    # but provably-equal arithmetic.
+    rank = F.when(w == F.lit("0" * 15), 61).otherwise(
+        F.lit(61) - F.length(F.conv(w, 16, 2))
     )
-    bitlen = (
-        F.when(nib >= 8, 4).when(nib >= 4, 3).when(nib >= 2, 2).otherwise(1)
-    )
-    rank = F.when(z == 15, 61).otherwise(4 * z + 5 - bitlen)
     ranked = base.select(
         "event_type",
         F.conv(F.substring("hx", 1, 2), 16, 10).cast("int").alias("bucket"),

@@ -1158,14 +1158,19 @@ def minhash_signatures_agg(post: DataFrame, n_hashes: int = N_HASHES) -> DataFra
     """doc_id → sig (array<long>) from an exploded posting table
     (doc_id, h): one codegen'd aggregation computes all n mins — the
     scale path (the per-row higher-order variant is interpreted)."""
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
-        for i in range(n_hashes)
-    ]
-    agg = post.groupBy("doc_id").agg(*mins)
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
+    # ONE F.expr string: the Column-algebra version built the same
+    # tree through ~200 py4j round-trips of driver latency per
+    # invocation (the dedup_simhash r13 measurement: such loops cost
+    # 0.6-1.0 s each); an array of aggregates is rewritten by Catalyst
+    # to the identical aggregate+project plan. Seeds stay INT literals
+    # (`{i}`), matching F.lit(int)'s type — xxhash64 hashes INT and
+    # BIGINT seeds differently, and the goldens pin the INT form.
+    sig = F.expr(
+        "array("
+        + ", ".join(f"min(xxhash64({i}, h))" for i in range(n_hashes))
+        + ")"
     )
+    return post.groupBy("doc_id").agg(sig.alias("sig"))
 
 
 def _band_table(sig: DataFrame) -> DataFrame:
@@ -1176,17 +1181,17 @@ def _band_table(sig: DataFrame) -> DataFrame:
     goldens replicate exactly these semantics
     (scripts/gen_dedup_goldens.py); edit here or nowhere."""
     rows_per_band = N_HASHES // N_BANDS
-    return sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
-                    for i in range(N_BANDS)
-                ]
-            )
-        ).alias("band", "bucket"),
+    # one expr string, not N_BANDS hash(slice()) Column builds — same
+    # py4j-latency rationale as minhash_signatures_agg above
+    buckets = F.expr(
+        "array("
+        + ", ".join(
+            f"hash(slice(sig, {i * rows_per_band + 1}, {rows_per_band}))"
+            for i in range(N_BANDS)
+        )
+        + ")"
     )
+    return sig.select("doc_id", F.posexplode(buckets).alias("band", "bucket"))
 
 
 def _band_census(bands: DataFrame) -> DataFrame:
@@ -1636,33 +1641,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the state, with pure-arithmetic per-row expressions (no `when`).
     FIELD = 21
     SLOTS = 3
+    # Both wide expressions are built as ONE F.expr STRING each (r13):
+    # the Column-algebra loops constructed the identical trees through
+    # ~600 py4j round-trips, measured at 0.63 s (packed) + 1.04 s (sim)
+    # of pure DRIVER latency per invocation — the _bloom_bits_literal
+    # lesson applied here. Same operators, same types, same results
+    # (golden-pinned in tests/test_llm_ops.py).
     packed = [
-        F.sum(
-            sum(
-                (
-                    F.shiftleft(
-                        F.shiftright("h", k * SLOTS + s).bitwiseAND(F.lit(1).cast("long")),
-                        FIELD * s,
-                    )
-                    for s in range(SLOTS)
-                    if k * SLOTS + s < 64
-                ),
-                F.lit(0).cast("long"),
+        F.expr(
+            "SUM("
+            + " + ".join(
+                f"shiftleft(shiftright(h, {k * SLOTS + s}) & CAST(1 AS BIGINT), {FIELD * s})"
+                for s in range(SLOTS)
+                if k * SLOTS + s < 64
             )
+            + ")"
         ).alias(f"p{k}")
         for k in range((64 + SLOTS - 1) // SLOTS)
     ]
     votes = post.groupBy("doc_id").agg(F.count("*").alias("n"), *packed)
-    sim = F.lit(0).cast("long")
-    mask = F.lit((1 << FIELD) - 1).cast("long")
-    for j in range(64):
-        k, s = divmod(j, SLOTS)
-        c_j = F.shiftright(f"p{k}", FIELD * s).bitwiseAND(mask)
-        # majority vote: 2*c_j - n > 0; shiftleft wraps to the sign bit
-        # for j=63 — exactly bit 63
-        sim = sim + F.when(
-            c_j * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), j)
-        ).otherwise(F.lit(0).cast("long"))
+    mask = (1 << FIELD) - 1
+    # majority vote per bit: 2*c_j - n > 0; shiftleft wraps to the
+    # sign bit for j=63 — exactly bit 63
+    sim = F.expr(
+        " + ".join(
+            "CASE WHEN (shiftright(p{k}, {sh}) & {mask}) * 2 > n "
+            "THEN shiftleft(CAST(1 AS BIGINT), {j}) ELSE CAST(0 AS BIGINT) END".format(
+                k=j // SLOTS, sh=FIELD * (j % SLOTS), mask=mask, j=j
+            )
+            for j in range(64)
+        )
+    )
     # persist the signatures: they're tiny (16 bytes/doc) and the band
     # self-join would otherwise re-execute the scan→explode→agg subtree
     # on BOTH sides (re-measured after the bench's GC-noise fix: persist
