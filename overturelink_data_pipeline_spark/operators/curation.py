@@ -212,7 +212,16 @@ def _bloom_bits_literal(eval_sh: DataFrame) -> Column:
     literal-array expression — the scan-side probe is then pure
     whole-stage codegen with zero joins. One F.expr string, not
     BLOOM_M F.lit columns (the CMS lesson: thousands of py4j Column
-    constructions are real driver latency)."""
+    constructions are real driver latency).
+
+    PACKED since r13: BLOOM_M/64 BIGINT words instead of BLOOM_M 0/1
+    ints. The flat 8192-element literal array was copied into the
+    expression tree once per probe (BLOOM_K = 4 copies ≈ 33 k literal
+    nodes), which showed up as a 271 KB formatted plan and >1 s of
+    per-invocation analysis/codegen on the audit query; 128-word
+    packing shrinks the tree 64×, and the probe becomes a
+    shift-and-mask on the selected word (_bloom_hit) — identical bit
+    membership, still zero joins."""
     set_bits = {
         int(r["p"])
         for r in eval_sh.select(
@@ -223,9 +232,37 @@ def _bloom_bits_literal(eval_sh: DataFrame) -> Column:
         .distinct()
         .collect()
     }
-    return F.expr(
-        "array(" + ",".join("1" if b in set_bits else "0" for b in range(BLOOM_M)) + ")"
-    )
+    words = []
+    for w in range(BLOOM_M // 64):
+        v = 0
+        for b in range(64):
+            if (w << 6) | b in set_bits:
+                v |= 1 << b
+        if v >= 1 << 63:  # render as the signed 64-bit literal
+            v -= 1 << 64
+        words.append(f"CAST({v} AS BIGINT)")
+    return F.expr("array(" + ",".join(words) + ")")
+
+
+def _bloom_hit(bits: Column, col: Column) -> Column:
+    """True iff ALL BLOOM_K probe positions of md5(``col``) are set in
+    the packed word array ``bits``: word = element_at(bits, p div 64
+    + 1), tested with (word >> (p mod 64)) & 1. The variable shift
+    goes through call_function (the DSL shiftright only takes a
+    literal amount); arithmetic sign extension is irrelevant under
+    the & 1 mask."""
+    import functools
+
+    def probe(j: int) -> Column:
+        p = _bloom_pos(j, col)
+        word = F.element_at(bits, F.shiftright(p, 6).cast("int") + 1)
+        return (
+            F.call_function("shiftright", word, (p % 64).cast("int"))
+            .bitwiseAND(F.lit(1).cast("long"))
+            == 1
+        )
+
+    return functools.reduce(lambda a, b: a & b, [probe(j) for j in range(BLOOM_K)])
 
 
 #: De-registered r13 (merged into text_decontaminate_audit); kept as a
@@ -312,16 +349,7 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_sh = toks.select(
         "doc_id", F.explode(_shingles(F.col("t"), DECONTAM_K)).alias("sh")
     )
-    hit = train_sh.filter(
-        functools.reduce(
-            lambda a, b: a & b,
-            [
-                F.element_at(bits, (_bloom_pos(j, F.col("sh")) + 1).cast("int"))
-                == 1
-                for j in range(BLOOM_K)
-            ],
-        )
-    )
+    hit = train_sh.filter(_bloom_hit(bits, F.col("sh")))
     hits = hit.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
     return (
         toks.select("doc_id")
@@ -434,13 +462,7 @@ def text_decontaminate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_sh = toks.select(
         "doc_id", F.explode(_shingles(F.col("t"), DECONTAM_K)).alias("sh")
     )
-    bloom_hit = functools.reduce(
-        lambda a, b: a & b,
-        [
-            F.element_at(bits, (_bloom_pos(j, F.col("sh")) + 1).cast("int")) == 1
-            for j in range(BLOOM_K)
-        ],
-    )
+    bloom_hit = _bloom_hit(bits, F.col("sh"))
     # eval_sh is DISTINCT, so a left join adds at most one match per
     # train shingle — counting matches == the parents' inner-join count
     hits = (
