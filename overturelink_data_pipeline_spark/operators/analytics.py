@@ -26,7 +26,7 @@ from overturelink_data_pipeline_spark.functions.timeparts import (
 )
 from overturelink_data_pipeline_spark.functions.grouped import grouped_topk
 from overturelink_data_pipeline_spark.registry import spark_query
-from overturelink_data_pipeline_spark.session import read_table
+from overturelink_data_pipeline_spark.session import read_table, sort_bounded
 
 
 # ---------------------------------------------------------------------------
@@ -69,7 +69,7 @@ def agg_rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cust",
             "total_bal",
         )
-        .orderBy("region", "nation")
+        .transform(sort_bounded, "region", "nation")
     )
 
 
@@ -102,7 +102,7 @@ def agg_cube_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "qty",
         )
-        .orderBy("flag", "status")
+        .transform(sort_bounded, "flag", "status")
     )
 
 
@@ -124,16 +124,22 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     this runs through spark.sql on a temp view, exactly the SQL-exposed
     engine path."""
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
-    return spark.sql(
-        """
-        SELECT COALESCE(o_orderpriority, '__ALL__') AS priority,
-               COALESCE(o_orderstatus, '__ALL__')   AS status,
-               CAST(COUNT(*) AS BIGINT)             AS n_orders,
-               ROUND(SUM(o_totalprice), 2)          AS revenue
-        FROM orders_gs
-        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
-        ORDER BY priority, status
-        """
+    # final sort via sort_bounded, not SQL ORDER BY: the grouping-set
+    # result is bounded (priorities + statuses), and the range sort's
+    # sampling pass would run the Expand+Aggregate segment twice
+    return sort_bounded(
+        spark.sql(
+            """
+            SELECT COALESCE(o_orderpriority, '__ALL__') AS priority,
+                   COALESCE(o_orderstatus, '__ALL__')   AS status,
+                   CAST(COUNT(*) AS BIGINT)             AS n_orders,
+                   ROUND(SUM(o_totalprice), 2)          AS revenue
+            FROM orders_gs
+            GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+            """
+        ),
+        "priority",
+        "status",
     )
 
 
@@ -227,7 +233,9 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").cast("bigint").alias("distinct_parts")
     )
-    return pctl.join(F.broadcast(dst), "l_returnflag").orderBy("l_returnflag")
+    return sort_bounded(
+        pctl.join(F.broadcast(dst), "l_returnflag"), "l_returnflag"
+    )
 
 
 #: Hash-reservoir size per group for the sampled-quantile sketch.
@@ -330,7 +338,7 @@ def agg_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             # diverges between engines)
             F.round(est.cast("decimal(18,4)"), 2).cast("double").alias("est_p50"),
         )
-        .orderBy("l_returnflag")
+        .transform(sort_bounded, "l_returnflag")
     )
 
 
@@ -524,7 +532,7 @@ def agg_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(HLL_M) - F.col("n_regs")).cast("bigint").alias("zero_registers"),
             "exact_distinct",
         )
-        .orderBy("event_type")
+        .transform(sort_bounded, "event_type")
     )
 
 
@@ -593,7 +601,7 @@ def agg_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_p50").alias("exact"),
         F.col("n_sample").alias("aux"),
     )
-    return hll.unionByName(quant).orderBy("sketch", "grp")
+    return sort_bounded(hll.unionByName(quant), "sketch", "grp")
 
 
 # ---------------------------------------------------------------------------
@@ -754,7 +762,7 @@ def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_parts"),
             F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
         )
-        .orderBy("band")
+        .transform(sort_bounded, "band")
     )
 
 
@@ -794,7 +802,7 @@ def window_rank_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
             F.ntile(4).over(w).cast("bigint").alias("quartile"),
         )
         .filter(F.col("rnk") <= 3)
-        .orderBy("nation", "rnk", "supplier")
+        .transform(sort_bounded, "nation", "rnk", "supplier")
     )
 
 

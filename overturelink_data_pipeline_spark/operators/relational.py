@@ -30,6 +30,7 @@ from overturelink_data_pipeline_spark.registry import spark_query
 from overturelink_data_pipeline_spark.session import (
     ensure_parallelism,
     read_table,
+    sort_bounded,
 )
 
 
@@ -74,7 +75,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(sort_bounded, "l_returnflag", "l_linestatus")
     )
 
 
@@ -175,7 +176,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
-        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+        .transform(sort_bounded, F.col("revenue").desc(), F.col("n_name"))
     )
 
 
@@ -227,7 +228,7 @@ def filter_dialect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
             F.min("o_orderkey").cast("bigint").alias("first_key"),
         )
-        .orderBy("bucket")
+        .transform(sort_bounded, "bucket")
     )
 
 
@@ -472,7 +473,7 @@ def regexp_extract_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "documents")
         .select(F.regexp_extract("source", "src([0-9]+)", 1).alias("src_num"))
         .distinct()
-        .orderBy("src_num")
+        .transform(sort_bounded, "src_num")
     )
 
 
@@ -503,7 +504,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
-        .orderBy("hour", "event_type")
+        .transform(sort_bounded, "hour", "event_type")
     )
 
 

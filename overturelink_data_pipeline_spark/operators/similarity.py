@@ -37,6 +37,7 @@ from overturelink_data_pipeline_spark.registry import spark_query
 from overturelink_data_pipeline_spark.session import (
     ensure_parallelism,
     read_table,
+    sort_bounded,
 )
 
 TOP_K = 20
@@ -122,7 +123,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg(l2), 5).alias("avg_l2"),
         )
-        .orderBy("label")
+        .transform(sort_bounded, "label")
     )
 
 
@@ -484,7 +485,9 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         K_NN,
         rank_col="rank",
     )
-    return topk.select("qid", "vec_id", "cos_sim", "rank").orderBy("qid", "rank")
+    return sort_bounded(
+        topk.select("qid", "vec_id", "cos_sim", "rank"), "qid", "rank"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -679,7 +682,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.element_at(l2_lookup, F.col("cl")).alias("centroid_l2"),
         )
-        .orderBy("cluster")
+        .transform(sort_bounded, "cluster")
     )
 
 
@@ -803,7 +806,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("w") / F.col("nrm"), 6).alias("component"),
             F.round("nrm", 2).alias("eigenvalue"),
         )
-        .orderBy("dim")
+        .transform(sort_bounded, "dim")
     )
 
 

@@ -353,6 +353,32 @@ def ensure_parallelism(df, min_fraction: float = 0.5):
     return df
 
 
+def sort_bounded(df, *cols):
+    """Total sort for a BOUNDED-cardinality result — group-bys over
+    closed domains (return flags, nations, priorities, k centroids),
+    audit/manifest rollups — produced as ONE sorted partition instead
+    of a global ``orderBy``.
+
+    A global ``orderBy`` compiles to ``Exchange(rangepartitioning)``
+    whose RangePartitioner must SAMPLE the child to pick range bounds:
+    the whole plan segment since the last shuffle executes TWICE, once
+    for the sampling job and once for the real shuffle (guide §2.4's
+    "orderBy used only to make output deterministic"). Measured on
+    agg_percentiles_exact at sf0.1: the 3-task window+join segment ran
+    as two ~1.1 s stages; swapping the final sort for this helper
+    removed one of them (2.17 s → 1.64 s warm noop-sink).
+
+    ``repartition(1)`` (round-robin, no sampling) +
+    ``sortWithinPartitions`` yields the identical rows in the identical
+    total order with the segment executed ONCE. Scale posture: the
+    single sort task only ever sees the bounded RESULT (≤ domain
+    cardinality rows), never the data — do NOT use this for
+    data-proportional outputs (per-doc/per-feature frames), whose
+    range sort must stay distributed.
+    """
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Columnar parquet scan; Catalyst prunes columns + pushes filters.
 
