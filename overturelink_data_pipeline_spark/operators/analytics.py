@@ -26,7 +26,11 @@ from overturelink_data_pipeline_spark.functions.timeparts import (
 )
 from overturelink_data_pipeline_spark.functions.grouped import grouped_topk
 from overturelink_data_pipeline_spark.registry import spark_query
-from overturelink_data_pipeline_spark.session import read_table, sort_bounded
+from overturelink_data_pipeline_spark.session import (
+    ensure_parallelism,
+    read_table,
+    sort_bounded,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -294,7 +298,12 @@ def agg_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group, a frame bounded by K × groups regardless of data size.
     Interpolation and rounding reuse the agg_percentiles_exact recipe
     (order statistic r = q·(n−1); round through DECIMAL(18,4))."""
-    li = read_table(spark, sf_dir, "lineitem")
+    # single-row-group scan rescue (session.ensure_parallelism regime
+    # 3): the reservoir's phase-1 md5 + local sort otherwise runs in
+    # the scan's ONE task (test tables ship single-group parquet) —
+    # measured 2.2-2.6 s single-threaded at sf0.1 vs a ~10 MB
+    # round-robin shuffle that buys cores× on the hash + sort
+    li = ensure_parallelism(read_table(spark, sf_dir, "lineitem"))
     h = F.md5(
         F.concat_ws(
             "-",

@@ -1315,7 +1315,23 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     hconf.set(algo_key, "2")
     try:
         (
-            salted.repartition("source", "salt")
+            # EXPLICIT partition count (REPARTITION_BY_NUM): a bare
+            # repartition(cols) is an AQE-coalescible shuffle, and the
+            # profile showed AQE folding the ~1 MB shuffle into ONE
+            # partition — every (source, salt) directory then written
+            # serially by a single task (11.2 s cold / 5.4 s warm at
+            # sf0.1, the whole query's dominant stage). Pinning the
+            # count to cluster width keeps the writers parallel — the
+            # salting design's whole point; write parallelism is set
+            # by file/commit latency, not by shuffle bytes, which is
+            # the one signal AQE's coalescing can see. Each (source,
+            # salt) group still hashes wholly into one task, so the
+            # per-directory file count stays exactly
+            # ceil(group_rows / max). A deployment with more groups
+            # than cores would size this at ~#groups instead.
+            salted.repartition(
+                spark.sparkContext.defaultParallelism, "source", "salt"
+            )
             .sortWithinPartitions("source", "salt", "doc_id")
             .write.option("maxRecordsPerFile", SHARD_MAX_ROWS)
             .partitionBy("source", "salt")

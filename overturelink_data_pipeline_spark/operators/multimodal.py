@@ -502,55 +502,112 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_val) crosses the candidate shuffle — never payloads or decoded
     pixels."""
     ph = _fresh_persist_dedup("mm_phash", _phash_table(spark, sf_dir))
-    ph.count()  # materialize before the plan branches (bands + two rejoins)
+    ph.count()  # materialize before the plan branches
+    # r13 rework of the candidate join (guide §3.4 + the dedup family's
+    # _posting_pairs recipe): the phash cache previously had SIX
+    # consumers — census, BOTH sides of a bucket self-join, the hot
+    # star leg, and two verify joins back for the hash bytes (the
+    # stage profile showed four ~0.7 s cache-scan stages per run plus
+    # the two rejoin shuffles). Now the 64-bit hash rides the postings
+    # as ONE packed BIGINT, pairs fan out from per-bucket collect_list
+    # arrays (one shuffle, no self-join), hamming verifies inline
+    # (bit_count of one XOR — byte-wise XOR concatenated is word XOR),
+    # and the census is materialized once with the _capped_census
+    # empty-fast-path: a natural corpus (the cap never fires on
+    # md5-derived corpora — max bucket size 2 at sf0.1) runs census +
+    # posting build only, with the anti-join and star-leg subtrees
+    # dropped from the plan instead of riding it dead.
+    # shiftleft|OR, not Horner multiply: b0 >= 128 would overflow the
+    # signed BIGINT top byte and raise under an ANSI session (the
+    # driver's default); bitwise shifts carry no overflow semantics
+    # and the wrapped two's-complement pattern is exactly the 8 bytes
+    pk = F.expr(
+        " | ".join(
+            f"shiftleft(CAST(b{j} AS BIGINT), {56 - 8 * j})" for j in range(7)
+        )
+        + " | CAST(b7 AS BIGINT)"
+    )
     band_vals = [
         (F.col(f"b{j}") * 256 + F.col(f"b{k}")).cast("int")
         for j, k in _PHASH_BAND_PAIRS
     ]
     bands = ph.select(
         "media_id",
+        pk.alias("pk"),
         F.posexplode(F.array(*band_vals)).alias("band_idx", "band_val"),
     )
     # map-side-combined bucket census; the over-cap list is bounded by
-    # the hot-asset population, never the corpus — broadcastable
-    stats = bands.groupBy("band_idx", "band_val").agg(
-        F.count(F.lit(1)).alias("n"), F.min("media_id").alias("min_id")
+    # the hot-asset population, never the corpus — broadcastable.
+    # Persisted + head(1) so the empty (natural-corpus) case skips the
+    # anti-join and hot-star subtrees outright.
+    big = _fresh_persist_dedup(
+        "mm_phash_census",
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("media_id").alias("min_id"))
+        .filter(F.col("n") > MM_BAND_BUCKET_CAP)
+        .select("band_idx", "band_val", "min_id"),
     )
-    big = stats.filter(F.col("n") > MM_BAND_BUCKET_CAP).select(
-        "band_idx", "band_val", "min_id"
-    )
-    cold = bands.join(
-        F.broadcast(big.select("band_idx", "band_val")),
-        ["band_idx", "band_val"],
-        "left_anti",
-    )
-    a, b = cold.alias("a"), cold.alias("b")
-    cand_cold = a.join(
-        b,
-        (F.col("a.band_idx") == F.col("b.band_idx"))
-        & (F.col("a.band_val") == F.col("b.band_val"))
-        & (F.col("a.media_id") < F.col("b.media_id")),
-    ).select(
-        F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
-    )
-    # star pairs for over-cap buckets: O(membership), not O(membership²)
-    cand_hot = (
-        bands.join(F.broadcast(big), ["band_idx", "band_val"])
-        .filter(F.col("media_id") != F.col("min_id"))
-        .select(
-            F.col("min_id").alias("id_a"), F.col("media_id").alias("id_b")
+    hot = bool(big.head(1))
+    cold = (
+        bands.join(
+            F.broadcast(big.select("band_idx", "band_val")),
+            ["band_idx", "band_val"],
+            "left_anti",
         )
+        if hot
+        else bands
     )
-    cand = cand_cold.unionByName(cand_hot).dropDuplicates(["id_a", "id_b"])
-    pa = ph.select(F.col("media_id").alias("id_a"), *[F.col(f"b{j}").alias(f"a{j}") for j in range(8)])
-    pb = ph.select(F.col("media_id").alias("id_b"), *[F.col(f"b{j}").alias(f"pb{j}") for j in range(8)])
-    ham = sum(
-        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"pb{j}"))) for j in range(8)
+    # pair fan-out from sorted posting lists (struct sorts by its
+    # first field, media_id, so id_a < id_b), packed hash riding as
+    # the payload — no self-join, no verify joins
+    posts = (
+        cold.groupBy("band_idx", "band_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("media_id", "pk"))
+            ).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+        .select(F.col("ids").alias("a"))
     )
+    pair_expr = F.expr(
+        "flatten(transform(a, (x, i) -> "
+        "transform(slice(a, i + 2, size(a) - i - 1), "
+        "y -> struct(x AS x, y AS y))))"
+    )
+    cand = posts.select(F.explode(pair_expr).alias("p")).select(
+        F.col("p.x.media_id").alias("id_a"),
+        F.col("p.x.pk").alias("pka"),
+        F.col("p.y.media_id").alias("id_b"),
+        F.col("p.y.pk").alias("pkb"),
+    )
+    if hot:
+        # star pairs for over-cap buckets: O(membership), not
+        # O(membership²); the anchor's hash arrives by one bounded
+        # join against the cache (hot min-ids ≤ |census|)
+        anchors = ph.select(
+            F.col("media_id").alias("id_a"), pk.alias("pka")
+        )
+        cand_hot = (
+            bands.join(F.broadcast(big), ["band_idx", "band_val"])
+            .filter(F.col("media_id") != F.col("min_id"))
+            .select(
+                F.col("min_id").alias("id_a"),
+                F.col("media_id").alias("id_b"),
+                F.col("pk").alias("pkb"),
+            )
+            .join(anchors, "id_a")
+        )
+        cand = cand.unionByName(cand_hot.select(*cand.columns))
     return (
-        cand.join(pa, "id_a")
-        .join(pb, "id_b")
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        cand.dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("pka").bitwiseXOR(F.col("pkb")))
+            .cast("int")
+            .alias("hamming"),
+        )
         .filter(F.col("hamming") <= MM_HAMMING_T)
         .orderBy("id_a", "id_b")
     )
