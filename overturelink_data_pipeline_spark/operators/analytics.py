@@ -26,11 +26,7 @@ from overturelink_data_pipeline_spark.functions.timeparts import (
 )
 from overturelink_data_pipeline_spark.functions.grouped import grouped_topk
 from overturelink_data_pipeline_spark.registry import spark_query
-from overturelink_data_pipeline_spark.session import (
-    ensure_parallelism,
-    read_table,
-    sort_bounded,
-)
+from overturelink_data_pipeline_spark.session import read_table, sort_bounded
 
 
 # ---------------------------------------------------------------------------
@@ -298,12 +294,14 @@ def agg_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group, a frame bounded by K × groups regardless of data size.
     Interpolation and rounding reuse the agg_percentiles_exact recipe
     (order statistic r = q·(n−1); round through DECIMAL(18,4))."""
-    # single-row-group scan rescue (session.ensure_parallelism regime
-    # 3): the reservoir's phase-1 md5 + local sort otherwise runs in
-    # the scan's ONE task (test tables ship single-group parquet) —
-    # measured 2.2-2.6 s single-threaded at sf0.1 vs a ~10 MB
-    # round-robin shuffle that buys cores× on the hash + sort
-    li = ensure_parallelism(read_table(spark, sf_dir, "lineitem"))
+    # NOTE r13: ensure_parallelism was tried on this scan (the
+    # single-row-group file runs the md5 + phase-1 sort in one task,
+    # 2.2-2.6 s at sf0.1) and REVERTED — the warm-protocol win
+    # (2.61->1.91 s median) did not transfer to the bench's
+    # first-invocation protocol (sketch-audit A/B 5.5-6.8 -> 6.2-8.5 s:
+    # the rescue shuffle plus its extra codegen unit cost more than the
+    # single-task scan on a ~10 MB table)
+    li = read_table(spark, sf_dir, "lineitem")
     h = F.md5(
         F.concat_ws(
             "-",

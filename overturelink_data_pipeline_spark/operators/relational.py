@@ -264,11 +264,12 @@ def distinct_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # single-row-group scan rescue: the two COUNT(DISTINCT) legs expand
-    # the scan 2× and hash-aggregate it, all inside the scan's one task
-    # on single-group test parquet (measured ~2.1 s at sf0.1); the
-    # round-robin shuffle buys cores× on the distinct aggregation
-    return ensure_parallelism(read_table(spark, sf_dir, "lineitem")).agg(
+    # NOTE r13: ensure_parallelism was tried here (the single-row-group
+    # scan runs the COUNT(DISTINCT) expand in one task) and REVERTED —
+    # interleaved bench-protocol A/B measured the rescue shuffle at 2×
+    # the single-task cost (1.6-1.9 s -> 3.3-3.8 s first-invocation):
+    # the distinct agg is too cheap to amortize a full-table shuffle
+    return read_table(spark, sf_dir, "lineitem").agg(
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
