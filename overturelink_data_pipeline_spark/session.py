@@ -129,6 +129,22 @@ def get_spark(
         # reader rejects; read as epoch-nanos long and convert explicitly
         # (tz-free) in the plan — see functions/timeparts.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # RocksDB state stores checkpoint incremental CHANGELOGS
+        # instead of re-uploading a full SST snapshot every micro-batch
+        # — the production-recommended setting once state outlives a
+        # batch (snapshot upload cost is O(state), changelog is
+        # O(delta)), and the wide-state stream ops (session windows,
+        # stream-stream joins) are exactly that shape. Results are
+        # provider-format-independent (pinned by the streaming
+        # result-identity tests); measured at sf0.1 on
+        # stream_user_sessions: fresh-subprocess first-invocation
+        # 8.2 -> 7.2 s median (4 of 5 interleaved pairs better),
+        # stream_stream_attribution neutral.
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb"
+            ".changelogCheckpointing.enabled",
+            "true",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
