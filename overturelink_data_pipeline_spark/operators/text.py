@@ -593,22 +593,20 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
         ),
     )
-    # c2 persisted + materialized before it branches (r13): it feeds
-    # BOTH the c1 rollup and the scoring probe join, and the
-    # un-persisted shape carried the full pairs→groupBy aggregation
-    # twice in the final plan (two concurrent ~0.5 s shuffle-map
-    # stages in the profile — AQE did not reuse the identical
-    # exchanges; the _lsh_candidates r13 finding). The count job also
-    # materializes the pairs cache, so the bigram build runs once.
-    # Scale-safe: c2 is vocabulary-bounded (distinct bigrams), not
-    # corpus-bounded.
-    c2 = _fresh_persist(
-        "lm_c2",
-        pairs.groupBy("w1", "w2").agg(
-            F.count(F.lit(1)).cast("bigint").alias("c2")
-        ),
+    # NOTE (r13): c2 feeds BOTH the c1 rollup and the scoring probe
+    # join, and the un-persisted plan carries the pairs→groupBy
+    # aggregation twice (AQE does not reuse the identical exchanges).
+    # A c2 persist+count was tried (briefly committed, 6108c83) and
+    # REVERTED after an 8-pair interleaved first-invocation A/B at the
+    # bench protocol: no-persist median 5.25 s vs persist 6.18 s at
+    # sf0.1 — the extra count() job, cache build and third cache scan
+    # cost more than re-running the cheap aggregation over the
+    # already-cached pairs (the agg_bounds scan-rescue lesson). Both
+    # duplicated aggregates read the persisted `pairs` cache, so the
+    # scan+tokenize+explode subtree still runs once either way.
+    c2 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
     )
-    c2.count()
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
     # V rides the SAME job as the scoring plan: a broadcast 1-row frame
     # instead of a driver collect (the r3 version paid a whole separate
