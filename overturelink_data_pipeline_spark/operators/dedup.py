@@ -1213,13 +1213,27 @@ def _band_census(bands: DataFrame) -> DataFrame:
 
 
 def _jaccard_verify(
-    cand: DataFrame, sh: DataFrame, left: str, right: str, tau: float = 0.5
+    cand: DataFrame,
+    sh: DataFrame,
+    left: str,
+    right: str,
+    tau: float = 0.5,
+    ordered: bool = True,
 ) -> DataFrame:
     """Exact-jaccard verification of candidate id pairs against the
     persisted shingle table: the shingle arrays join back AFTER
     candidate dedup, so the wide payload never rides the
     (band, bucket) exchange. Shared by both LSH operators for the
-    same single-definition reason as _band_table."""
+    same single-definition reason as _band_table.
+
+    ``ordered=False`` skips the deterministic output sort for
+    INTERNAL consumers (dedup_clusters / graph_pagerank_dupes) that
+    immediately explode the pairs into an edge cache: a global
+    orderBy compiles to a rangepartitioning Exchange whose sampling
+    pass re-executes the whole verify segment (both shingle-cache
+    broadcast joins ran TWICE in the r13 stage profile), plus a
+    32-partition Sort — all discarded one operator later by the
+    round-robin repartition(8). Registered queries keep the sort."""
     verif = (
         cand.join(sh.withColumnRenamed("doc_id", left), left)
         .withColumnRenamed("sh", "sh_a")
@@ -1229,11 +1243,10 @@ def _jaccard_verify(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
-    return (
-        verif.filter(jac >= tau)
-        .select(left, right, F.round(jac, 6).alias("jaccard"))
-        .orderBy(left, right)
+    out = verif.filter(jac >= tau).select(
+        left, right, F.round(jac, 6).alias("jaccard")
     )
+    return out.orderBy(left, right) if ordered else out
 
 
 @spark_query(
@@ -1278,8 +1291,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both the banding behavior and the verification arithmetic are
     hash-checked, neither against itself. Recall additionally pinned
     against brute-force Jaccard in tests/test_llm_ops.py."""
+    return _minhash_verified_pairs(spark, sf_dir)
 
 
+def _minhash_verified_pairs(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
+    """The dedup_minhash_lsh pipeline body, parameterized on the final
+    deterministic sort so the graph consumers (dedup_clusters /
+    graph_pagerank_dupes) can take the verified pair SET without the
+    rangepartitioning exchange + verify-segment sampling re-execution
+    the sort costs (see _jaccard_verify). Same rows either way."""
     # the shingle table feeds three plan legs (signatures + both sides
     # of candidate verification); persist it so the interpreted
     # shingling transform runs once, not three times (at 100 TB this is
@@ -1310,7 +1332,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle arrays join back AFTER dedup, so the wide payload never
     # rides the (band, bucket) exchange.
     cand = _lsh_candidates(post)
-    return _jaccard_verify(cand, sh, "id_a", "id_b")
+    return _jaccard_verify(cand, sh, "id_a", "id_b", ordered=ordered)
 
 
 def _lsh_candidates(post: DataFrame) -> DataFrame:
@@ -1869,7 +1891,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation transparent against the recursive-CTE oracle, which
     freezes BOTH the pair derivation (golden minhash pairs, computed
     by the independent replica) and the component semantics."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    # unsorted pair SET (same rows as dedup_minhash_lsh): the edge
+    # derivation below explodes + round-robin repartitions, so the
+    # registered query's deterministic orderBy would only buy a
+    # rangepartitioning exchange + a sampling pass that re-executes
+    # the verify segment (r13, see _jaccard_verify)
+    pairs = _minhash_verified_pairs(spark, sf_dir, ordered=False).select(
+        "id_a", "id_b"
+    )
     labels = cluster_labels(pairs)
     return (
         labels.groupBy("lbl")
@@ -2083,7 +2112,14 @@ def graph_pagerank_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays under 2^63 while deg_max × rank_max < 1e13 — comfortably
     true for near-dup graphs (rank mass concentrates only as far as
     component sizes allow)."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    # unsorted pair SET (same rows as dedup_minhash_lsh): the edge
+    # derivation below explodes + round-robin repartitions, so the
+    # registered query's deterministic orderBy would only buy a
+    # rangepartitioning exchange + a sampling pass that re-executes
+    # the verify segment (r13, see _jaccard_verify)
+    pairs = _minhash_verified_pairs(spark, sf_dir, ordered=False).select(
+        "id_a", "id_b"
+    )
     edges = pairs.select(
         F.explode(
             F.array(

@@ -273,3 +273,29 @@ def test_staged_mm_audio_qc_parity(spark, sf_dir):
     assert oracle["n_windows"].between(1, AUDIO_QC_WINDOW_MOD).all()
     assert (oracle["n_silence"] <= oracle["n_windows"]).all()
     assert (oracle["n_clipping"] <= oracle["n_windows"]).all()
+
+
+def test_unsorted_minhash_pairs_same_set_as_registered_query(spark, sf_dir):
+    """The r13 optimization feeds dedup_clusters / graph_pagerank_dupes
+    from _minhash_verified_pairs(ordered=False) — the registered
+    dedup_minhash_lsh pipeline minus the deterministic output sort
+    (which costs a rangepartitioning exchange + a sampling pass that
+    re-executes the verify segment, all discarded by the consumers'
+    round-robin edge repartition). Pin that the unsorted helper yields
+    EXACTLY the registered query's row set, so the graph queries keep
+    consuming the attested pair pipeline."""
+    from overturelink_data_pipeline_spark.operators.dedup import (
+        _minhash_verified_pairs,
+        dedup_minhash_lsh,
+    )
+
+    registered = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    unsorted_rows = [
+        (r.id_a, r.id_b, r.jaccard)
+        for r in _minhash_verified_pairs(spark, sf_dir, ordered=False).collect()
+    ]
+    assert len(unsorted_rows) == len(registered) > 0
+    assert set(unsorted_rows) == registered
