@@ -268,7 +268,9 @@ _QSAMPLE_CTES = f"""
 """
 
 
-def agg_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_quantile_sampled(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
     """Quantile SKETCH by deterministic hash reservoir: per group, the
     QSAMPLE_K rows with the smallest md5(unique key) are a uniform
     random sample (a hash's k smallest values are a uniform k-subset),
@@ -345,7 +347,14 @@ def agg_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             # diverges between engines)
             F.round(est.cast("decimal(18,4)"), 2).cast("double").alias("est_p50"),
         )
-        .transform(sort_bounded, "l_returnflag")
+        # ordered=False for the agg_sketch_audit composite, which
+        # re-sorts the union anyway — the inner sort_bounded otherwise
+        # adds a whole extra Exchange stage (r13 plan sweep)
+        .transform(
+            (lambda d: sort_bounded(d, "l_returnflag"))
+            if ordered
+            else (lambda d: d)
+        )
     )
 
 
@@ -450,7 +459,9 @@ _HLL_CTES = f"""
 """
 
 
-def agg_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_hll_distinct_users(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
     """Distinct users per event type by a DETERMINISTIC HyperLogLog:
     bucket = md5 byte 0 (256 registers), rank = leading-zero count of
     the next 60 md5 bits (computed with string/integer ops only — no
@@ -539,7 +550,12 @@ def agg_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(HLL_M) - F.col("n_regs")).cast("bigint").alias("zero_registers"),
             "exact_distinct",
         )
-        .transform(sort_bounded, "event_type")
+        # same ordered knob as agg_quantile_sampled (see there)
+        .transform(
+            (lambda d: sort_bounded(d, "event_type"))
+            if ordered
+            else (lambda d: d)
+        )
     )
 
 
@@ -588,14 +604,14 @@ def agg_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram plan (groupBy value domain → one cumulative window →
     two conditional mins), not Spark's single-reducer ``percentile``
     aggregate."""
-    hll = agg_hll_distinct_users(spark, sf_dir).select(
+    hll = agg_hll_distinct_users(spark, sf_dir, ordered=False).select(
         F.lit("hll_distinct").alias("sketch"),
         F.col("event_type").alias("grp"),
         F.col("est_distinct").alias("est"),
         F.col("exact_distinct").cast("double").alias("exact"),
         F.col("zero_registers").alias("aux"),
     )
-    qs = agg_quantile_sampled(spark, sf_dir)
+    qs = agg_quantile_sampled(spark, sf_dir, ordered=False)
     li = read_table(spark, sf_dir, "lineitem")
     cum = _cumulative_value_frame(li, "l_returnflag", "l_extendedprice")
     qexact = cum.groupBy("l_returnflag").agg(

@@ -299,3 +299,20 @@ def test_unsorted_minhash_pairs_same_set_as_registered_query(spark, sf_dir):
     ]
     assert len(unsorted_rows) == len(registered) > 0
     assert set(unsorted_rows) == registered
+
+
+def test_unsorted_sketch_legs_same_rows_as_sorted(spark, sf_dir):
+    """agg_sketch_audit consumes its two legs with ordered=False (the
+    inner sort_bounded exchanges are discarded by the audit's own
+    final sort — r13). Pin that the unordered legs yield exactly the
+    sorted legs' row sets."""
+    from overturelink_data_pipeline_spark.operators.analytics import (
+        agg_hll_distinct_users,
+        agg_quantile_sampled,
+    )
+
+    for fn in (agg_hll_distinct_users, agg_quantile_sampled):
+        sorted_rows = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        unsorted_rows = [tuple(r) for r in fn(spark, sf_dir, ordered=False).collect()]
+        assert len(unsorted_rows) == len(sorted_rows) > 0
+        assert set(unsorted_rows) == set(sorted_rows)
