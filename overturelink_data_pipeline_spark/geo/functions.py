@@ -279,8 +279,17 @@ def st_clean_geometry(
     def _udf(s: pd.Series) -> pd.Series:
         return _map_wkb(s, fn)
 
-    _CLEAN_UDFS[key] = _udf
-    return _udf
+    # asNondeterministic stops the optimizer DUPLICATING the decode:
+    # every caller follows the clean with filter(isNotNull), and filter
+    # pushdown re-evaluated the UDF below the filter while the
+    # projection chain re-evaluated it again inline (two
+    # ArrowEvalPython nodes running the same WKB decode in the r13
+    # plan audit of geo_centroid_utm et al.). Marked non-deterministic
+    # it is evaluated ONCE over the pre-filter rows; the result set is
+    # unchanged (the function is pure — the flag only blocks
+    # reordering/inlining).
+    _CLEAN_UDFS[key] = _udf.asNondeterministic()
+    return _CLEAN_UDFS[key]
 
 
 def geometry_family(type_col: Column) -> Column:
