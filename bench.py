@@ -275,6 +275,13 @@ def main() -> None:
         "batched-single-session; per-query comparisons: see BENCH_SF1.md "
         "(fresh-session protocol)"
     )
+    # which path dedup_lifecycle_probe took (VERDICT r13 ask #6):
+    # "rebuild" (cold: build + append + stamp) vs "probe" (warm skip) —
+    # the two cost very different wall, so rolls are only comparable
+    # when the path is recorded. With the r14 per-process index
+    # namespace a fresh bench process always reads "rebuild".
+    from overturelink_data_pipeline_spark.operators import dedup as _dedup_mod
+
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -282,6 +289,7 @@ def main() -> None:
         "protocol": protocol,
         "calibration": calibration,
         "queries": timings,
+        "lifecycle_path": _dedup_mod.LAST_LIFECYCLE_PATH,
         "stream_providers_after": stream_providers,
         "sf": sf_num,
         "notes": {
@@ -338,6 +346,7 @@ def main() -> None:
                 "protocol": protocol,
                 "calibration": calibration,
                 "queries": slowest,
+                "lifecycle_path": _dedup_mod.LAST_LIFECYCLE_PATH,
                 "sf": sf_num,
                 "n_queries": len(timings),
                 "full_timings": "BENCH_LOCAL.json",

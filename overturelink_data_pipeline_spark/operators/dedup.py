@@ -546,6 +546,20 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Which path the LAST dedup_lifecycle_probe invocation took —
+#: "rebuild" (cold: build + append + stamp) or "probe" (warm: stamp
+#: matched, standing release probed). Observability only (VERDICT r13
+#: ask #6): the bench artifact records it so rolls are comparable —
+#: the two paths cost very different wall time. With the per-process
+#: index namespace a fresh bench process is always "rebuild".
+LAST_LIFECYCLE_PATH: str | None = None
+
+
+def _record_lifecycle_path(path: str) -> None:
+    global LAST_LIFECYCLE_PATH
+    LAST_LIFECYCLE_PATH = path
+
+
 @spark_query(
     "dedup_lifecycle_probe",
     oracle=f"""
@@ -630,13 +644,23 @@ def dedup_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         PostingIndex,
         corpus_fingerprint,
         fingerprint_leg,
+        process_index_name,
+        reap_dead_process_indexes,
         stored_stamp_leg,
         write_release_stamp,
     )
 
     corpus = _prefix_corpus(spark, sf_dir)
     delta = F.col("doc_id") >= INCR_DELTA_MIN
-    idx = PostingIndex(spark, "dlp_index")
+    # PER-PROCESS index namespace (VERDICT r13 ask #1): a fixed name on
+    # the shared metastore-less warehouse let one process's rebuild
+    # delete the part files another live process was scanning
+    # (FileNotFoundException under dlp_index_ns — the r13 driver pytest
+    # failure). dlp_index_p{pid} makes each process's release private;
+    # the warm stamp-skip path is unchanged within a process, and dead
+    # processes' leftovers are reaped once per session.
+    reap_dead_process_indexes(spark, "dlp_index")
+    idx = PostingIndex(spark, process_index_name("dlp_index"))
     docs = read_table(spark, sf_dir, "documents")
     crawl = corpus.filter(delta & (F.col("doc_id") % 2 == 1))
     fp_cols = ("doc_id", "n_chars", "source")
@@ -656,7 +680,9 @@ def dedup_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp = next((r["id"] for r in rows if r["kind"] == "fp"), None)
         stored = next((r["id"] for r in rows if r["kind"] == "stamp"), None)
         if fp is not None and fp == stored:
+            _record_lifecycle_path("probe")
             return pending.finish(rows)
+    _record_lifecycle_path("rebuild")
     idx.build(corpus.filter(~delta))
     idx.append(corpus.filter(delta & (F.col("doc_id") % 2 == 0)))
     # a stale-stamp rebuild already paid the fingerprint scan in the

@@ -44,8 +44,12 @@ lifted from per-country GeoParquet caches to dedup indexes.
 from __future__ import annotations
 
 import math
+import os
+import re
+import shutil
 import uuid
 from dataclasses import dataclass, field
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -72,6 +76,8 @@ __all__ = [
     "fingerprint_leg",
     "stored_stamp_leg",
     "shingle_table",
+    "process_index_name",
+    "reap_dead_process_indexes",
 ]
 
 #: Bucket count for the index tables. Sized for the test/bench corpora;
@@ -161,6 +167,67 @@ def _clean_orphan_location(spark: SparkSession, table: str) -> None:
     fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if fs.exists(path):
         fs.delete(path, True)
+
+
+def process_index_name(base: str) -> str:
+    """Per-PROCESS index namespace: ``{base}_p{pid}``.
+
+    The default session catalog is per-process but the WAREHOUSE
+    directory is shared, so two processes using the same index name
+    race each other's table files: process B's ``_clean_orphan_location``
+    (whose catalog cannot see A's live table) deletes the directory
+    process A is scanning — exactly the ``FileNotFoundException`` under
+    ``spark-warehouse/dlp_index_ns`` that killed the round-13 driver
+    pytest gate (VERIFY_r13) and the builder's own concurrent plan-dump
+    session before it. Keying the namespace by pid makes every
+    process's release private: warm-path stamp skips still work across
+    invocations WITHIN a process (same name, same catalog), and no
+    process can ever read — or delete — another's live index. A real
+    deployment with a shared metastore uses a stable name instead (the
+    catalog then serializes ownership); this is the correct shape for
+    the metastore-less local/default catalog only.
+    """
+    return f"{base}_p{os.getpid()}"
+
+
+_PID_INDEX_DIR = re.compile(r"^(?P<base>.+)_p(?P<pid>\d+)_[a-z_]+$")
+_REAPED: set[str] = set()
+
+
+def reap_dead_process_indexes(spark: SparkSession, base: str) -> None:
+    """Best-effort GC for ``{base}_p{pid}_*`` warehouse directories left
+    by DEAD processes (once per process per base — driver-side listdir,
+    zero Spark jobs). A directory is deleted only when its embedded pid
+    provably no longer exists (``os.kill(pid, 0)`` → ESRCH); a live or
+    unverifiable pid is left alone, so a concurrently running process's
+    index is never touched — the deletion race this namespace exists to
+    prevent. Remote warehouses are skipped: deployments own their GC."""
+    if base in _REAPED:
+        return
+    _REAPED.add(base)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    parsed = urlparse(wh)
+    if parsed.scheme not in ("file", ""):
+        return
+    root = unquote(parsed.path) if parsed.scheme else wh
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    me = os.getpid()
+    for d in entries:
+        m = _PID_INDEX_DIR.match(d)
+        if not m or m.group("base") != base.lower():
+            continue
+        pid = int(m.group("pid"))
+        if pid == me:
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        except Exception:
+            continue
 
 
 def release_stamp(spark: SparkSession, name: str) -> str | None:
