@@ -30,7 +30,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        "r14",
     )
     os.makedirs(out_dir, exist_ok=True)
 
