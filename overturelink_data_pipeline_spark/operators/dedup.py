@@ -627,12 +627,14 @@ def dedup_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     is never trusted.
 
     The WHOLE warm invocation is TWO driver actions (r10, VERDICT r9
-    ask #4): the corpus fingerprint, the stored stamp, the probe's
+    ask #4; tightened r14): the corpus fingerprint, the probe's
     admission guard, and its hot-skip bound all ride ONE tagged-union
-    collect (PostingIndex.prepare_probe's extension point), and the
-    second action is the probe itself. On a stale stamp the collected
-    pre-flight is discarded — its guard verdict would be against the
-    outgoing index — and the rebuild takes the normal cold path. The
+    collect (PostingIndex.prepare_probe's extension point), the stored
+    stamp is a driver-side sidecar-file read (release_stamp — zero
+    jobs since r14), and the second action is the probe itself. On a
+    stale stamp the collected pre-flight is discarded — its guard
+    verdict would be against the outgoing index — and the rebuild
+    takes the normal cold path. The
     fingerprint deliberately hashes metadata columns only (doc_id,
     n_chars, source): that stamp is CONTENT-BLIND (corpus_fingerprint's
     docstring has the full contract), valid here because the driver
@@ -642,11 +644,10 @@ def dedup_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     does)."""
     from overturelink_data_pipeline_spark.operators.lifecycle import (
         PostingIndex,
-        corpus_fingerprint,
         fingerprint_leg,
         process_index_name,
         reap_dead_process_indexes,
-        stored_stamp_leg,
+        release_stamp,
         write_release_stamp,
     )
 
@@ -665,20 +666,22 @@ def dedup_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl = corpus.filter(delta & (F.col("doc_id") % 2 == 1))
     fp_cols = ("doc_id", "n_chars", "source")
     fp = None
-    if idx.exists() and spark.catalog.tableExists(f"{idx.name}_meta"):
+    # the stored stamp is a driver-side sidecar-file read since r14
+    # (zero jobs — previously a 1-row meta TABLE whose write was the
+    # cold path's most expensive single job and whose read was a scan
+    # leg on the warm path)
+    stored = release_stamp(spark, idx.name)
+    if idx.exists() and stored is not None:
         pending = idx.prepare_probe(crawl)
-        # fingerprint + stored-stamp legs join the probe pre-flight —
-        # lifecycle.fingerprint_leg / stored_stamp_leg, the one
-        # implementation of the stamp aggregate and its rendering
-        # (format parity with the Python side pinned by
+        # the fingerprint leg joins the probe pre-flight —
+        # lifecycle.fingerprint_leg, the one implementation of the
+        # stamp aggregate and its rendering (format parity with the
+        # Python side pinned by
         # tests/test_round10_ops.py::test_fused_stamp_leg_format)
         rows = (
-            pending.checks.unionByName(fingerprint_leg(docs, fp_cols))
-            .unionByName(stored_stamp_leg(spark, idx.name))
-            .collect()
+            pending.checks.unionByName(fingerprint_leg(docs, fp_cols)).collect()
         )
         fp = next((r["id"] for r in rows if r["kind"] == "fp"), None)
-        stored = next((r["id"] for r in rows if r["kind"] == "stamp"), None)
         if fp is not None and fp == stored:
             _record_lifecycle_path("probe")
             return pending.finish(rows)
@@ -686,13 +689,20 @@ def dedup_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.build(corpus.filter(~delta))
     idx.append(corpus.filter(delta & (F.col("doc_id") % 2 == 0)))
     # a stale-stamp rebuild already paid the fingerprint scan in the
-    # fused pre-flight — reuse it instead of a second full-corpus
-    # aggregate (review r10); only the cold path (no standing release)
-    # computes it here
-    write_release_stamp(
-        spark, idx.name, fp if fp is not None else corpus_fingerprint(docs, *fp_cols)
-    )
-    return idx.probe(crawl)
+    # fused pre-flight — reuse it. On the fully COLD path (no standing
+    # release) the fingerprint rides the probe's own pre-flight collect
+    # instead of a separate full-corpus aggregate job (r14 — one fewer
+    # driver action on the path the bench now always takes).
+    pending = idx.prepare_probe(crawl)
+    if fp is None:
+        rows = pending.checks.unionByName(fingerprint_leg(docs, fp_cols)).collect()
+        fp = next(r["id"] for r in rows if r["kind"] == "fp")
+    else:
+        rows = pending.checks.collect()
+    # stamp written LAST (after every index write) — the durability
+    # contract; finish() only composes the result plan, no action
+    write_release_stamp(spark, idx.name, fp)
+    return pending.finish(rows)
 
 
 def _over_cap_keys(postings: DataFrame, cap: int) -> DataFrame:
@@ -1367,35 +1377,49 @@ def _lsh_candidates(post: DataFrame) -> DataFrame:
     audit measures exactly the shipped candidate generation.
 
     The band table is persisted and materialized BEFORE it branches
-    (r13): it feeds THREE legs — the census aggregate plus both sides
-    of the bucket self-join — and because the census anti-join hangs
-    UNDER each self-join side, the un-persisted shape duplicated the
-    whole signature pipeline four times statically (plan audit: four
-    Exchange-hashpartitioning(doc_id) subtrees, each a full
-    explode→32-min aggregation; AQE's canonical-plan stage reuse did
-    not collapse them — the profile showed four concurrent ~1.6 MB
-    shuffle-map stages per run). Cached, the signature pipeline runs
-    once and the three legs read (doc_id, band, bucket) rows — 4
-    ints/doc, orders of magnitude below the corpus, the same
-    bounded-intermediate class as simhash's cached ``sigs``."""
+    (r13): it feeds the census aggregate plus candidate generation,
+    and the un-persisted shape duplicated the whole signature
+    pipeline statically (plan audit, r13). Cached, the signature
+    pipeline runs once and the legs read (doc_id, band, bucket) rows
+    — 4 ints/doc, the same bounded-intermediate class as simhash's
+    cached ``sigs``.
+
+    r14 (guide §3.4, the _posting_pairs/mm_dedup_phash recipe):
+    candidate pairs fan out from per-bucket sorted doc-id LISTS
+    instead of the bucket SELF-JOIN — one exchange of the cached band
+    rows (the groupBy) replaces two self-join input exchanges plus a
+    third cache scan, and the census becomes a driver-side head(1) on
+    a persisted (tiny, boilerplate-bounded) over-cap frame: every
+    natural corpus (census empty at all driver SFs) then skips the
+    anti-join subtree outright. The census STAYS a fixed-state count
+    aggregate computed before any collect_list (the dedup.py rule:
+    never collect a hot bucket — the cold side's lists are ≤
+    BAND_BUCKET_CAP by construction). Pair set is IDENTICAL: same
+    (band, bucket) co-membership, same cap filter, same dedup —
+    pinned by the golden parquet and the quality audit's n_cand."""
     sig = minhash_signatures_agg(post)
     bands = _fresh_persist("minhash_bands", _band_table(sig))
     bands.count()
-    bands = bands.join(
-        F.broadcast(_band_census(bands)), ["band", "bucket"], "left_anti"
+    big = _fresh_persist("minhash_band_census", _band_census(bands))
+    cold = (
+        bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+        if big.head(1)
+        else bands
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    posts = (
+        cold.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.col("ids").alias("a"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(a, (x, i) -> "
+        "transform(slice(a, i + 2, size(a) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-        )
+        posts.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -2154,17 +2178,26 @@ def graph_pagerank_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.s", "e.d")
-    # persist the DIRECTED edges before deriving degrees: deg is a
-    # second branch of the same pair lineage, and joining two lazy
-    # branches runs the whole minhash pipeline twice (measured 15.2 s
-    # vs 5.8 s for one run at sf1 — the dedup_clusters trap). Pack the
-    # bounded edge set with repartition, NOT coalesce: coalesce
+    # ONE persisted edge frame with degree riding as a WINDOW count
+    # (r14): the previous shape persisted the raw edges, counted them,
+    # aggregated degrees as a second branch, joined, and persisted the
+    # result — two persists + two materialization jobs + a join, all to
+    # attach one bounded-domain integer. count(*) OVER (PARTITION BY s)
+    # on the hash(s)-packed frame computes the identical degree in the
+    # same pass that packs the edges (per-key window state is bounded
+    # by the node's degree ≤ the duplicate population). Persisting
+    # BEFORE any branch still guards the dedup_clusters trap (deg was
+    # a second lazy branch of the pair lineage; now there is no second
+    # branch at all). Pack with repartition, NOT coalesce: coalesce
     # propagates its width up the narrow stage and would run the
-    # candidate-verify scan 8-wide instead of 32-wide.
-    raw = _fresh_persist("pr_edges_raw", edges.repartition(8))
-    raw.count()
-    deg = raw.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    e = _fresh_persist("pr_edges", raw.join(deg, "s"))
+    # candidate-verify scan 8-wide instead of 32-wide; hash(s) keying
+    # (vs round-robin) feeds the window without a second exchange.
+    e = _fresh_persist(
+        "pr_edges",
+        edges.repartition(8, "s").withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("s"))
+        ),
+    )
     e.count()  # materialize before branching (r0 + every round read it)
     ranks = e.select(F.col("s").alias("n")).distinct().select(
         "n", F.lit(PR_SCALE).cast("bigint").alias("r")

